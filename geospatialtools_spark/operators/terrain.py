@@ -1,0 +1,715 @@
+"""Distributed terrain operators (SURVEY.md §2.9) over the cell table.
+
+Execution strategies, per operator class:
+
+- 3x3 stencils (slope/aspect, D8 flow direction, ocean-boundary detect):
+  tile + halo ``applyInPandas`` over the numpy-oracle kernels — one narrow
+  shuffle of border rows, exact per-cell results (operators/stencil.py).
+- Depression filling (Planchon): per-tile Gauss-Seidel relaxation to the
+  local fixpoint, halo exchange, repeat until a global checksum is stable.
+  W only decreases, so convergence to the unique fixpoint is monotone;
+  rounds ~ O(grid_dim / tile).
+- Flow accumulation: two-level decomposition — exact in-tile topological
+  sums per round, cross-tile inflows as an edge DataFrame, iterate until the
+  global checksum stops changing (rounds ~ max tile-boundary crossings of
+  any flow path; at 100 TB tiles are 4-16k cells wide so a handful of
+  rounds). Integers, so bit-exact vs the reference recursion.
+- Downstream traversals (basins, HAND): pointer doubling (operators/graph.py),
+  O(log path) shuffle rounds.
+- Global sequential labelings (channel segments, hillslopes): decompose into
+  independent seed groups by pointer doubling (group = most-downstream
+  valid cell of each flow path), run the EXACT single-seed oracle walk per
+  group in applyInPandas (embarrassingly parallel — groups are drainage
+  basins), then restore the reference's global id sequence with a
+  deterministic window: groups ordered by (seed area desc, column-major
+  position), id offsets = running sum of per-group id consumption. This
+  reproduces the Fortran's maxloc-seeded sequential ids bit-for-bit because
+  ids within one walk are contiguous and seeds are consumed in exactly this
+  order (proof sketch in channel_segments docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..grid import UNDEF, GridMeta
+from ..oracle import terrain as oracle
+from . import graph, stencil
+
+IUNDEF = -9999
+F32_UNDEF = float(np.float32(UNDEF))
+
+
+def _cid(i, j, meta: GridMeta):
+    return (F.col(i).cast("long") * meta.ny + F.col(j)).alias("id")
+
+
+# ---------------------------------------------------------------------------
+# Stencil operators
+# ---------------------------------------------------------------------------
+
+def slope_aspect(cells: DataFrame, meta: GridMeta, dem_col="dem", dx_col="dx", dy_col="dy") -> DataFrame:
+    """W5: Horn slope/aspect (terrain_tools.f90:14-54) via tile+halo."""
+
+    def kernel(blocks, i0, j0, m):
+        s, a = oracle.slope_aspect(
+            np.nan_to_num(blocks[dem_col], nan=UNDEF).astype(np.float32),
+            np.nan_to_num(blocks[dx_col], nan=1.0).astype(np.float32),
+            np.nan_to_num(blocks[dy_col], nan=1.0).astype(np.float32),
+        )
+        return {"slope": s.astype(np.float64), "aspect": a.astype(np.float64)}
+
+    return stencil.apply_stencil(
+        cells, meta, [dem_col, dx_col, dy_col], kernel,
+        [("slope", "double"), ("aspect", "double")], halo=1,
+    )
+
+
+def d8_flow_direction(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
+                      diag_corrected: bool = False) -> DataFrame:
+    """G3 step 1: D8 fdir (terrain_tools.f90:199-230) via tile+halo.
+
+    Core-cell outputs are exact: every core cell's 8 neighbors are inside
+    the halo block, so the block-border -9999 semantics fire only where the
+    block is clipped at the TRUE grid border — the same cells where the
+    reference fires them. Returns (tile_i, tile_j, i, j, fi, fj); fi/fj are
+    global targets, possibly outside the grid, -9999 when undefined.
+    """
+
+    def kernel(blocks, i0, j0, m):
+        dem = np.nan_to_num(blocks[dem_col], nan=UNDEF).astype(np.float32)
+        fd = oracle.d8_fdir(dem, res, diag_corrected=diag_corrected)
+        fi = np.where(fd[:, :, 0] == IUNDEF, IUNDEF, fd[:, :, 0] + i0).astype(np.int32)
+        fj = np.where(fd[:, :, 1] == IUNDEF, IUNDEF, fd[:, :, 1] + j0).astype(np.int32)
+        return {"fi": fi, "fj": fj}
+
+    out = stencil.apply_stencil(cells, meta, [dem_col], kernel,
+                                [("fi", "int"), ("fj", "int")], halo=1)
+    return out
+
+
+def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
+                  max_rounds: int = 64) -> DataFrame:
+    """G1: Planchon & Darboux fill (planchon_2001.f90) — tile-iterative.
+
+    The filled surface W is the unique fixpoint of
+    ``W(c) = max(z(c), min_n(W(n) + eps))`` with W=z on border/undef-adjacent
+    cells; each round relaxes every tile to its local fixpoint (float32,
+    identical update arithmetic to the reference) with halo W fixed, then
+    re-exchanges halos. W is monotone non-increasing from the wmax
+    initialization, so the iteration converges to the same fixpoint the
+    reference's 8-direction scans find.
+    """
+    eps = np.float32(np.float32(0.0001) * np.float32(res))
+    wmax = np.float32(1000000.0)
+    undef = np.float32(UNDEF)
+
+    def init_kernel(blocks, i0, j0, m):
+        z = np.nan_to_num(blocks[dem_col], nan=UNDEF).astype(np.float32)
+        nxb, nyb = z.shape
+        interior = np.ones(z.shape, dtype=bool)
+        for (k, l) in oracle.P8:
+            valid = np.zeros(z.shape, dtype=bool)
+            a0, a1 = max(0, -k), nxb - max(0, k)
+            b0, b1 = max(0, -l), nyb - max(0, l)
+            valid[a0:a1, b0:b1] = z[a0 + k:a1 + k, b0 + l:b1 + l] != undef
+            # block edges that are true grid borders have no neighbor there
+            interior &= valid
+        w = z.copy()
+        w[(z != undef) & interior] = wmax
+        return {"w": w.astype(np.float64)}
+
+    state = stencil.apply_stencil(cells, meta, [dem_col], init_kernel,
+                                  [("w", "double")], halo=1)
+    state = state.join(cells.select("i", "j", dem_col), ["i", "j"]) \
+                 .withColumnRenamed(dem_col, "z")
+
+    def relax_kernel(blocks, i0, j0, m):
+        z = np.nan_to_num(blocks["z"], nan=UNDEF).astype(np.float32)
+        w = np.nan_to_num(blocks["w"], nan=UNDEF).astype(np.float32)
+        nxb, nyb = z.shape
+        live = z != undef
+        for _ in range(10000):
+            cand = np.full(z.shape, np.inf, dtype=np.float32)
+            for (k, l) in oracle.P8:
+                a0, a1 = max(0, -k), nxb - max(0, k)
+                b0, b1 = max(0, -l), nyb - max(0, l)
+                nb = w[a0 + k:a1 + k, b0 + l:b1 + l]
+                c = np.where(nb == undef, np.float32(np.inf), (nb + eps).astype(np.float32))
+                cand[a0:a1, b0:b1] = np.minimum(cand[a0:a1, b0:b1], c)
+            upd = live & (w > z)
+            neww = np.maximum(z, cand)
+            changed = upd & (neww < w)
+            if not changed.any():
+                break
+            w[changed] = neww[changed]
+        return {"w": w.astype(np.float64)}
+
+    prev = None
+    for _ in range(max_rounds):
+        state = stencil.apply_stencil(state, meta, ["z", "w"], relax_kernel,
+                                      [("w", "double")], halo=1)
+        state = state.join(cells.select("i", "j", dem_col), ["i", "j"]) \
+                     .withColumnRenamed(dem_col, "z").localCheckpoint(eager=True)
+        chk = state.agg(F.sum(F.col("w").cast("double")).alias("s")).collect()[0]["s"]
+        if prev is not None and chk == prev:
+            break
+        prev = chk
+    return state.select("tile_i", "tile_j", "i", "j", F.col("w").alias("demns"))
+
+
+# ---------------------------------------------------------------------------
+# Flow accumulation (two-level tile decomposition)
+# ---------------------------------------------------------------------------
+
+def _topo_acc(n: int, src: np.ndarray, dst: np.ndarray, base: np.ndarray) -> np.ndarray:
+    """acc(v) = base(v) + sum over in-tile upstream acc — exact integers via
+    vectorized topological peel (out-degree <= 1 forest)."""
+    count = base.astype(np.int64).copy()
+    if src.size == 0:
+        return count
+    indeg = np.bincount(dst, minlength=n)
+    out_dst = np.full(n, -1, dtype=np.int64)
+    out_dst[src] = dst
+    has_out = np.zeros(n, dtype=bool)
+    has_out[src] = True
+    frontier = np.where((indeg == 0) & has_out)[0]
+    while frontier.size:
+        d = out_dst[frontier]
+        np.add.at(count, d, count[frontier])
+        np.subtract.at(indeg, d, 1)
+        newly = np.unique(d[indeg[d] == 0])
+        frontier = newly[has_out[newly]]
+    return count
+
+
+def flow_accumulation(fdir_df: DataFrame, meta: GridMeta, res: float,
+                      mask_df: DataFrame | None = None,
+                      max_rounds: int = 64) -> DataFrame:
+    """G3 step 2 / G4: upstream cell counts -> area (terrain_tools.f90:232-249).
+
+    fdir_df: (tile_i, tile_j, i, j, fi, fj). Exact integer accumulation:
+    in-tile sums are a local topological peel; cross-tile flow iterates as an
+    inflow edge table until the global count checksum is stable. Returns
+    cells + acc (long) + area (double, float32-exact, -9999 where mask==0 or
+    fdir undefined — mask applied when ``mask_df`` (i, j, mask) given).
+    """
+    t = meta.tile
+    spark = fdir_df.sparkSession
+    valid = (F.col("fi") != IUNDEF) & (F.col("fi") >= 0) & (F.col("fi") < meta.nx) \
+        & (F.col("fj") >= 0) & (F.col("fj") < meta.ny)
+    edges = fdir_df.select(
+        _cid("i", "j", meta),
+        F.col("tile_i"), F.col("tile_j"),
+        (F.col("fi").cast("long") * meta.ny + F.col("fj")).alias("dst"),
+        (F.col("fi") / t).cast("int").alias("dst_ti"),
+        (F.col("fj") / t).cast("int").alias("dst_tj"),
+    ).filter(valid)
+    cross = edges.filter(
+        (F.col("dst_ti") != F.col("tile_i")) | (F.col("dst_tj") != F.col("tile_j"))
+    ).select(F.col("id").alias("src"), "dst_ti", "dst_tj", "dst").localCheckpoint(eager=True)
+
+    base_cells = fdir_df.select("tile_i", "tile_j", "i", "j", "fi", "fj").localCheckpoint(eager=True)
+    inflow_schema = "dst_ti int, dst_tj int, dst long, val long"
+    acc_schema = "tile_i int, tile_j int, i int, j int, acc long"
+
+    def make_kernel():
+        ny = meta.ny
+        tile = t
+
+        def kern(key, cells_pdf: pd.DataFrame, inflow_pdf: pd.DataFrame) -> pd.DataFrame:
+            ti, tj = key
+            ii = cells_pdf["i"].to_numpy(np.int64)
+            jj = cells_pdf["j"].to_numpy(np.int64)
+            gid = ii * ny + jj
+            idx = {g: k for k, g in enumerate(gid)}
+            n = len(gid)
+            base = np.ones(n, dtype=np.int64)
+            if len(inflow_pdf):
+                for d, v in zip(inflow_pdf["dst"].to_numpy(np.int64),
+                                inflow_pdf["val"].to_numpy(np.int64)):
+                    if d in idx:
+                        base[idx[d]] += v
+            fi = cells_pdf["fi"].to_numpy(np.int64)
+            fj = cells_pdf["fj"].to_numpy(np.int64)
+            ok = (fi != IUNDEF) & (fi // tile == ti) & (fj // tile == tj) & (fi >= 0) & (fj >= 0)
+            dst_g = fi[ok] * ny + fj[ok]
+            in_tile = np.array([idx.get(g, -1) for g in dst_g], dtype=np.int64)
+            keep = in_tile >= 0
+            src_l = np.where(ok)[0][keep]
+            dst_l = in_tile[keep]
+            acc = _topo_acc(n, src_l, dst_l, base)
+            return pd.DataFrame({
+                "tile_i": np.full(n, ti, np.int32), "tile_j": np.full(n, tj, np.int32),
+                "i": ii.astype(np.int32), "j": jj.astype(np.int32), "acc": acc,
+            })
+        return kern
+
+    kern = make_kernel()
+    empty_inflow = spark.createDataFrame([], inflow_schema)
+    acc = (base_cells.groupBy("tile_i", "tile_j")
+           .cogroup(empty_inflow.groupBy("dst_ti", "dst_tj"))
+           .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=True)
+    prev = acc.agg(F.sum("acc")).collect()[0][0]
+    for _ in range(max_rounds):
+        inflows = cross.join(
+            acc.select(_cid("i", "j", meta), F.col("acc").alias("val")),
+            F.col("src") == F.col("id"),
+        ).select("dst_ti", "dst_tj", "dst", "val")
+        acc = (base_cells.groupBy("tile_i", "tile_j")
+               .cogroup(inflows.groupBy("dst_ti", "dst_tj"))
+               .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=True)
+        chk = acc.agg(F.sum("acc")).collect()[0][0]
+        if chk == prev:
+            break
+        prev = chk
+
+    res2 = np.float32(res) ** 2
+    out = acc.join(fdir_df.select("i", "j", "fi"), ["i", "j"])
+    area = F.when(F.col("fi") == IUNDEF, F.lit(F32_UNDEF)).otherwise(
+        # float32(res)**2 * float32(count): reproduce the reference's fp32 product
+        (F.lit(float(res2)).cast("float") * F.col("acc").cast("float")).cast("double")
+    )
+    out = out.withColumn("area", area)
+    if mask_df is not None:
+        out = out.join(mask_df.select("i", "j", "mask"), ["i", "j"], "left").withColumn(
+            "area", F.when(F.col("mask") == 0, F.lit(F32_UNDEF)).otherwise(F.col("area"))
+        ).drop("mask")
+    return out.drop("fi")
+
+
+# ---------------------------------------------------------------------------
+# Pointer-doubling traversals: basins + HAND
+# ---------------------------------------------------------------------------
+
+def _fdir_state(cells: DataFrame, meta: GridMeta):
+    """Common columns for downstream resolution."""
+    in_grid = (F.col("fi") >= 0) & (F.col("fi") < meta.nx) \
+        & (F.col("fj") >= 0) & (F.col("fj") < meta.ny) & (F.col("fi") != IUNDEF)
+    nxt = (F.col("fi").cast("long") * meta.ny + F.col("fj"))
+    return in_grid, nxt
+
+
+def delineate_basins(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """G9 (terrain_tools.f90:1243-1293) by pointer doubling.
+
+    cells: (i, j, channels, mask, fi, fj). basins(v) = id of the first
+    downstream channel cell; dead ends (invalid fdir / mask-0 cell on the
+    way) label 0, exactly like determine_basin_id. Returns (i, j, basins).
+    """
+    in_grid, nxt = _fdir_state(cells, meta)
+    nxt_ch = cells.select(_cid("i", "j", meta).alias("nid"),
+                          F.col("channels").alias("n_ch"),
+                          F.col("mask").alias("n_mask"))
+    st = cells.select(
+        _cid("i", "j", meta), "i", "j", "channels", "mask", "fi", "fj",
+        in_grid.alias("ok"), nxt.alias("nxt"),
+    )
+    walkers = st.filter((F.col("channels") == 0) & (F.col("mask") >= 1))
+    walkers = walkers.join(nxt_ch, walkers.nxt == F.col("nid"), "left") \
+        .select("id", "ok", "nxt", "n_ch", "n_mask")
+    # status per determine_basin_id order: fdir bounds -> own mask (>=1 here)
+    # -> downstream label -> recurse. Mid-walk cells apply their own rules
+    # when resolved as targets, so only the local step is encoded.
+    state = walkers.select(
+        "id",
+        F.when(~F.col("ok"), F.lit(True))
+         .when(F.col("n_ch") > 0, F.lit(True))
+         .when(F.col("n_mask") == 0, F.lit(True))
+         .otherwise(F.lit(False)).alias("done"),
+        F.col("nxt").alias("ptr"),
+        F.when(~F.col("ok"), F.lit(0).cast("long"))
+         .when(F.col("n_ch") > 0, F.col("n_ch"))
+         .when(F.col("n_mask") == 0, F.lit(0).cast("long"))
+         .alias("label"),
+    )
+    # mid-walk targets: cells with mask==0 or channels<0 resolve to 0 when
+    # entered (determine_basin_id:1283); add them as DONE states so pointers
+    # into them terminate correctly.
+    others = st.filter(~((F.col("channels") == 0) & (F.col("mask") >= 1))).select(
+        "id", F.lit(True).alias("done"), F.col("nxt").alias("ptr"),
+        F.when(F.col("channels") > 0, F.col("channels"))
+         .otherwise(F.lit(0).cast("long")).alias("label"),
+    )
+    # NB: a pointer-doubled jump may land on a non-walker: channels>0 -> its
+    # id is the answer; mask==0/channels<0 -> 0. Both encoded above. But the
+    # REFERENCE checks the target's label BEFORE entering it, so for
+    # channel targets label=channel id matches; for mask-0 targets entering
+    # yields 0 — also matches.
+    resolved = graph.resolve(state.unionByName(others).filter(F.col("id").isNotNull()))
+    out = cells.select("tile_i", "tile_j", "i", "j", "channels", "mask",
+                       _cid("i", "j", meta))
+    resolved = resolved.withColumnRenamed("id", "rid")
+    out = out.join(resolved, out.id == F.col("rid"), "left")
+    basins = (
+        F.when((F.col("channels") == 0) & (F.col("mask") >= 1),
+               F.coalesce(F.col("label"), F.lit(0)))
+        .otherwise(F.col("channels"))
+    )
+    return out.select("tile_i", "tile_j", "i", "j", basins.cast("long").alias("basins"))
+
+
+def depth2channel(cells: DataFrame, meta: GridMeta, dem_col="dem") -> DataFrame:
+    """G11 HAND (terrain_tools.f90:1652-1725), PURE-chain semantics.
+
+    cells: (i, j, channels, mask, fi, fj, dem). Chains resolving at a
+    positive channel elevation reproduce the reference exactly; dead-end
+    chains yield NULL -> -9999 (the reference leaks the previous chain's
+    value through its shared ``cd`` variable, terrain_tools.f90:1679 — a
+    scan-order dependence the engine deliberately does not reproduce; the
+    oracle keeps it for documentation). Returns (i, j, hand).
+    """
+    in_grid, nxt = _fdir_state(cells, meta)
+    cdep = F.when((F.col("mask") > 0) & (F.col("channels") > 0),
+                  F.greatest(F.col(dem_col), F.lit(0.0))).otherwise(F.lit(None))
+    st = cells.select(_cid("i", "j", meta), "i", "j", "mask", "channels",
+                      F.col(dem_col).alias("dem"),
+                      in_grid.alias("ok"), nxt.alias("nxt"), cdep.alias("cdep"))
+    tgt = st.select(F.col("id").alias("t_id"), F.col("cdep").alias("n_cdep"),
+                    F.col("mask").alias("n_mask"))
+    # channel cells with clamped elevation exactly 0 do NOT stop the walk
+    # (the `.gt. 0` at terrain_tools.f90:1717) — they resolve like walkers.
+    is_walker = (F.col("cdep").isNull() | (F.col("cdep") == 0)) & (F.col("mask") >= 1)
+    walkers = st.filter(is_walker)
+    walkers = walkers.join(tgt, walkers.nxt == tgt.t_id, "left")
+    state = walkers.select(
+        "id",
+        F.when(~F.col("ok"), F.lit(True))
+         .when(F.col("n_cdep") > 0, F.lit(True))
+         .when(F.col("n_mask") == 0, F.lit(True))
+         .otherwise(F.lit(False)).alias("done"),
+        F.col("nxt").alias("ptr"),
+        F.when(F.col("ok") & (F.col("n_cdep") > 0), F.col("n_cdep")).alias("label"),
+    )
+    dones = st.filter(~is_walker).select(
+        "id", F.lit(True).alias("done"), F.col("nxt").alias("ptr"),
+        F.col("cdep").alias("label"),
+    )
+    resolved = graph.resolve(state.unionByName(dones)).withColumnRenamed("id", "rid")
+    out = st.join(resolved, st.id == F.col("rid"), "left")
+    cd_final = F.when(F.col("cdep") > 0, F.col("cdep")).otherwise(F.col("label"))
+    hand = (F.col("dem").cast("float") - cd_final.cast("float")).cast("double")
+    hand = F.when(cd_final.isNull(), F.lit(F32_UNDEF)) \
+            .when(hand < 0, F.lit(F32_UNDEF)) \
+            .when(F.col("mask") <= 0, F.lit(F32_UNDEF)) \
+            .otherwise(hand)
+    return out.select("i", "j", hand.alias("hand"))
+
+
+# ---------------------------------------------------------------------------
+# Channel segmentation + hillslopes (seed groups)
+# ---------------------------------------------------------------------------
+
+def _seed_groups(members: DataFrame, meta: GridMeta) -> DataFrame:
+    """Pointer-double each member cell to the most-downstream member on its
+    flow path (= the group's seed; strictly the largest area of the group,
+    so sequential maxloc seeds exactly these cells, in (area desc,
+    column-major) order). members: (i, j, area, fi, fj) pre-filtered.
+    Returns (id, gid)."""
+    in_grid, nxt = _fdir_state(members, meta)
+    st = members.select(_cid("i", "j", meta), in_grid.alias("ok"), nxt.alias("nxt"))
+    member_ids = members.select(_cid("i", "j", meta)).withColumnRenamed("id", "m_id")
+    st = st.join(member_ids, st.nxt == member_ids.m_id, "left")
+    state = st.select(
+        "id",
+        (~F.col("ok") | F.col("m_id").isNull()).alias("done"),
+        F.col("nxt").alias("ptr"),
+        F.when(~F.col("ok") | F.col("m_id").isNull(), F.col("id")).alias("label"),
+    )
+    return graph.resolve(state).withColumnRenamed("label", "gid")
+
+
+def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
+                     basin_threshold: float) -> tuple[DataFrame, DataFrame]:
+    """G6-G8 (terrain_tools.f90:878-992 wocean_wprop semantics).
+
+    cells: (tile_i, tile_j, i, j, area, mask, fi, fj). Returns
+    (channels_df(i, j, channels, channels_wob), topology_df(cid, downstream)).
+
+    Sequential-parity argument: the reference seeds at the remaining global
+    max-area channel cell and each walk consumes exactly one contiguous-mask
+    upstream component whose most-downstream cell IS that max (area strictly
+    increases downstream). Components are therefore processed in (seed area
+    desc, column-major) order and each walk's ids are the contiguous block
+    hcid+1..hcid+n. Running the identical walk kernel per component and
+    offsetting by the running sum of n reproduces the global ids.
+    """
+    thr = float(np.float32(threshold))
+    bt = float(np.float32(basin_threshold))
+    chan = cells.filter(F.col("area") > thr)
+    groups = _seed_groups(chan.select("i", "j", "fi", "fj"), meta)
+    chan_g = chan.withColumn("id", F.col("i").cast("long") * meta.ny + F.col("j")) \
+                 .join(groups, "id")
+
+    out_schema = "gid long, kind int, i int, j int, v long"
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (gid,) = key
+        ii = pdf["i"].to_numpy(np.int64)
+        jj = pdf["j"].to_numpy(np.int64)
+        i0, j0 = ii.min() - 1, jj.min() - 1  # +1 halo so OOB probes stay cheap
+        nxb, nyb = ii.max() - i0 + 2, jj.max() - j0 + 2
+        area = np.zeros((nxb, nyb), dtype=np.float32)
+        cmask = np.zeros((nxb, nyb), dtype=np.int32)
+        fdir = np.full((nxb, nyb, 2), IUNDEF, dtype=np.int64)
+        li, lj = ii - i0, jj - j0
+        area[li, lj] = pdf["area"].to_numpy(np.float32)
+        cmask[li, lj] = 1
+        fdir[li, lj, 0] = pdf["fi"].to_numpy(np.int64) - i0
+        fdir[li, lj, 1] = pdf["fj"].to_numpy(np.int64) - j0
+        seed = (int(gid) // meta.ny - i0, int(gid) % meta.ny - j0)
+        labels, topo, n_ids = oracle.channels_walk_single_seed(
+            area, fdir, cmask, seed, bt, init_label=0, wprop=True)
+        rows = {"gid": [], "kind": [], "i": [], "j": [], "v": []}
+        lab = labels[li, lj]
+        for k in range(len(ii)):
+            rows["gid"].append(gid); rows["kind"].append(0)
+            rows["i"].append(int(ii[k])); rows["j"].append(int(jj[k]))
+            rows["v"].append(int(lab[k]))
+        rows["gid"].append(gid); rows["kind"].append(1)
+        rows["i"].append(-1); rows["j"].append(-1); rows["v"].append(int(n_ids))
+        for lc, ld in topo.items():
+            rows["gid"].append(gid); rows["kind"].append(2)
+            rows["i"].append(int(lc)); rows["j"].append(-1); rows["v"].append(int(ld))
+        return pd.DataFrame(rows)
+
+    walked = chan_g.groupBy("gid").applyInPandas(kern, schema=out_schema) \
+                   .localCheckpoint(eager=True)
+
+    # deterministic seed order -> id offsets
+    seeds = chan_g.filter(F.col("id") == F.col("gid")).select(
+        "gid", F.col("area").alias("s_area"), F.col("j").alias("s_j"), F.col("i").alias("s_i"))
+    counts = walked.filter(F.col("kind") == 1).select("gid", F.col("v").alias("n_ids"))
+    w = Window.orderBy(F.col("s_area").desc(), F.col("s_j"), F.col("s_i")) \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = seeds.join(counts, "gid").select(
+        "gid", F.coalesce(F.sum("n_ids").over(w), F.lit(0)).alias("off"))
+
+    labels = walked.filter(F.col("kind") == 0).join(offsets, "gid").select(
+        "i", "j",
+        F.when(F.col("v") > 0, F.col("v") + F.col("off")).otherwise(F.col("v")).alias("ch_walk"))
+    topology = walked.filter(F.col("kind") == 2).join(offsets, "gid").select(
+        (F.col("i") + F.col("off")).alias("cid"),
+        F.when(F.col("v") == -1, F.lit(-1)).otherwise(F.col("v") + F.col("off")).alias("downstream"))
+
+    # ocean/land boundary pseudo-channels: cid = 999999 + (# mask-0 cells
+    # before this one in row-major scan), labeled iff any 3x3 neighbor is land
+    def nbr_kernel(blocks, i0, j0, m):
+        msk = np.nan_to_num(blocks["mask"], nan=0.0)
+        nxb, nyb = msk.shape
+        mx = msk.copy()
+        for (k, l) in oracle.P8:
+            a0, a1 = max(0, -k), nxb - max(0, k)
+            b0, b1 = max(0, -l), nyb - max(0, l)
+            mx[a0:a1, b0:b1] = np.maximum(mx[a0:a1, b0:b1], msk[a0 + k:a1 + k, b0 + l:b1 + l])
+        return {"nbr_land": mx}
+
+    nbr = stencil.apply_stencil(cells.select("tile_i", "tile_j", "i", "j", "mask"),
+                                meta, ["mask"], nbr_kernel, [("nbr_land", "double")], halo=1)
+    ocean = cells.filter(F.col("mask") == 0).select("i", "j")
+    row_counts = ocean.groupBy("i").agg(F.count("*").alias("c"))
+    wrow = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    row_off = row_counts.select("i", F.coalesce(F.sum("c").over(wrow), F.lit(0)).alias("roff"))
+    wj = Window.partitionBy("i").orderBy("j")
+    ocean_rank = ocean.join(row_off, "i").select(
+        "i", "j", (F.lit(999999) + F.col("roff") + F.row_number().over(wj) - 1).alias("ocid"))
+    ocean_lab = ocean_rank.join(nbr.select("i", "j", "nbr_land"), ["i", "j"]) \
+                          .filter(F.col("nbr_land") > 0).select("i", "j", "ocid")
+
+    base = cells.select("tile_i", "tile_j", "i", "j", "mask")
+    out = base.join(labels, ["i", "j"], "left").join(ocean_lab, ["i", "j"], "left")
+    ch_wob = F.coalesce(F.col("ch_walk"), F.lit(0)).cast("long")
+    ch_full = F.coalesce(F.col("ocid"), ch_wob).cast("long")
+    out = out.select(
+        "tile_i", "tile_j", "i", "j",
+        F.when((F.col("mask") == 0) & (ch_full == 0), F.lit(IUNDEF)).otherwise(ch_full).alias("channels"),
+        F.when((F.col("mask") == 0) & (ch_wob == 0), F.lit(IUNDEF)).otherwise(ch_wob).alias("channels_wob"),
+    )
+    return out, topology
+
+
+def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """G10 (terrain_tools.f90:1295-1575): per-seed-group exact walks.
+
+    cells: (tile_i, tile_j, i, j, channels, area, mask, fi, fj) where area
+    is -9999 outside the mask / where fdir is undefined (as d8_acc leaves
+    it). Groups = pointer-doubled "most downstream valid-area cell"; group
+    walks run the identical single-seed oracle kernel; offsets restore the
+    sequential id stream; cleanup densifies ids to 0..K-1.
+    """
+    members = cells.filter(F.col("area") != F32_UNDEF)
+    groups = _seed_groups(members.select("i", "j", "fi", "fj"), meta)
+    mem_g = members.withColumn("id", F.col("i").cast("long") * meta.ny + F.col("j")) \
+                   .join(groups, "id")
+
+    out_schema = "gid long, kind int, i int, j int, v long"
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (gid,) = key
+        ii = pdf["i"].to_numpy(np.int64)
+        jj = pdf["j"].to_numpy(np.int64)
+        i0, j0 = ii.min() - 1, jj.min() - 1
+        nxb, nyb = ii.max() - i0 + 2, jj.max() - j0 + 2
+        ch = np.zeros((nxb, nyb), dtype=np.int64)
+        msk = np.zeros((nxb, nyb), dtype=np.int64)
+        fdir = np.full((nxb, nyb, 2), IUNDEF, dtype=np.int64)
+        li, lj = ii - i0, jj - j0
+        ch[li, lj] = pdf["channels"].to_numpy(np.int64)
+        msk[li, lj] = pdf["mask"].to_numpy(np.int64)
+        fdir[li, lj, 0] = pdf["fi"].to_numpy(np.int64) - i0
+        fdir[li, lj, 1] = pdf["fj"].to_numpy(np.int64) - j0
+        seed = (int(gid) // meta.ny - i0, int(gid) % meta.ny - j0)
+        labels, visited, n_ids = oracle.hillslopes_walk_single_seed(ch, fdir, msk, seed)
+        got = labels[li, lj]
+        rows = {"gid": [], "kind": [], "i": [], "j": [], "v": []}
+        for k in range(len(ii)):
+            if got[k] > 0:
+                rows["gid"].append(gid); rows["kind"].append(0)
+                rows["i"].append(int(ii[k])); rows["j"].append(int(jj[k]))
+                rows["v"].append(int(got[k]))
+        rows["gid"].append(gid); rows["kind"].append(1)
+        rows["i"].append(-1); rows["j"].append(-1); rows["v"].append(int(n_ids))
+        return pd.DataFrame(rows)
+
+    walked = mem_g.groupBy("gid").applyInPandas(kern, schema=out_schema) \
+                  .localCheckpoint(eager=True)
+    seeds = mem_g.filter(F.col("id") == F.col("gid")).select(
+        "gid", F.col("area").alias("s_area"), F.col("j").alias("s_j"), F.col("i").alias("s_i"))
+    counts = walked.filter(F.col("kind") == 1).select("gid", F.col("v").alias("n_ids"))
+    w = Window.orderBy(F.col("s_area").desc(), F.col("s_j"), F.col("s_i")) \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = seeds.join(counts, "gid").select(
+        "gid", F.coalesce(F.sum("n_ids").over(w), F.lit(0)).alias("off"))
+    labels = walked.filter(F.col("kind") == 0).join(offsets, "gid").select(
+        "i", "j", (F.col("v") + F.col("off")).alias("hlab"))
+
+    base = cells.select("tile_i", "tile_j", "i", "j", "channels", "mask")
+    out = base.join(labels, ["i", "j"], "left").select(
+        "tile_i", "tile_j", "i", "j",
+        F.when((F.col("mask") <= 0) | (F.col("channels") > 0), F.lit(IUNDEF))
+         .otherwise(F.coalesce(F.col("hlab"), F.lit(0))).alias("raw"))
+    # cleanup_hillslopes (terrain_tools.f90:1604-1650): ascending dense ids 0..K-1
+    ids = out.filter(F.col("raw") > 0).select("raw").distinct()
+    wr = Window.orderBy("raw")
+    remap = ids.select(F.col("raw"), (F.dense_rank().over(wr) - 1).alias("new"))
+    out = out.join(remap, "raw", "left").select(
+        "tile_i", "tile_j", "i", "j",
+        F.when(F.col("raw") > 0, F.col("new")).otherwise(F.col("raw")).alias("hillslopes"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Polygonize (G13) + gap fill (J5)
+# ---------------------------------------------------------------------------
+
+def polygonize(cells: DataFrame, meta: GridMeta, value_col: str = "value") -> DataFrame:
+    """G13 (terrain_tools.f90:1750-1789): 4-connected same-value regions ->
+    sequential ids in i-outer scan order.
+
+    Per-tile connected components (local root = min global scan id), then
+    min-label propagation across tile-border equality edges on the CONTRACTED
+    component graph (a few rounds — the graph has one node per border
+    component, not per cell), then ids = rank of each component's min scan id
+    (== the reference's discovery order).
+    """
+    t = meta.tile
+    scan = (F.col("i").cast("long") * meta.ny + F.col("j"))
+    live = cells.filter(F.col(value_col) != F32_UNDEF) \
+                .select("tile_i", "tile_j", "i", "j", F.col(value_col).alias("val"))
+
+    comp_schema = "i int, j int, val double, root long"
+
+    def cc_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ii = pdf["i"].to_numpy(np.int64)
+        jj = pdf["j"].to_numpy(np.int64)
+        vv = pdf["val"].to_numpy()
+        i0, j0 = ii.min(), jj.min()
+        nxb, nyb = ii.max() - i0 + 1, jj.max() - j0 + 1
+        grid = np.full((nxb, nyb), np.nan)
+        pos = np.full((nxb, nyb), -1, dtype=np.int64)
+        grid[ii - i0, jj - j0] = vv
+        pos[ii - i0, jj - j0] = np.arange(len(ii))
+        root = np.full(len(ii), -1, dtype=np.int64)
+        order = np.argsort(ii * meta.ny + jj, kind="stable")
+        for k in order:
+            if root[k] >= 0:
+                continue
+            rid = ii[k] * meta.ny + jj[k]
+            stack = [(ii[k] - i0, jj[k] - j0)]
+            v = vv[k]
+            while stack:
+                x, y = stack.pop()
+                p = pos[x, y]
+                if p < 0 or root[p] >= 0 or grid[x, y] != v:
+                    continue
+                root[p] = rid
+                if x > 0:
+                    stack.append((x - 1, y))
+                if x < nxb - 1:
+                    stack.append((x + 1, y))
+                if y > 0:
+                    stack.append((x, y - 1))
+                if y < nyb - 1:
+                    stack.append((x, y + 1))
+        return pd.DataFrame({"i": ii.astype(np.int32), "j": jj.astype(np.int32),
+                             "val": vv, "root": root})
+
+    comp = live.groupBy("tile_i", "tile_j").applyInPandas(cc_kernel, schema=comp_schema) \
+               .localCheckpoint(eager=True)
+
+    # tile-border equality edges between LOCAL roots
+    a = comp.select(F.col("i"), F.col("j"), F.col("val"), F.col("root"))
+    down = a.filter(((F.col("i") + 1) % t) == 0).select(
+        (F.col("i") + 1).alias("i"), "j", F.col("val").alias("v1"), F.col("root").alias("r1"))
+    right = a.filter(((F.col("j") + 1) % t) == 0).select(
+        "i", (F.col("j") + 1).alias("j"), F.col("val").alias("v1"), F.col("root").alias("r1"))
+    e1 = down.join(a, ["i", "j"]).filter(F.col("v1") == F.col("val")) \
+             .select(F.col("r1").alias("x"), F.col("root").alias("y"))
+    e2 = right.join(a, ["i", "j"]).filter(F.col("v1") == F.col("val")) \
+              .select(F.col("r1").alias("x"), F.col("root").alias("y"))
+    edges = e1.unionByName(e2).distinct().localCheckpoint(eager=True)
+    edges_sym = edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+
+    roots = comp.select(F.col("root").alias("node")).distinct() \
+                .withColumn("lbl", F.col("node"))
+    while True:
+        nbr_min = edges_sym.join(roots.withColumnRenamed("node", "y2"),
+                                 F.col("y") == F.col("y2")) \
+                           .groupBy("x").agg(F.min("lbl").alias("nlbl"))
+        new = roots.join(nbr_min.withColumnRenamed("x", "node"), "node", "left") \
+                   .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+        # path compression: lbl = lbl(lbl)
+        l2 = new.select(F.col("node").alias("n2"), F.col("lbl").alias("l2"))
+        new = new.join(l2, new.lbl == F.col("n2"), "left") \
+                 .select("node", F.coalesce(F.col("l2"), F.col("lbl")).alias("lbl")) \
+                 .localCheckpoint(eager=True)
+        changed = new.join(roots.withColumnRenamed("lbl", "old"), "node") \
+                     .filter(F.col("lbl") != F.col("old"))
+        roots = new
+        if changed.isEmpty():
+            break
+
+    labeled = comp.join(roots.withColumnRenamed("node", "root"), "root")
+    # sequential numbering: rank of the component's min scan id
+    comp_min = labeled.groupBy("lbl").agg(F.min(F.col("i").cast("long") * meta.ny + F.col("j")).alias("mn"))
+    wr = Window.orderBy("mn")
+    pid = comp_min.select("lbl", (F.dense_rank().over(wr) - 1).alias("pid"))
+    return labeled.join(pid, "lbl").select("i", "j", F.col("pid").cast("double").alias("polygon"))
+
+
+def gap_fill_hrus(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """J5 (terrain_tools.f90:825-876): on real channel cells, take the modal
+    HRU of the 3x3 neighborhood (first-seen insertion order tie-break).
+    cells: (tile_i, tile_j, i, j, hru, channels)."""
+
+    def kernel(blocks, i0, j0, m):
+        hrus = np.nan_to_num(blocks["hru"], nan=IUNDEF).astype(np.int64)
+        ch = np.nan_to_num(blocks["channels"], nan=IUNDEF).astype(np.int64)
+        out = oracle.gap_fill_hrus(hrus, ch)
+        return {"hru_filled": out.astype(np.int64)}
+
+    return stencil.apply_stencil(cells, meta, ["hru", "channels"], kernel,
+                                 [("hru_filled", "long")], halo=1)

@@ -422,20 +422,29 @@ def _in_grid(i, j, nx, ny):
     return 0 <= i < nx and 0 <= j < ny
 
 
-def _channels_loop(area_in, threshold, basin_threshold, fdir, mask=None, wprop=False):
-    """Shared body of calculate_channels / _wocean / _wocean_wprop
-    (terrain_tools.f90:748-823, 1069-1170, 878-992) incl. the recursive
-    channels_upstream walk (:1172-1241) with its mutable-cid semantics."""
+def channels_walk_single_seed(area, fdir, cmask, seed, basin_threshold,
+                              init_label=0, wprop=False):
+    """ONE while-iteration of the channel segmentation: seed + upstream walk
+    (terrain_tools.f90:792-821 body + channels_upstream :1172-1241).
+
+    Mutates ``cmask`` (consumed cells -> 0). Returns (labels, topo, n_ids)
+    where labels is an int64 grid with LOCAL ids 1..n_ids (``init_label``
+    elsewhere — the unset-seed-propagation quirk needs the caller's init
+    value), topo maps local cid -> local downstream cid (or -1 at the
+    outlet), and n_ids is how much the global hcid counter advances.
+
+    The walk is shared verbatim between the sequential oracle and the
+    engine's per-group ``applyInPandas`` kernel: group ids assigned by
+    pointer doubling + deterministic seed ordering make the distributed
+    composition bit-identical to the sequential loop.
+    """
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 10 ** 6))
-    nx, ny = area_in.shape
-    area = area_in.astype(np.float32).copy()
-    cmask = (area > np.float32(threshold)).astype(np.int32)
-    channels = np.full((nx, ny), IUNDEF if mask is None else 0, dtype=np.int64)
+    nx, ny = area.shape
+    channels = np.full((nx, ny), init_label, dtype=np.int64)
     topo = {}
-    state = {"hcid": 0, "cid": 0}
+    state = {"hcid": 0}
     bt = np.float32(basin_threshold)
 
-    # upstream-neighbor helper in positions order
     def upstream(i, j):
         out = []
         for (k, l) in P8:
@@ -478,21 +487,46 @@ def _channels_loop(area_in, threshold, basin_threshold, fdir, mask=None, wprop=F
                         channels[inew, jnew] = cid_org_box[0]
                         walk(inew, jnew, cid_org_box)
 
+    state["hcid"] += 1
+    cid = state["hcid"]
+    i, j = seed
+    if cmask[i, j] == 1 and area[i, j] >= bt:
+        channels[i, j] = cid
+        if wprop:
+            topo[cid] = -1
+    cmask[i, j] = 0
+    walk(i, j, [cid])
+    return channels, topo, state["hcid"]
+
+
+def _channels_loop(area_in, threshold, basin_threshold, fdir, mask=None, wprop=False):
+    """Sequential driver of calculate_channels / _wocean / _wocean_wprop
+    (terrain_tools.f90:748-823, 1069-1170, 878-992): seed at the remaining
+    max-area cell (column-major maxloc ties), walk, repeat; local walk ids
+    merge through a running hcid offset."""
+    nx, ny = area_in.shape
+    area = area_in.astype(np.float32).copy()
+    cmask = (area > np.float32(threshold)).astype(np.int32)
+    init_label = IUNDEF if mask is None else 0
+    channels = np.full((nx, ny), init_label, dtype=np.int64)
+    topo = {}
+    hcid = 0
+
     done = False
     while not done:
-        state["hcid"] += 1
-        cid = state["hcid"]
         if cmask.max() == 0:
             done = True
         area[cmask == 0] = 0.0
-        i, j = _argmax2d_fortran(area)
-        if cmask[i, j] == 1 and area[i, j] >= bt:
-            channels[i, j] = cid
-            if wprop:
-                topo[cid] = -1
-        cmask[i, j] = 0
-        walk(i, j, [cid])
-    return channels, topo, state["hcid"]
+        seed = _argmax2d_fortran(area)
+        labels, ltopo, n_ids = channels_walk_single_seed(
+            area, fdir, cmask, seed, basin_threshold,
+            init_label=init_label, wprop=wprop)
+        got = labels != init_label
+        channels[got] = np.where(labels[got] > 0, labels[got] + hcid, labels[got])
+        for lc, ld in ltopo.items():
+            topo[lc + hcid] = ld if ld == -1 else ld + hcid
+        hcid += n_ids
+    return channels, topo, hcid
 
 
 def calculate_channels(area, threshold, basin_threshold, fdir) -> np.ndarray:
@@ -584,10 +618,18 @@ def delineate_basins(channels: np.ndarray, mask: np.ndarray, fdir: np.ndarray) -
     return basins
 
 
-def calculate_depth2channel(channels, mask, fdir, dem):
-    """HAND (terrain_tools.f90:1652-1725), incl. the cd carry-over quirk:
-    cd persists across top-level cells (:1679), so a chain that dead-ends
-    inherits the previous chain's channel depth."""
+def calculate_depth2channel(channels, mask, fdir, dem, leak: bool = True):
+    """HAND (terrain_tools.f90:1652-1725).
+
+    ``leak=True`` is the faithful port including the reference's cd
+    carry-over quirk: ``cd`` persists across top-level cells (:1679), so a
+    chain that dead-ends (invalid fdir / mask-0 before any channel) inherits
+    the PREVIOUS chain's channel depth — a scan-order dependence — and cells
+    never assigned at all yield ``dem + 9999``. ``leak=False`` is the
+    engine's sanitized semantics (the golden used for Spark parity): chains
+    resolving at a positive channel elevation are identical to the
+    reference; dead-end chains and never-assigned cells yield -9999.
+    """
     nx, ny = dem.shape
     dem32 = dem.astype(np.float32)
     undef = np.float32(UNDEF)
@@ -595,28 +637,41 @@ def calculate_depth2channel(channels, mask, fdir, dem):
     cdep = dem32.copy()
     cdep[cdep < 0] = 0.0
     cdep[(m <= 0) | (np.asarray(channels) <= 0)] = undef
+    unresolved = np.zeros((nx, ny), dtype=bool)
     cd = np.float32(0.0)
     for i0 in range(nx):
         for j0 in range(ny):
-            if cdep[i0, j0] == undef and m[i0, j0] >= 1:
+            if cdep[i0, j0] == undef and m[i0, j0] >= 1 and not unresolved[i0, j0]:
                 stack = []
                 i, j = i0, j0
+                dead = False
                 while True:
                     inew, jnew = int(fdir[i, j, 0]), int(fdir[i, j, 1])
                     if not _in_grid(inew, jnew, nx, ny):
+                        dead = True
                         break  # cd unchanged (leak)
                     if m[i, j] == 0:
+                        dead = True
                         break
                     stack.append((i, j))
                     if cdep[inew, jnew] > 0:
                         cd = cdep[inew, jnew]
                         break
+                    if not leak and unresolved[inew, jnew]:
+                        dead = True
+                        break
                     i, j = inew, jnew
-                for (pi, pj) in stack:
-                    cdep[pi, pj] = cd
+                if leak or not dead:
+                    for (pi, pj) in stack:
+                        cdep[pi, pj] = cd
+                else:
+                    for (pi, pj) in stack:
+                        unresolved[pi, pj] = True
     d2c = dem32 - cdep
     d2c[d2c < 0] = undef
     d2c[m <= 0] = undef
+    if not leak:
+        d2c[cdep == undef] = undef
     return d2c
 
 
@@ -633,23 +688,22 @@ def cleanup_hillslopes(h: np.ndarray) -> np.ndarray:
     return out
 
 
-def delineate_hillslopes(channels, area_in, fdir, mask):
-    """terrain_tools.f90:1295-1575 — faithful recursive port.
+def hillslopes_walk_single_seed(channels, fdir, mask, seed):
+    """ONE seed's hillslope walk (terrain_tools.f90:1337-1575).
 
-    Clockwise neighbor sweep from the downstream position; hillslope ids
-    increment crossing channel confluences and at terminal links; ends with
-    cleanup_hillslopes (ids 0..K-1, unlabeled land stays 0, non-land /
-    channel cells -9999). See oracle/__init__ for the two documented
-    OOB-guard deviations.
+    Returns (labels, visited, n_ids): labels int64 grid, LOCAL ids 1.. with
+    0 = untouched (the walk never writes 0); visited = bool grid of cells
+    whose area the walk consumed (area(...)=-9999 writes); n_ids = how far
+    the global hillslope_id counter advanced. Shared verbatim between the
+    sequential oracle and the engine's per-group applyInPandas kernel.
     """
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 10 ** 6))
-    nx, ny = np.asarray(channels).shape
     ch = np.asarray(channels)
+    nx, ny = ch.shape
     m = np.asarray(mask)
-    area = area_in.astype(np.float32).copy()
-    hillslopes = np.zeros((nx, ny), dtype=np.int64)
-    hillslopes[(m <= 0) | (ch > 0)] = IUNDEF
-    state = {"hid": 1}
+    labels = np.zeros((nx, ny), dtype=np.int64)
+    visited = np.zeros((nx, ny), dtype=bool)
+    state = {"hid": 0}  # global starts at 1; local ids are offsets from start-1
 
     def flows_into(inew, jnew, i, j):
         if not _in_grid(inew, jnew, nx, ny):
@@ -660,8 +714,8 @@ def delineate_hillslopes(channels, area_in, fdir, mask):
         # terrain_tools.f90:1551-1575
         if m[i, j] == 0:
             return
-        hillslopes[i, j] = state["hid"]
-        area[i, j] = np.float32(UNDEF)
+        labels[i, j] = state["hid"] + 1  # +1: local ids 1-based at hid==0
+        visited[i, j] = True
         for (k, l) in P8_CLOCK:
             inew, jnew = i + k, j + l
             if flows_into(inew, jnew, i, j):
@@ -670,7 +724,7 @@ def delineate_hillslopes(channels, area_in, fdir, mask):
     def move_upstream(i, j, iold, jold):
         # terrain_tools.f90:1436-1549
         ipos_old = -1
-        area[iold, jold] = np.float32(UNDEF)
+        visited[iold, jold] = True
         for pos, (k, l) in enumerate(P8_CLOCK):
             if i + k == iold and j + l == jold:
                 ipos_old = pos
@@ -701,7 +755,7 @@ def delineate_hillslopes(channels, area_in, fdir, mask):
                 if flows_into(inew, jnew, i, j):
                     define_id(inew, jnew)
             state["hid"] += 1
-        area[i, j] = np.float32(UNDEF)
+        visited[i, j] = True
 
     def catchment_seed(i, j):
         # terrain_tools.f90:1337-1434. QUIRK: ipos_old is located in the
@@ -724,13 +778,38 @@ def delineate_hillslopes(channels, area_in, fdir, mask):
             else:
                 define_id(inew, jnew)
 
+    catchment_seed(*seed)
+    return labels, visited, state["hid"]
+
+
+def delineate_hillslopes(channels, area_in, fdir, mask):
+    """terrain_tools.f90:1295-1575 — sequential driver over seeds.
+
+    Seeds at the remaining max-area cell (column-major ties); each seed's
+    walk uses :func:`hillslopes_walk_single_seed`; local ids merge through
+    the running hillslope_id offset. Ends with cleanup_hillslopes (ids
+    0..K-1, unlabeled land stays 0, non-land / channel cells -9999). See
+    oracle/__init__ for the documented OOB-guard deviations.
+    """
+    ch = np.asarray(channels)
+    nx, ny = ch.shape
+    m = np.asarray(mask)
+    area = area_in.astype(np.float32).copy()
+    hillslopes = np.zeros((nx, ny), dtype=np.int64)
+    hillslopes[(m <= 0) | (ch > 0)] = IUNDEF
+    hid_offset = 0  # global hid starts at 1 == local 1 + 0
+
     while True:
         maxarea = area.max()
         if maxarea == np.float32(UNDEF):
             break
-        i, j = _argmax2d_fortran(area)
-        catchment_seed(i, j)
-        area[i, j] = np.float32(UNDEF)
+        seed = _argmax2d_fortran(area)
+        labels, visited, n_ids = hillslopes_walk_single_seed(ch, fdir, m, seed)
+        got = labels > 0
+        hillslopes[got] = labels[got] + hid_offset
+        area[visited] = np.float32(UNDEF)
+        area[seed] = np.float32(UNDEF)
+        hid_offset += n_ids
     return cleanup_hillslopes(hillslopes)
 
 
