@@ -1,0 +1,122 @@
+"""Property/invariant tests of the numpy oracle itself (SURVEY.md §5.2 #4)."""
+
+import numpy as np
+
+from geospatialtools_spark import fixtures
+from geospatialtools_spark.oracle import terrain as T
+from geospatialtools_spark.oracle import rasterize as R
+
+RES = 30.0
+
+
+def test_planchon_monotone_and_drains(grid32):
+    meta, dem, mask = grid32
+    w = T.planchon_fill(dem, RES)
+    live = dem != -9999
+    assert np.all(w[live] >= dem[live])
+    assert np.all(w[~live] == -9999)
+    # every filled interior cell has a strictly-lower (by eps) neighbor path:
+    # no cell except borders/undef-adjacent should be a pit
+    fdir = T.d8_fdir(w, RES)
+    interior = np.zeros_like(live)
+    interior[1:-1, 1:-1] = True
+    for (k, l) in T.P8:
+        interior[1:-1, 1:-1] &= live[1 + k:dem.shape[0] - 1 + k, 1 + l:dem.shape[1] - 1 + l]
+    pit = interior & live & (fdir[:, :, 0] == -9999)
+    assert pit.sum() == 0
+
+
+def test_accumulation_conservation(golden32, grid32):
+    meta, dem, mask = grid32
+    area, fdir = golden32["area"], golden32["fdir"]
+    # counts: every cell contributes exactly 1 to each cell on its downstream
+    # path including itself -> total count == sum over cells of path length;
+    # weaker invariant: every defined area >= res^2 and multiples of res^2
+    a = area[area != -9999]
+    assert np.all(a >= np.float32(RES) ** 2)
+    q = a / np.float32(RES) ** 2
+    assert np.allclose(q, np.round(q))
+
+
+def test_basins_constant_along_paths(golden32, grid32):
+    meta, dem, mask = grid32
+    basins, fdir, ch = golden32["basins"], golden32["fdir"], golden32["channels"]
+    nx, ny = basins.shape
+    for i in range(nx):
+        for j in range(ny):
+            if basins[i, j] > 0 and ch[i, j] <= 0:
+                fi, fj = fdir[i, j]
+                if 0 <= fi < nx and 0 <= fj < ny and ch[fi, fj] <= 0 and basins[fi, fj] > 0:
+                    assert basins[i, j] == basins[fi, fj]
+
+
+def test_hand_nonnegative(golden32):
+    hand = golden32["hand"]
+    h = hand[hand != -9999]
+    assert np.all(h >= 0)
+
+
+def test_hillslope_relabel_dense(golden32):
+    hs = golden32["hillslopes"]
+    ids = np.unique(hs[hs > 0])
+    assert ids.min() >= 1
+    # cleanup produced dense 0..K-1 then 0 means unlabeled; positive ids dense
+    allids = np.unique(hs[hs >= 0])
+    assert np.array_equal(allids, np.arange(allids.size))
+
+
+def test_channels_topology_acyclic(golden32):
+    topo = golden32["topology"]
+    valid = {k + 1: int(v) for k, v in enumerate(topo) if v != -9999}
+    for start in valid:
+        seen, c = set(), start
+        while c in valid and valid[c] != -1:
+            assert c not in seen
+            seen.add(c)
+            c = valid[c]
+
+
+def test_mfd_vs_d8_mass(golden32, grid32):
+    meta, dem, mask = grid32
+    mfd = golden32["mfd"]
+    assert np.isfinite(mfd).all()
+    assert np.all(mfd >= np.float32(RES) ** 2 * np.float32(0.99))
+
+
+def test_rasterize_last_wins_and_center_rule(grid32):
+    meta, dem, mask = grid32
+    polys = fixtures.make_polygons(meta)
+    burned = R.rasterize(meta, polys)
+    # overlapping pair: polygon 5 burns after 4 -> overlap belongs to 5
+    assert (burned == 15.0).sum() > 0
+    # adjacent pair shares an edge: no cell may carry both attrs; total burn
+    # of the two boxes equals sum of the half-open assignments
+    assert ((burned == 12.0) & (burned == 13.0)).sum() == 0
+
+
+def test_point_extraction_out_of_bounds(grid32):
+    meta, dem, mask = grid32
+    pts = fixtures.make_points(meta, n=200)
+    vals = R.extract_point_data(meta, dem, pts["lat"].to_numpy(), pts["lon"].to_numpy())
+    i, j = meta.point_to_ij(pts["lon"].to_numpy(), pts["lat"].to_numpy())
+    oob = (i < 0) | (i >= meta.nx) | (j < 0) | (j >= meta.ny)
+    assert np.all(vals[oob] == -9999)
+    assert oob.sum() > 0
+
+
+def test_time_average_blocks():
+    s = fixtures.make_series(720)
+    out = T.time_average(s, 30)
+    assert out.shape == (30,)
+    assert np.allclose(out[0], s[:24].sum() / 24)
+
+
+def test_gap_fill_mode(golden32, grid32):
+    meta, dem, mask = grid32
+    ch = golden32["channels"]
+    rng = np.random.RandomState(0)
+    hrus = rng.randint(1, 5, size=ch.shape).astype(np.int64)
+    hrus[mask == 0] = -9999
+    out = T.gap_fill_hrus(hrus, ch)
+    real = (ch > 0) & (ch < 999999)
+    assert np.array_equal(out[~real], hrus[~real])

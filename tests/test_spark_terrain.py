@@ -1,0 +1,162 @@
+"""Bit-for-bit golden parity: Spark terrain operators vs the numpy oracle
+(BASELINE.json north_star correctness gate)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.grid import cells_df, collect_dense
+from geospatialtools_spark.oracle import terrain as T
+from geospatialtools_spark.operators import terrain as ST
+from tests.conftest import BTH, RES, TH
+
+
+@pytest.fixture(scope="module")
+def base_cells(spark, grid32, golden32):
+    meta, dem, mask = grid32
+    cells = cells_df(
+        spark, meta,
+        dem=golden32["filled"].astype(np.float64),
+        rawdem=dem.astype(np.float64),
+        mask=mask.astype(np.int64),
+        dx=np.full(dem.shape, RES), dy=np.full(dem.shape, RES),
+    ).localCheckpoint()
+    return cells
+
+
+@pytest.fixture(scope="module")
+def fdir_df(base_cells, grid32):
+    meta, _, _ = grid32
+    return ST.d8_flow_direction(base_cells, meta, RES).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def full_df(base_cells, fdir_df, grid32, spark, golden32):
+    meta, dem, mask = grid32
+    acc = ST.flow_accumulation(fdir_df, meta, RES,
+                               mask_df=base_cells.select("i", "j", "mask"))
+    full = (fdir_df.join(base_cells.select("i", "j", "mask", "dem"), ["i", "j"])
+            .join(acc.select("i", "j", "area"), ["i", "j"])).localCheckpoint()
+    return full
+
+
+def test_planchon(spark, grid32, golden32):
+    meta, dem, mask = grid32
+    cells = cells_df(spark, meta, dem=dem.astype(np.float64))
+    filled = ST.planchon_fill(cells, meta, RES)
+    got = collect_dense(meta, filled, "demns")
+    assert np.array_equal(got, golden32["filled"])
+
+
+def test_slope_aspect(base_cells, grid32, golden32):
+    meta, _, _ = grid32
+    out = ST.slope_aspect(base_cells, meta)
+    assert np.array_equal(collect_dense(meta, out, "slope"), golden32["slope"])
+    assert np.array_equal(collect_dense(meta, out, "aspect"), golden32["aspect"])
+
+
+def test_fdir(fdir_df, grid32, golden32):
+    meta, _, _ = grid32
+    fi = collect_dense(meta, fdir_df, "fi", fill=-9999, dtype=np.int32)
+    fj = collect_dense(meta, fdir_df, "fj", fill=-9999, dtype=np.int32)
+    assert np.array_equal(fi, golden32["fdir"][:, :, 0])
+    assert np.array_equal(fj, golden32["fdir"][:, :, 1])
+
+
+def test_accumulation(full_df, grid32, golden32):
+    meta, _, _ = grid32
+    area = collect_dense(meta, full_df, "area")
+    assert np.array_equal(area, golden32["area"])
+
+
+def test_channels_and_topology(full_df, grid32, golden32):
+    meta, _, _ = grid32
+    chdf, topodf = ST.channel_segments(full_df, meta, TH, BTH)
+    ch = collect_dense(meta, chdf, "channels", fill=-9999, dtype=np.int64)
+    wob = collect_dense(meta, chdf, "channels_wob", fill=-9999, dtype=np.int64)
+    assert np.array_equal(ch, golden32["channels"])
+    assert np.array_equal(wob, golden32["channels_wob"])
+    got = {r["cid"]: r["downstream"] for r in topodf.collect()}
+    want = {k + 1: int(v) for k, v in enumerate(golden32["topology"]) if v != -9999}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def with_channels(full_df, spark, grid32, golden32):
+    meta, _, _ = grid32
+    chdf = cells_df(spark, meta, channels=golden32["channels"])
+    return full_df.join(chdf.select("i", "j", "channels"), ["i", "j"]).localCheckpoint()
+
+
+def test_basins(with_channels, grid32, golden32):
+    meta, _, _ = grid32
+    out = ST.delineate_basins(with_channels, meta)
+    got = collect_dense(meta, out, "basins", fill=-9999, dtype=np.int64)
+    assert np.array_equal(got, golden32["basins"])
+
+
+def test_hand(with_channels, grid32, golden32):
+    meta, _, _ = grid32
+    out = ST.depth2channel(with_channels, meta)
+    got = collect_dense(meta, out, "hand")
+    assert np.array_equal(got, golden32["hand"])
+
+
+def test_hillslopes(with_channels, grid32, golden32):
+    meta, _, _ = grid32
+    out = ST.delineate_hillslopes(with_channels, meta)
+    got = collect_dense(meta, out, "hillslopes", fill=-9999, dtype=np.int64)
+    assert np.array_equal(got, golden32["hillslopes"])
+
+
+def test_polygonize(spark, grid32):
+    from geospatialtools_spark import fixtures
+    from geospatialtools_spark.oracle import rasterize as R
+    meta, dem, mask = grid32
+    burned = R.rasterize(meta, fixtures.make_polygons(meta))
+    want = T.polygonize(burned)
+    cells = cells_df(spark, meta, value=burned.astype(np.float64))
+    got_df = ST.polygonize(cells, meta, "value")
+    got = collect_dense(meta, got_df, "polygon", fill=-9999, dtype=np.float64)
+    assert np.array_equal(got, want)
+
+
+def test_gap_fill(spark, grid32, golden32):
+    meta, dem, mask = grid32
+    ch = golden32["channels"]
+    rng = np.random.RandomState(0)
+    hrus = rng.randint(1, 5, size=ch.shape).astype(np.int64)
+    hrus[mask == 0] = -9999
+    want = T.gap_fill_hrus(hrus, ch)
+    cells = cells_df(spark, meta, hru=hrus, channels=ch)
+    out = ST.gap_fill_hrus(cells, meta)
+    got = collect_dense(meta, out, "hru_filled", fill=-9999, dtype=np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_prescribed_fdir_accumulation(spark, grid32, golden32):
+    """G4: accumulation with an ArcGIS-prescribed fdir (F6 pathway).
+
+    Codes derive from the golden D8 fdir (guaranteed acyclic) so the
+    ArcGIS-code round-trip (terrain_tools.py:1666-1697) and the prescribed
+    accumulation (terrain_tools.f90:253-301) are both exercised exactly.
+    """
+    meta, dem, mask = grid32
+    g = golden32["fdir"]
+    code_of = {(0, 1): 1, (1, 1): 2, (1, 0): 4, (1, -1): 8,
+               (0, -1): 16, (-1, -1): 32, (-1, 0): 64, (-1, 1): 128}
+    codes = np.zeros(dem.shape, dtype=np.int32)
+    for i in range(meta.nx):
+        for j in range(meta.ny):
+            fi, fj = int(g[i, j, 0]), int(g[i, j, 1])
+            if fi != -9999:
+                codes[i, j] = code_of.get((fi - i, fj - j), 0)
+    fdir = T.transform_arcgis_fdir(codes)
+    want = T.d8_acc_pfdir(golden32["filled"], mask, RES, fdir)
+    cells = cells_df(spark, meta,
+                     fi=fdir[:, :, 0].astype(np.int64), fj=fdir[:, :, 1].astype(np.int64))
+    acc = ST.flow_accumulation(cells, meta, RES,
+                               mask_df=cells_df(spark, meta, mask=mask.astype(np.int64))
+                               .select("i", "j", "mask"))
+    got = collect_dense(meta, acc, "area")
+    assert np.array_equal(got, want)
