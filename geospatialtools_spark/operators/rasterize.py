@@ -1,0 +1,160 @@
+"""Flagship spatial join: polygon rasterization / PIP burn (SURVEY.md §7.1).
+
+Replaces ``gdal_tools.shapefile2raster`` (gdal_tools.py:170-192, two GDAL
+subprocesses) with one distributed job:
+
+    polygons --bbox--> covering (tile_i, tile_j) keys --explode+join-->
+    per-tile cogroup with the cell table --> vectorized even-odd PIP on cell
+    CENTERS (gdal_rasterize rule) --> last-feature-wins burn
+
+The polygon side replicates one row per covered tile (bounded, since bboxes
+are clipped to the grid); the cell side never moves — it is already
+partitioned by tile. Exactness is gated on the numpy rasterize oracle
+(oracle/rasterize.py) bit-for-bit.
+
+Skew note (north_rule): a continent-sized polygon covering many tiles
+replicates once per tile — that IS the salting (work proportional to covered
+area, spread across partitions); tiny hot tiles with many polygons are split
+further by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geometry import points_in_rings, rings_bbox, wkb_to_rings
+from ..grid import UNDEF, GridMeta
+
+F32_UNDEF = float(np.float32(UNDEF))
+
+
+def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
+    """(polygon_id, attr, wkb) -> one row per covered tile."""
+    t = meta.tile
+
+    def bbox_udf(it):
+        for pdf in it:
+            boxes = np.array([rings_bbox(wkb_to_rings(w)) for w in pdf["wkb"]])
+            out = pdf[["polygon_id", "attr", "wkb"]].copy()
+            if len(pdf):
+                out["x0"], out["y0"], out["x1"], out["y1"] = (
+                    boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+            else:
+                out["x0"] = out["y0"] = out["x1"] = out["y1"] = []
+            yield out
+
+    with_box = polygons.mapInPandas(
+        bbox_udf,
+        schema="polygon_id long, attr double, wkb binary, "
+               "x0 double, y0 double, x1 double, y1 double",
+    )
+    # bbox -> covered tile index ranges (cell centers only: a polygon can only
+    # burn a cell whose center lies within its bbox)
+    ti0 = F.greatest(F.lit(0), F.floor(((F.col("y0") - meta.miny) / meta.resy - 0.5) / t)).cast("int")
+    ti1 = F.least(F.lit((meta.nx - 1) // t),
+                  F.floor(((F.col("y1") - meta.miny) / meta.resy - 0.5 + 1) / t)).cast("int")
+    tj0 = F.greatest(F.lit(0), F.floor(((F.col("x0") - meta.minx) / meta.resx - 0.5) / t)).cast("int")
+    tj1 = F.least(F.lit((meta.ny - 1) // t),
+                  F.floor(((F.col("x1") - meta.minx) / meta.resx - 0.5 + 1) / t)).cast("int")
+    return (
+        with_box
+        .withColumn("tile_i", F.explode(F.sequence(ti0, ti1)))
+        .withColumn("tile_j", F.explode(F.sequence(tj0, tj1)))
+        .filter((F.col("tile_i") >= 0) & (F.col("tile_j") >= 0))
+        .select("tile_i", "tile_j", "polygon_id", "attr", "wkb")
+    )
+
+
+def rasterize(cells: DataFrame, polygons: DataFrame, meta: GridMeta,
+              attr_name: str = "attr") -> DataFrame:
+    """Burn polygon attrs onto the cell table (cell-center rule, last wins).
+
+    Returns (tile_i, tile_j, i, j, attr) for every cell; uncovered cells get
+    -9999 (``gdal_rasterize -init -9999``, gdal_tools.py:189).
+    """
+    ptiles = polygons_to_tiles(polygons, meta)
+    schema = f"tile_i int, tile_j int, i int, j int, {attr_name} double"
+
+    def kern(key, cell_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        ii = cell_pdf["i"].to_numpy(np.int64)
+        jj = cell_pdf["j"].to_numpy(np.int64)
+        cx = meta.minx + (jj + 0.5) * meta.resx
+        cy = meta.miny + (ii + 0.5) * meta.resy
+        burned = np.full(len(ii), UNDEF, dtype=np.float64)
+        if len(poly_pdf):
+            poly_pdf = poly_pdf.sort_values("polygon_id")  # burn order: last wins
+            for _, row in poly_pdf.iterrows():
+                rings = wkb_to_rings(row["wkb"])
+                x0, y0, x1, y1 = rings_bbox(rings)
+                cand = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
+                if not cand.any():
+                    continue
+                inside = points_in_rings(cx[cand], cy[cand], rings)
+                sel = np.where(cand)[0][inside]
+                burned[sel] = np.float32(row["attr"])
+        return pd.DataFrame({
+            "tile_i": np.full(len(ii), ti, np.int32),
+            "tile_j": np.full(len(ii), tj, np.int32),
+            "i": ii.astype(np.int32), "j": jj.astype(np.int32),
+            attr_name: burned,
+        })
+
+    return (
+        cells.select("tile_i", "tile_j", "i", "j").groupBy("tile_i", "tile_j")
+        .cogroup(ptiles.groupBy("tile_i", "tile_j"))
+        .applyInPandas(kern, schema=schema)
+    )
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, meta: GridMeta,
+             lat_col="lat", lon_col="lon", how: str = "left") -> DataFrame:
+    """J2 at point granularity: attach the winning polygon to each point.
+
+    Points are bucketed by the same (tile_i, tile_j) grid keys and cogrouped
+    with the tile-covered polygon table; exact even-odd PIP on the point
+    coordinates; last polygon (max polygon_id) wins, like the raster burn.
+    """
+    t = meta.tile
+    pts = points.withColumn(
+        "tile_i", F.floor((F.col(lat_col) - meta.miny) / meta.resy / t).cast("int")
+    ).withColumn(
+        "tile_j", F.floor((F.col(lon_col) - meta.minx) / meta.resx / t).cast("int")
+    )
+    ptiles = polygons_to_tiles(polygons, meta)
+    in_cols = [f for f in points.columns]
+    schema = ", ".join(f"{f} {points.schema[f].dataType.simpleString()}" for f in in_cols)
+    schema += ", polygon_id long, attr double"
+
+    def kern(key, pts_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        px = pts_pdf[lon_col].to_numpy(np.float64)
+        py = pts_pdf[lat_col].to_numpy(np.float64)
+        pid = np.full(len(px), -1, dtype=np.int64)
+        attr = np.full(len(px), np.nan)
+        if len(poly_pdf):
+            for _, row in poly_pdf.sort_values("polygon_id").iterrows():
+                rings = wkb_to_rings(row["wkb"])
+                x0, y0, x1, y1 = rings_bbox(rings)
+                cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                if not cand.any():
+                    continue
+                inside = points_in_rings(px[cand], py[cand], rings)
+                sel = np.where(cand)[0][inside]
+                pid[sel] = row["polygon_id"]
+                attr[sel] = row["attr"]
+        out = pts_pdf[in_cols].copy()
+        out["polygon_id"] = pid
+        out["attr"] = attr
+        return out
+
+    joined = (pts.groupBy("tile_i", "tile_j")
+              .cogroup(ptiles.groupBy("tile_i", "tile_j"))
+              .applyInPandas(kern, schema=schema))
+    out = joined.withColumn("polygon_id",
+                            F.when(F.col("polygon_id") < 0, F.lit(None)).otherwise(F.col("polygon_id")))
+    if how == "inner":
+        out = out.filter(F.col("polygon_id").isNotNull())
+    return out
