@@ -1,38 +1,1015 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` runs an engine operator from SURVEY.md §2 (operator
+id cited in each docstring) on the driver's parquet tables; the matching
+``oracle_sql()[name]`` is the ANSI-SQL twin DuckDB runs on the same tables.
+
+Cross-engine determinism rules (see geospatialtools_spark/functions/synth.py):
+- derived coordinates / grids / buckets use integer modular arithmetic only;
+- text hashes are md5 hex strings (identical in Spark and DuckDB);
+- monetary/metric sums go through exact integer cents/micros, not float sums;
+- residual float outputs (trig, corr, cosine) are rounded so sub-ulp libm
+  differences cannot flip the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.functions import dedup as DD
+from geospatialtools_spark.functions import metrics as MET
+from geospatialtools_spark.functions import pedotransfer as PT
+from geospatialtools_spark.functions import similarity as SIM
+from geospatialtools_spark.functions import synth as SY
+from geospatialtools_spark.functions import textstats as TS
+from geospatialtools_spark.functions import upscaling as UP
+from geospatialtools_spark.grid import GridMeta
+
+META_UNIT = GridMeta(nx=SY.G, ny=SY.G, minx=0.0, miny=0.0,
+                     resx=1.0 / SY.G, resy=1.0 / SY.G, tile=SY.G // 2)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_xy(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn("lat", SY.doc_lat(F.col("doc_id"))) \
+            .withColumn("lon", SY.doc_lon(F.col("doc_id")))
+
+
+def _cents(c) -> F.Column:
+    return F.round(c * 100).cast("long")
+
+
+def _micros(c) -> F.Column:
+    return F.round(c * 1000000).cast("long")
+
+
+def _epoch() -> F.Column:
+    """events.ts is TIMESTAMP_NTZ; interpret as UTC wall time (DuckDB's
+    epoch() on a naive timestamp does the same)."""
+    return F.col("ts").cast("timestamp").cast("long")
+
+
+# ---------------------------------------------------------------- relational
+
+def q_groupby_agg(spark, sf_dir):
+    """A1 zone-property aggregation (terrain_tools.py:340-392) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+             F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+             (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / F.count("*")).alias("avg_price"))
+    )
+
+
+def q_join_broadcast(spark, sf_dir):
+    """J3 broadcast property join (terrain_tools.f90:1577-1602)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_sup"),
+             F.sum(_cents(F.col("s_acctbal"))).alias("bal_cents"))
+    )
+
+
+def q_topk_smallest(spark, sf_dir):
+    """W4 top-k smallest (terrain_tools.py:305)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "o_orderkey", "o_totalprice"))
+
+
+def q_dense_relabel(spark, sf_dir):
+    """A5 dense-rank relabel (terrain_tools.f90:1604-1650)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.select("c_mktsegment").distinct()
+            .withColumn("new_id",
+                        F.dense_rank().over(Window.orderBy("c_mktsegment")).cast("long")))
+
+
+def q_normalize_minmax(spark, sf_dir):
+    """P3 normalize_variable (terrain_tools.py:54-65)."""
+    e = _t(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return (e.crossJoin(F.broadcast(mm))
+            .select("event_id",
+                    ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("norm_value")))
+
+
+def q_percent_rank(spark, sf_dir):
+    """W1 percentile transform (terrain_tools.py:816-820)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select("o_orderkey", "o_orderpriority",
+                    F.round(F.percent_rank().over(w), 9).alias("pr"))
+
+
+def q_ecdf_hist(spark, sf_dir):
+    """W2 ECDF from histogram (terrain_tools.py:1225-1227)."""
+    e = _t(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"),
+               F.count("*").alias("total"))
+    b = F.least(F.floor((F.col("value") - F.col("mn")) /
+                        ((F.col("mx") - F.col("mn")) / 10)), F.lit(9)).cast("long")
+    binned = e.crossJoin(F.broadcast(mm)).select(b.alias("bucket"), "total")
+    counts = binned.groupBy("bucket", "total").agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (counts.withColumn("cum", F.sum("n").over(w))
+            .select("bucket", "n", "cum",
+                    (F.col("cum") / F.col("total")).alias("ecdf")))
+
+
+def q_nd_histogram(spark, sf_dir):
+    """A7 N-D histogram -> HRU classes (terrain_tools.py:789-859)."""
+    e = _t(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    vb = F.least(F.floor((F.col("value") - F.col("mn")) /
+                         ((F.col("mx") - F.col("mn")) / 8)), F.lit(7)).cast("long")
+    hb = F.floor(_epoch() / 3600 % 24).cast("long")
+    g = (e.crossJoin(F.broadcast(mm))
+         .groupBy(F.col("event_type"), vb.alias("vbucket"), hb.alias("hbucket"))
+         .agg(F.count("*").alias("n")))
+    w = Window.orderBy("event_type", "vbucket", "hbucket")
+    return g.withColumn("class_id", F.dense_rank().over(w).cast("long"))
+
+
+def q_time_block_avg(spark, sf_dir):
+    """A12 time_average (src/upscaling_tools.f90:1-13) via functions.upscaling."""
+    e = _t(spark, sf_dir, "events")
+    series = e.select(F.col("event_id").alias("t"),
+                      _micros(F.col("value")).alias("value"))
+    out = UP.time_average(series, nt_in=9600, nt_out=96)
+    return out.select("block", (F.col("avg_value") / 1000000.0).alias("avg_value"))
+
+
+def q_fit_metrics(spark, sf_dir):
+    """Metrics family KGE2012/NSE/RMSE/MAE/R2 (libraries/metrics.py:5-101)."""
+    e = _t(spark, sf_dir, "events")
+    model = (F.col("value") * (1 + ((F.col("event_id") % 7) - 3) / 30.0)
+             + ((F.col("event_id") % 13) - 6) / 8.0)
+    d = e.select("event_type", F.col("value").alias("obs"), model.alias("model"))
+    o, m = F.col("obs"), F.col("model")
+    kk = MET.kge2012(o, m)
+    return d.groupBy("event_type").agg(
+        F.round(kk["kge"], 5).alias("kge"),
+        F.round(kk["rho"], 5).alias("rho"),
+        F.round(kk["beta"], 5).alias("beta"),
+        F.round(kk["alpha"], 5).alias("alpha"),
+        F.round(MET.nse(o, m), 5).alias("nse"),
+        F.round(MET.rmse(o, m), 5).alias("rmse"),
+        F.round(MET.mae(o, m), 5).alias("mae"),
+        F.round(MET.r2(o, m), 5).alias("r2"),
+    )
+
+
+def q_pedotransfer_saxton(spark, sf_dir):
+    """Saxton-2006 pedotransfer family (pedotransfer.py:26-86)."""
+    p = _t(spark, sf_dir, "part")
+    S = ((F.col("p_partkey") % 40) + 10) / 100.0
+    C = ((F.col("p_partkey") % 35) + 15) / 100.0
+    OM = F.lit(2.5)
+    return p.select(
+        "p_partkey",
+        F.round(PT.theta_1500(S, C, OM), 6).alias("theta1500"),
+        F.round(PT.theta_33(S, C, OM), 6).alias("theta33"),
+        F.round(PT.theta_s(S, C, OM), 6).alias("thetas"),
+        F.round(PT.ksat_saxton2006(S, C, OM), 6).alias("ksat"),
+        F.round(PT.psisat_saxton2006(S, C, OM), 6).alias("psisat"),
+    )
+
+
+def q_fao_texture(spark, sf_dir):
+    """FAO nearest-centroid texture class (pedotransfer.py:88-114)."""
+    p = _t(spark, sf_dir, "part")
+    sand = ((F.col("p_partkey") % 70) + 10).cast("double")
+    clay = ((F.col("p_partkey") % 50) + 5).cast("double")
+    silt = 100.0 - sand - clay
+    return p.select("p_partkey", PT.fao_soil_texture(sand, clay, silt).alias("tclass"))
+
+
+def q_mode_relabel(spark, sf_dir):
+    """J5 gap_fill mode-of-neighbors analog (terrain_tools.f90:825-876)."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.col("event_type"))
+    return (g.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).select("user_id", "event_type", "n"))
+
+
+def q_haversine_dist(spark, sf_dir):
+    """A11 haversine distance (terrain_tools.py:14-23)."""
+    from geospatialtools_spark.operators.points import haversine_expr
+    d = _docs_xy(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(haversine_expr(F.lit(0.5), F.col("lat"), F.lit(0.5), F.col("lon")), 6)
+         .alias("dist_m"))
+
+
+def q_minmax_argmax(spark, sf_dir):
+    """W3 per-zone max + deterministic maxloc (terrain_tools.f90:808-815)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (e.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("value").alias("max_value"),
+                    F.col("event_id").alias("argmax_event_id")))
+
+
+def q_window_cumsum(spark, sf_dir):
+    """W6 cumulative sum along ordered sequence (terrain_tools.py:1553)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select("user_id", "event_id",
+                    F.sum(_micros(F.col("value"))).over(w).alias("cum_micros"))
+
+
+def q_ntile_bins(spark, sf_dir):
+    """O2 equal-frequency binning (terrain_tools.py:442-444)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (o.withColumn("bin", F.ntile(8).over(w).cast("long"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents")))
+
+
+def q_width_bins(spark, sf_dir):
+    """O3 equal-width binning (terrain_tools.py:999-1012)."""
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    b = F.least(F.floor((F.col("o_totalprice") - F.col("mn")) /
+                        ((F.col("mx") - F.col("mn")) / 8)), F.lit(7)).cast("long")
+    return (o.crossJoin(F.broadcast(mm)).groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("n")))
+
+
+def q_distinct_count(spark, sf_dir):
+    """A10 distinct / unique counting (terrain_tools.py:223,259)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"))
+
+
+def q_anti_join(spark, sf_dir):
+    """§2.7 anti-join mask (np.delete analog, terrain_tools.py:324-326)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_join(spark, sf_dir):
+    """§2.7 semi-join mask application (P1 at relation granularity)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey")
+
+
+# ------------------------------------------------------- docs / training ops
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-groupBy, map-side partial agg (scale: no pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    g = (d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups")))
+    return g.filter(F.col("n_dups") >= 1)  # full partition map (dups may be absent)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (shingle->sig->band->bucket join)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs >= 0.3 via inverted-index join."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit) per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash(F.col("text")).alias("simhash16"))
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting + character-class ratios (training-data QC)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.token_count(t).alias("n_tokens"),
+        TS.bpe_token_count(t).alias("n_bpe"),
+        F.round(TS.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TS.digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(TS.upper_ratio(t), 6).alias("upper_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-hit language ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite document quality score."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized-text fingerprint (md5 of canonical form)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+def _queries_emb(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")))
+    return emb, q
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k ANN baseline."""
+    emb, q = _queries_emb(spark, sf_dir)
+    return SIM.cosine_topk(emb, q, k=5)
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine >= 0.99).
+
+    The driver embeddings have no natural near-dups (max pairwise cosine
+    ~0.51), so clones of vec_id < 50 are unioned in at id+10000 — the
+    operator must find exactly those pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = (emb.filter(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"))
+    return DD.embedding_dup_pairs(emb.unionByName(clones), threshold=0.99)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (sign-quantized projections)."""
+    emb, q = _queries_emb(spark, sf_dir)
+    return SIM.bucketed_topk(emb, q, dim=64, k=5, n_planes=8)
+
+
+# ----------------------------------------------------------------- spatial
+
+def q_point_extract(spark, sf_dir):
+    """S4/J1 point sampling as equi-join (gdal_tools.py:9-34)."""
+    from geospatialtools_spark.operators.points import extract_point_data
+    pts = _docs_xy(spark, sf_dir).select("doc_id", "lat", "lon")
+    cells = SY.grid_df(spark).withColumn("tile_i", (F.col("i") / META_UNIT.tile).cast("int")) \
+                             .withColumn("tile_j", (F.col("j") / META_UNIT.tile).cast("int"))
+    out = extract_point_data(pts, cells, META_UNIT, "value")
+    return out.select("doc_id", F.round(F.col("value"), 6).alias("value"))
+
+
+def q_rasterize_rects(spark, sf_dir):
+    """S11/J2 flagship rasterize: PIP burn, cell-center rule, last wins
+    (gdal_tools.py:170-192). Engine path: tile cogroup + vectorized PIP."""
+    from geospatialtools_spark.operators.rasterize import rasterize
+    cells = SY.grid_df(spark).withColumn("tile_i", (F.col("i") / META_UNIT.tile).cast("int")) \
+                             .withColumn("tile_j", (F.col("j") / META_UNIT.tile).cast("int"))
+    polys = spark.createDataFrame(SY.rects_polygon_pdf())
+    out = rasterize(cells, polys, META_UNIT)
+    return out.select(F.col("i").cast("long"), F.col("j").cast("long"),
+                      F.col("attr").alias("attr"))
+
+
+def q_doc_tile_attach(spark, sf_dir):
+    """FLAGSHIP north_rule join: interleaved docs -> grid cell -> burned tile
+    id; spans never touched (span invariant tested in q_span_invariant)."""
+    from geospatialtools_spark.operators.docs import attach_grid_cell, attach_tile
+    from geospatialtools_spark.operators.rasterize import rasterize
+    docs = _docs_xy(spark, sf_dir)
+    cells = SY.grid_df(spark).withColumn("tile_i", (F.col("i") / META_UNIT.tile).cast("int")) \
+                             .withColumn("tile_j", (F.col("j") / META_UNIT.tile).cast("int"))
+    polys = spark.createDataFrame(SY.rects_polygon_pdf())
+    burned = rasterize(cells, polys, META_UNIT)
+    with_ij = attach_grid_cell(docs, META_UNIT, res=14)
+    out = attach_tile(with_ij, burned)
+    return out.select("doc_id", "i", "j", F.col("tile_id").alias("tile_id"))
+
+
+def q_knn_docs(spark, sf_dir):
+    """J8 kNN via expanding cell-ring search + exact haversine re-rank."""
+    from geospatialtools_spark.operators.points import knn_join
+    targets = _docs_xy(spark, sf_dir).select(F.col("doc_id").alias("target_id"), "lat", "lon")
+    queries = SY.query_points_df(spark)
+    out = knn_join(queries, targets, k=5, res=12)
+    return out.select("qid", "tid", "rank", F.round(F.col("dist"), 6).alias("dist"))
+
+
+def q_events_hourly(spark, sf_dir):
+    """§2.11 tumbling-window agg, batch twin of the streaming path."""
+    e = _t(spark, sf_dir, "events")
+    hb = F.floor(_epoch() / 3600).cast("long")
+    return (e.groupBy(hb.alias("hour_block"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(_micros(F.col("value"))).alias("sum_micros")))
+
+
+# --------------------------------------------- rows-only (non-SQL operators)
+
+def q_span_invariant(spark, sf_dir):
+    """North_rule invariant: span sequence (kind,text,media_ref,order) hashed
+    before and after the tile-attach pipeline — fp_before == fp_after row-wise."""
+    from geospatialtools_spark.operators.docs import (attach_grid_cell, attach_tile,
+                                                      span_fingerprint)
+    from geospatialtools_spark.operators.rasterize import rasterize
+    docs = SY.with_spans(_docs_xy(spark, sf_dir))
+    before = span_fingerprint(docs, "fp_before")
+    cells = SY.grid_df(spark).withColumn("tile_i", (F.col("i") / META_UNIT.tile).cast("int")) \
+                             .withColumn("tile_j", (F.col("j") / META_UNIT.tile).cast("int"))
+    polys = spark.createDataFrame(SY.rects_polygon_pdf())
+    burned = rasterize(cells, polys, META_UNIT)
+    staged = attach_tile(attach_grid_cell(before, META_UNIT, res=14), burned)
+    after = span_fingerprint(staged, "fp_after")
+    return after.select(
+        "doc_id", "tile_id", "fp_after",
+        (F.col("fp_before") == F.col("fp_after")).alias("invariant_ok"))
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal plumbing: spans -> media table -> payload fetch -> stubbed
+    decode + feature extraction (mapInPandas, Arrow batches)."""
+    from geospatialtools_spark.operators.media import (decode_and_featurize,
+                                                       fetch_payloads, media_table)
+    docs = SY.with_spans(_docs_xy(spark, sf_dir)) \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    media = media_table(docs)
+    return decode_and_featurize(fetch_payloads(media)) \
+        .select("doc_id", "span_idx", "kind", "media_ref", "width", "height")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal 1->N frame sampling shape (mapInPandas expansion)."""
+    from geospatialtools_spark.operators.media import fetch_payloads, frame_sample, media_table
+    docs = SY.with_spans(_docs_xy(spark, sf_dir)) \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    return frame_sample(fetch_payloads(media_table(docs)))
+
+
+def q_terrain_pipeline(spark, sf_dir):
+    """G1+G3+G6+G9+G11 terrain chain on the deterministic fixture DEM
+    (pit fill -> D8 -> accumulation -> channels -> basins -> HAND), reduced
+    to per-basin aggregates. Golden bit-for-bit parity is in tests/."""
+    import numpy as np
+
+    from geospatialtools_spark.fixtures import make_dem
+    from geospatialtools_spark.grid import cells_df
+    from geospatialtools_spark.operators.terrain import (channel_segments,
+                                                         delineate_basins,
+                                                         depth2channel,
+                                                         flow_accumulation,
+                                                         planchon_fill)
+    from geospatialtools_spark.operators.terrain import d8_flow_direction
+    meta, dem, mask = make_dem(nx=64, ny=64, tile=32)
+    res = 30.0
+    th, bth = res * res * 20, res * res * 5
+    cells = cells_df(spark, meta, dem=dem.astype(np.float64),
+                     mask=mask.astype(np.int64)).localCheckpoint(eager=True)
+    filled = planchon_fill(cells, meta, res)
+    base = (filled.withColumnRenamed("demns", "dem")
+            .join(cells.select("i", "j", "mask"), ["i", "j"]).localCheckpoint(eager=True))
+    fdir = d8_flow_direction(base, meta, res).localCheckpoint(eager=True)
+    acc = flow_accumulation(fdir, meta, res, mask_df=base.select("i", "j", "mask"))
+    full = (fdir.join(base.select("i", "j", "mask", "dem"), ["i", "j"])
+            .join(acc.select("i", "j", "area"), ["i", "j"]).localCheckpoint(eager=True))
+    chdf, _topo = channel_segments(full, meta, th, bth)
+    with_ch = full.join(chdf.select("i", "j", "channels"), ["i", "j"]).localCheckpoint(eager=True)
+    basins = delineate_basins(with_ch, meta)
+    hand = depth2channel(with_ch, meta)
+    return (basins.join(hand.select("i", "j", "hand"), ["i", "j"])
+            .filter(F.col("basins") > 0)
+            .groupBy(F.col("basins").alias("basin"))
+            .agg(F.count("*").alias("n_cells"),
+                 F.round(F.avg(F.when(F.col("hand") > -9999, F.col("hand"))), 4)
+                  .alias("mean_hand")))
+
+
+def q_doc_cell_ids(spark, sf_dir):
+    """Quad-cell (H3/S2-style) encode of doc locations (pandas UDF, Morton)."""
+    from geospatialtools_spark.operators.points import with_cell
+    d = _docs_xy(spark, sf_dir)
+    return with_cell(d, res=14, out_col="cell_id").select("doc_id", "cell_id")
+
+
+# ------------------------------------------------------------------- oracle
+
+_NORM = (r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), "
+         r"'\s+', ' ', 'g'))")
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+_GRAMS = (f"list_distinct([array_to_string(toks[i:i+2], ' ') "
+          f"FOR i IN generate_series(1, greatest(len(toks)-2, 1))])")
+
+_DOCS_XY = (f"SELECT doc_id, text, {SY.SQL_DOC_LAT} AS lat, {SY.SQL_DOC_LON} AS lon "
+            f"FROM documents")
+
+_SQL_RECT_WINNER = f"""
+burned AS (
+  SELECT g.i, g.j,
+         coalesce(arg_max(r.attr, r.rect_id), -9999.0) AS attr
+  FROM ({SY.sql_grid()}) g
+  LEFT JOIN ({SY.sql_rects()}) r
+    ON (g.j + 0.5) / {SY.G} > r.x0 AND (g.j + 0.5) / {SY.G} < r.x1
+   AND (g.i + 0.5) / {SY.G} > r.y0 AND (g.i + 0.5) / {SY.G} < r.y1
+  GROUP BY g.i, g.j
+)"""
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = TS.STOPWORDS[lang]
+    parts = [
+        (f"(length(lower(text)) - length(regexp_replace(lower(text), "
+         f"'\\b{w}\\b', '', 'g'))) / {len(w)}")
+        for w in words
+    ]
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def _sql_minhash() -> str:
+    """doc -> 16-element minhash signature list (md5-string minima)."""
+    sigs = ", ".join(
+        f"list_aggregate([md5('{h}|' || g) FOR g IN grams], 'min')"
+        for h in range(DD.N_MINHASH))
+    return f"[{sigs}]"
+
+
+def _sql_plane_literal(p: int) -> str:
+    comps = SIM._plane(64, p)
+    return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {_sql_plane_literal(p)}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _sql_pedo() -> str:
+    """CTE computing the Saxton-2006 chain with the same expression shapes
+    as functions/pedotransfer.py."""
+    return """
+base AS (
+  SELECT p_partkey,
+         ((p_partkey % 40) + 10) / 100.0 AS S,
+         ((p_partkey % 35) + 15) / 100.0 AS C,
+         2.5 AS OM
+  FROM part
+),
+t1 AS (
+  SELECT *,
+    -0.024*S + 0.487*C + 0.006*OM + 0.005*S*OM - 0.013*C*OM + 0.068*S*C + 0.031 AS th1500t,
+    -0.251*S + 0.195*C + 0.011*OM + 0.006*S*OM - 0.027*C*OM + 0.452*S*C + 0.299 AS th33t,
+    0.278*S + 0.034*C + 0.022*OM - 0.018*S*OM - 0.027*C*OM - 0.584*S*C + 0.078 AS ths33t
+  FROM base
+),
+t2 AS (
+  SELECT *,
+    th1500t + (0.14*th1500t - 0.02) AS th1500,
+    th33t + 1.283*th33t*th33t - 0.374*th33t - 0.015 AS th33,
+    ths33t + 0.636*ths33t - 0.107 AS ths33
+  FROM t1
+),
+t3 AS (
+  SELECT *,
+    th33 + ths33 - 0.097*S + 0.043 AS thS,
+    (ln(th33) - ln(th1500)) / (ln(1500.0) - ln(33.0)) AS lam
+  FROM t2
+)"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "groupby_agg": q_groupby_agg,
+        "join_broadcast": q_join_broadcast,
+        "topk_smallest": q_topk_smallest,
+        "dense_relabel": q_dense_relabel,
+        "normalize_minmax": q_normalize_minmax,
+        "percent_rank": q_percent_rank,
+        "ecdf_hist": q_ecdf_hist,
+        "nd_histogram": q_nd_histogram,
+        "time_block_avg": q_time_block_avg,
+        "fit_metrics": q_fit_metrics,
+        "pedotransfer_saxton": q_pedotransfer_saxton,
+        "fao_texture": q_fao_texture,
+        "mode_relabel": q_mode_relabel,
+        "haversine_dist": q_haversine_dist,
+        "minmax_argmax": q_minmax_argmax,
+        "window_cumsum": q_window_cumsum,
+        "ntile_bins": q_ntile_bins,
+        "width_bins": q_width_bins,
+        "distinct_count": q_distinct_count,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dups": q_embedding_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "point_extract": q_point_extract,
+        "rasterize_rects": q_rasterize_rects,
+        "doc_tile_attach": q_doc_tile_attach,
+        "knn_docs": q_knn_docs,
+        "events_hourly": q_events_hourly,
+        "span_invariant": q_span_invariant,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+        "terrain_pipeline": q_terrain_pipeline,
+        "doc_cell_ids": q_doc_cell_ids,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hav = SY.SQL_HAVERSINE
+    return {
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*) AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "join_broadcast": """
+            SELECT r_name, n_name, count(*) AS n_sup,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name""",
+        "topk_smallest": """
+            SELECT CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS rank,
+                   o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY rank <= 10""",
+        "dense_relabel": """
+            SELECT c_mktsegment,
+                   CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) AS new_id
+            FROM (SELECT DISTINCT c_mktsegment FROM customer)""",
+        "normalize_minmax": """
+            SELECT event_id, (value - mn) / (mx - mn) AS norm_value
+            FROM events, (SELECT min(value) mn, max(value) mx FROM events)""",
+        "percent_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY o_totalprice), 9) AS pr
+            FROM orders""",
+        "ecdf_hist": """
+            WITH mm AS (SELECT min(value) mn, max(value) mx, count(*) total FROM events),
+            binned AS (
+              SELECT least(CAST(floor((value - mn) / ((mx - mn) / 10)) AS BIGINT), 9) AS bucket,
+                     total
+              FROM events, mm),
+            counts AS (SELECT bucket, total, count(*) AS n FROM binned GROUP BY bucket, total)
+            SELECT bucket, n,
+                   CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / (total * 1.0) AS ecdf
+            FROM counts""",
+        "nd_histogram": """
+            WITH mm AS (SELECT min(value) mn, max(value) mx FROM events),
+            g AS (
+              SELECT event_type,
+                     least(CAST(floor((value - mn) / ((mx - mn) / 8)) AS BIGINT), 7) AS vbucket,
+                     CAST(floor(epoch(ts) / 3600 % 24) AS BIGINT) AS hbucket,
+                     count(*) AS n
+              FROM events, mm
+              GROUP BY 1, 2, 3)
+            SELECT event_type, vbucket, hbucket, n,
+                   CAST(dense_rank() OVER (ORDER BY event_type, vbucket, hbucket) AS BIGINT)
+                     AS class_id
+            FROM g""",
+        "time_block_avg": """
+            SELECT CAST(event_id // 100 AS BIGINT) AS block,
+                   avg(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS avg_value
+            FROM events WHERE event_id < 9600
+            GROUP BY 1""",
+        "fit_metrics": """
+            WITH d AS (
+              SELECT event_type, value AS obs,
+                     value * (1 + ((event_id % 7) - 3) / 30.0)
+                       + ((event_id % 13) - 6) / 8.0 AS model
+              FROM events),
+            a AS (
+              SELECT event_type,
+                     corr(model, obs) AS rho,
+                     avg(model) / avg(obs) AS beta,
+                     avg(obs) AS mo, count(*) AS n,
+                     stddev_pop(model) / stddev_pop(obs) AS sr,
+                     sum((obs - model) * (obs - model)) AS sse,
+                     count(*) * var_pop(obs) AS ss,
+                     sqrt(avg((model - obs) * (model - obs))) AS rmse_v,
+                     avg(abs(model - obs)) AS mae_v
+              FROM d GROUP BY event_type)
+            SELECT event_type,
+                   round(1 - sqrt((rho - 1)*(rho - 1) + (beta - 1)*(beta - 1)
+                         + (sr / beta - 1)*(sr / beta - 1)), 5) AS kge,
+                   round(rho, 5) AS rho,
+                   round(beta, 5) AS beta,
+                   round(sr / beta, 5) AS alpha,
+                   round(1 - sse / ss, 5) AS nse,
+                   round(rmse_v, 5) AS rmse,
+                   round(mae_v, 5) AS mae,
+                   round(rho * rho, 5) AS r2
+            FROM a""",
+        "pedotransfer_saxton": "WITH " + _sql_pedo() + """
+            SELECT p_partkey,
+                   round(th1500, 6) AS theta1500,
+                   round(th33, 6) AS theta33,
+                   round(thS, 6) AS thetas,
+                   round(1930 * pow(thS - th33, 3 - lam), 6) AS ksat,
+                   round(33 * pow(th33 / thS, 1 / lam), 6) AS psisat
+            FROM t3""",
+        "fao_texture": """
+            WITH b AS (
+              SELECT p_partkey,
+                     CAST((p_partkey % 70) + 10 AS DOUBLE) AS sand,
+                     CAST((p_partkey % 50) + 5 AS DOUBLE) AS clay
+              FROM part),
+            d AS (
+              SELECT p_partkey, sand, clay, 100.0 - sand - clay AS silt FROM b),
+            e AS (
+              SELECT p_partkey,
+                     [ (sand-83.0)*(sand-83.0) + (silt-8.0)*(silt-8.0) + (clay-9.0)*(clay-9.0),
+                       (sand-37.0)*(sand-37.0) + (silt-33.0)*(silt-33.0) + (clay-30.0)*(clay-30.0),
+                       (sand-17.0)*(sand-17.0) + (silt-17.0)*(silt-17.0) + (clay-67.0)*(clay-67.0),
+                       (sand-60.0)*(sand-60.0) + (silt-20.0)*(silt-20.0) + (clay-20.0)*(clay-20.0),
+                       (sand-50.0)*(sand-50.0) + (silt-12.0)*(silt-12.0) + (clay-38.0)*(clay-38.0),
+                       (sand-27.0)*(sand-27.0) + (silt-25.0)*(silt-25.0) + (clay-48.0)*(clay-48.0),
+                       (sand-46.0)*(sand-46.0) + (silt-19.0)*(silt-19.0) + (clay-35.0)*(clay-35.0)
+                     ] AS ds
+              FROM d)
+            SELECT p_partkey, CAST(list_position(ds, list_min(ds)) AS INTEGER) AS tclass
+            FROM e""",
+        "mode_relabel": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY count(*) DESC, event_type) = 1""",
+        "haversine_dist": f"""
+            SELECT doc_id,
+                   round({hav.format(lat0='0.5', lat1='lat', lon0='0.5', lon1='lon')}, 6)
+                     AS dist_m
+            FROM ({_DOCS_XY})""",
+        "minmax_argmax": """
+            SELECT event_type, value AS max_value, event_id AS argmax_event_id
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) = 1""",
+        "window_cumsum": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micros
+            FROM events""",
+        "ntile_bins": """
+            WITH b AS (
+              SELECT o_totalprice,
+                     CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+              FROM orders)
+            SELECT bin, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM b GROUP BY bin""",
+        "width_bins": """
+            WITH mm AS (SELECT min(o_totalprice) mn, max(o_totalprice) mx FROM orders)
+            SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 8)) AS BIGINT), 7) AS bin,
+                   count(*) AS n
+            FROM orders, mm GROUP BY 1""",
+        "distinct_count": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type""",
+        "anti_join": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+        "semi_join": """
+            SELECT p_partkey FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text) HAVING count(*) >= 1""",
+        "minhash_lsh": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_GRAMS} AS grams FROM tok),
+            sig AS (SELECT doc_id, {_sql_minhash()} AS s FROM sh),
+            banded AS (
+              SELECT doc_id, b.band,
+                     md5(s[b.band * {DD.ROWS_PER_BAND} + 1] || '|' ||
+                         s[b.band * {DD.ROWS_PER_BAND} + 2] || '|' ||
+                         s[b.band * {DD.ROWS_PER_BAND} + 3] || '|' ||
+                         s[b.band * {DD.ROWS_PER_BAND} + 4]) AS bhash
+              FROM sig, (SELECT unnest(generate_series(0, {DD.LSH_BANDS - 1})) AS band) b)
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r USING (band, bhash)
+            WHERE l.doc_id < r.doc_id""",
+        "ngram_jaccard": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_GRAMS}) AS shingle FROM tok),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(common / (sa.n + sb.n - common * 1.0), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE common / (sa.n + sb.n - common * 1.0) >= 0.3""",
+        "simhash": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                  FROM tok),
+            v AS (SELECT doc_id,
+                  {', '.join(f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+                             for b in range(16))}
+                  FROM h GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST({' + '.join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)"
+                                    for b in range(16))} AS BIGINT) AS simhash16
+            FROM v""",
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                     AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_bpe,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                              * 1.0 / length(text) END, 6) AS punct_ratio,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                              * 1.0 / length(text) END, 6) AS digit_ratio,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                              * 1.0 / length(text) END, 6) AS upper_ratio
+            FROM documents""",
+        "lang_id": f"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     {_sql_stopword_hits('de')} AS h_de,
+                     {_sql_stopword_hits('en')} AS h_en,
+                     {_sql_stopword_hits('es')} AS h_es,
+                     {_sql_stopword_hits('fr')} AS h_fr
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr) AND h_de > 0 THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) AND h_en > 0 THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) AND h_es > 0 THEN 'es'
+                        WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) AND h_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM h""",
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                       AS n_tok,
+                     {_sql_stopword_hits('en')} AS hits,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               * 1.0 / length(text) END AS punct,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               * 1.0 / length(text) END AS digit
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END AS len_ok,
+                     CASE WHEN n_tok = 0 THEN 0.0
+                          ELSE CAST(hits AS DOUBLE) / n_tok END AS sw,
+                     punct * 0.5 + digit * 0.5 AS noise
+              FROM t)
+            SELECT doc_id,
+                   round(len_ok
+                         + (CASE WHEN sw >= 0.05 THEN 0.3 ELSE sw / 0.05 * 0.3 END)
+                         + (0.3 - least(noise * 0.6, 0.3)), 6) AS quality
+            FROM s""",
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents""",
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.q_vec::DOUBLE[]), 6) AS cosine
+              FROM embeddings e, q)
+            SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+                   vec_id, cosine
+            FROM scored
+            QUALIFY rank <= 5""",
+        "embedding_dups": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 50)
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cosine
+              FROM corpus a, corpus b
+              WHERE a.vec_id < b.vec_id)
+            WHERE cosine >= 0.99""",
+        "ann_lsh_topk": f"""
+            WITH c AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+                         {_sql_bucket('embedding')} AS bucket
+                  FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                  q.q_vec::DOUBLE[]), 6) AS cosine
+              FROM c JOIN q USING (bucket))
+            SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+                   vec_id, cosine
+            FROM scored
+            QUALIFY rank <= 5""",
+        "point_extract": f"""
+            WITH pts AS ({_DOCS_XY}),
+            g AS ({SY.sql_grid()})
+            SELECT pts.doc_id, round(coalesce(g.value, -9999.0), 6) AS value
+            FROM pts
+            LEFT JOIN g ON g.i = CAST(floor(pts.lat * {SY.G}) AS BIGINT)
+                       AND g.j = CAST(floor(pts.lon * {SY.G}) AS BIGINT)""",
+        "rasterize_rects": f"""
+            WITH {_SQL_RECT_WINNER}
+            SELECT i, j, attr FROM burned""",
+        "doc_tile_attach": f"""
+            WITH pts AS ({_DOCS_XY}),
+            {_SQL_RECT_WINNER}
+            SELECT pts.doc_id,
+                   CAST(floor(pts.lat * {SY.G}) AS BIGINT) AS i,
+                   CAST(floor(pts.lon * {SY.G}) AS BIGINT) AS j,
+                   (CASE WHEN b.attr = -9999.0 THEN NULL ELSE b.attr END) AS tile_id
+            FROM pts
+            LEFT JOIN burned b ON b.i = CAST(floor(pts.lat * {SY.G}) AS BIGINT)
+                              AND b.j = CAST(floor(pts.lon * {SY.G}) AS BIGINT)""",
+        "knn_docs": f"""
+            WITH q AS ({SY.sql_query_points()}),
+            t AS (SELECT doc_id AS tid, lat AS tlat, lon AS tlon FROM ({_DOCS_XY})),
+            scored AS (
+              SELECT q.query_id AS qid, t.tid,
+                     {hav.format(lat0='q.lat', lat1='t.tlat', lon0='q.lon', lon1='t.tlon')}
+                       AS dist
+              FROM q, t)
+            SELECT qid, tid,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS INTEGER)
+                     AS rank,
+                   round(dist, 6) AS dist
+            FROM scored
+            QUALIFY rank <= 5""",
+        "events_hourly": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_block,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+            FROM events GROUP BY 1""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: interleaved docs ->
+    rasterized tile grid -> cell + tile attach, span sequence preserved."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_span_invariant(spark, sf_dir)

@@ -1,0 +1,172 @@
+"""Benchmark harness (driver contract + BASELINE.json north_rule evidence).
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the north_rule workload: a deterministically
+synthesized interleaved-doc table (doc_id, spans, lat/lon with a 20% hotspot)
+joined through the rasterized tile grid — reported as wall seconds plus
+docs/sec and PIP-tests/sec derived rates.
+
+``--scaling``: runs the SAME flagship job at two parallelism levels
+(local[N] and local[4N], fresh JVM each) on the same input and reports
+throughput at both plus scaling efficiency — the sandbox proxy for the
+north_rule's N vs 4N executor criterion (no real cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "1024"))
+TILE = 128
+
+
+def _meta():
+    from geospatialtools_spark.grid import GridMeta
+    return GridMeta(nx=GRID, ny=GRID, minx=0.0, miny=0.0,
+                    resx=1.0 / GRID, resy=1.0 / GRID, tile=TILE)
+
+
+def synth_docs(spark, n: int):
+    """Scaled interleaved-doc table, deterministic (functions/synth.py)."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions import synth as SY
+    base = (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.concat(F.lit("document body "),
+                                         (F.col("doc_id") % 9973).cast("string"),
+                                         F.lit(" with some repeated filler text")))
+            .withColumn("lat", SY.doc_lat(F.col("doc_id")))
+            .withColumn("lon", SY.doc_lon(F.col("doc_id"))))
+    return SY.with_spans(base)
+
+
+def flagship(spark) -> dict:
+    """North_rule workload: rasterize polygon set onto the tile grid, attach
+    cell + tile to every doc, enforce the span invariant. Returns timings."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions import synth as SY
+    from geospatialtools_spark.operators.docs import (attach_grid_cell, attach_tile,
+                                                      span_fingerprint)
+    from geospatialtools_spark.operators.rasterize import rasterize
+    meta = _meta()
+
+    t0 = time.time()
+    cells = (spark.range(GRID * GRID)
+             .select((F.col("id") / GRID).cast("int").alias("i"),
+                     (F.col("id") % GRID).cast("int").alias("j"))
+             .withColumn("tile_i", (F.col("i") / TILE).cast("int"))
+             .withColumn("tile_j", (F.col("j") / TILE).cast("int")))
+    polys = spark.createDataFrame(SY.rects_polygon_pdf())
+    burned = rasterize(cells, polys, meta)
+    burned = burned.localCheckpoint(eager=True)  # materialize the burn
+    t_rasterize = time.time() - t0
+
+    docs = synth_docs(spark, N_DOCS)
+    t0 = time.time()
+    with_ij = attach_grid_cell(span_fingerprint(docs, "fp"), meta, res=20)
+    out = attach_tile(with_ij, burned)
+    agg = out.agg(F.count("*").alias("n"),
+                  F.sum(F.when(F.col("tile_id").isNotNull(), 1).otherwise(0)).alias("n_tiled"),
+                  F.countDistinct("fp").alias("n_fp")).collect()[0]
+    t_attach = time.time() - t0
+    assert agg["n"] == N_DOCS, f"doc count mismatch: {agg['n']}"
+    # PIP rate: every burned cell is one center-in-polygon test per
+    # bbox-candidate polygon; approximate with cells x 1 test minimum
+    return {
+        "t_rasterize_s": round(t_rasterize, 3),
+        "t_attach_s": round(t_attach, 3),
+        "docs": N_DOCS,
+        "docs_per_sec": round(N_DOCS / t_attach, 1),
+        "pip_cells": GRID * GRID,
+        "pip_tests_per_sec": round(GRID * GRID / t_rasterize, 1),
+        "n_tiled": int(agg["n_tiled"]),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as E
+    picks = ["groupby_agg", "join_broadcast", "minhash_lsh", "ngram_jaccard",
+             "simhash", "token_stats", "cosine_topk", "ann_lsh_topk",
+             "point_extract", "rasterize_rects", "doc_tile_attach", "knn_docs",
+             "events_hourly", "dedup_exact", "quality_score"]
+    qs = E.queries()
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        del n
+    return out
+
+
+def main_bench():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench")
+    t0 = time.time()
+    fl = flagship(spark)
+    qtimes = run_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "flagship doc->tile attach + headline queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {**qtimes, "flagship_attach": fl["t_attach_s"],
+                    "flagship_rasterize": fl["t_rasterize_s"]},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship": fl,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+def main_scaling():
+    """Same flagship job at N and 4N cores, fresh JVM each; efficiency =
+    (rate_4N / rate_N) / 4."""
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    results = {}
+    for cpus in (n, 4 * n):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_MODE="flagship-only")
+        out = subprocess.run([sys.executable, __file__, "--flagship-only"],
+                             capture_output=True, text=True, env=env)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r_n = results[n]["flagship"]["docs_per_sec"]
+    r_4n = results[4 * n]["flagship"]["docs_per_sec"]
+    print(json.dumps({
+        "metric": "scaling efficiency (docs/sec, local[N] vs local[4N])",
+        "n_cores": n, "docs_per_sec_N": r_n,
+        "4n_cores": 4 * n, "docs_per_sec_4N": r_4n,
+        "speedup": round(r_4n / r_n, 3),
+        "efficiency": round(r_4n / r_n / 4, 3),
+        "docs": N_DOCS,
+    }))
+
+
+def main_flagship_only():
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-flagship")
+    fl = flagship(spark)
+    print(json.dumps({"flagship": fl,
+                      "cpus": spark.sparkContext.defaultParallelism}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--flagship-only" in sys.argv:
+        main_flagship_only()
+    else:
+        main_bench()

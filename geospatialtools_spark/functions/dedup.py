@@ -1,0 +1,231 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five dedup families over the ``documents`` table (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine), all engine-side:
+
+- Hashes are md5 HEX STRINGS (identical in Spark and DuckDB), so every
+  operator here has an exact cross-engine oracle: MinHash is the min of md5
+  strings over shingles (a valid random permutation family — md5 on a
+  distinct salt per hash function), SimHash converts a 15-hex-char prefix to
+  a 60-bit integer via base conversion.
+- At 100 TB scale: exact dedup is one hash-groupBy (map-side partial agg);
+  MinHash-LSH is the standard shingle→signature→band→bucket-join pipeline —
+  only same-band candidates shuffle, never all pairs; the brute-force pair
+  joins (`ngram_jaccard_pairs`, `embedding_dup_pairs`) are CALIBRATION-scale
+  oracles of the LSH path (see ``similarity.lsh_buckets`` for the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import normalize_text
+
+N_MINHASH = 16           # signature length
+LSH_BANDS = 4            # bands of 4 rows each -> catches J >~ 0.5 pairs
+ROWS_PER_BAND = N_MINHASH // LSH_BANDS
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text (array<string>).
+
+    Shorter-than-k documents yield a single shingle of all their tokens, so
+    every non-empty document has >=1 shingle.
+    """
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash signature: per hash function h, min over shingles of
+    md5('h|' + shingle) — an array<string> of length ``n_hashes``.
+
+    One nested higher-order expression (outer transform over hash index,
+    inner over shingles): inlining 16 separate array_min(transform(...))
+    copies of the shingle expression blows up codegen ~16x.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda h: F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit("|"), s)))),
+    )
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep min id as canonical.
+
+    One hash aggregation — partial (map-side) + final; no pairwise work.
+    Returns (content_hash, keeper_id, n_dups) for groups with >1 member.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature_pudf(k: int = 3, n_hashes: int = N_MINHASH):
+    """Arrow-vectorized MinHash signature UDF — the hot path.
+
+    Produces EXACTLY the same md5-string signatures as the pure-Catalyst
+    ``minhash_signature(shingles(...))`` (tested equal), but ~50x faster:
+    interpreted nested higher-order functions cost ~80us per md5 on the JVM,
+    hashlib in an Arrow batch costs ~1us. Tokenization mirrors
+    textstats.normalize_text byte-for-byte (ASCII regex classes).
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql import types as TY
+
+    ws = re.compile(r"\s+", re.ASCII)
+    nonal = re.compile(r"[^a-z0-9\s]", re.ASCII)
+
+    @F.pandas_udf(TY.ArrayType(TY.StringType()))
+    def sig(text):
+        out = []
+        for t in text:
+            norm = ws.sub(" ", nonal.sub(" ", (t or "").lower())).strip()
+            toks = norm.split(" ")
+            grams = {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k + 1, 1))}
+            out.append([
+                min(hashlib.md5(f"{h}|{g}".encode()).hexdigest() for g in grams)
+                for h in range(n_hashes)
+            ])
+        import pandas as pd
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    docs -> shingles -> signature (Arrow pandas UDF) -> per-band hash ->
+    self-join on (band, band_hash). Only documents sharing a band bucket ever
+    meet in the shuffle (bucket join, not all-pairs). Returns distinct
+    (id_a, id_b), id_a < id_b.
+    """
+    r = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_pudf(k, n_hashes)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *[F.col("sig")[b * r + i] for i in range(r)]))
+                      .alias("bhash"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    # materialize before the self-join: otherwise both sides re-scan the
+    # source and re-evaluate the full signature expression
+    banded = banded.localCheckpoint(eager=True)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _hex15_to_long(hexstr: Column) -> Column:
+    """First 15 hex chars -> non-negative 60-bit long (same in DuckDB via
+    ('0x'||substr(h,1,15))::BIGINT)."""
+    return F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over word tokens: per bit b, sign of sum over tokens of
+    (+1 if bit set else -1); fingerprint = Σ 2^b [majority bit b set].
+
+    Tokens hash to 60-bit ints via md5; only the low ``bits`` bits are used.
+    Near-dups differ in few bits (compare via hamming distance on the
+    returned long).
+    """
+    toks = F.split(normalize_text(text), " ")
+    hashes = F.transform(toks, lambda t: _hex15_to_long(F.md5(t)))
+
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — via binary string of the long (bit_count is
+    available in Spark; DuckDB side uses bit_count too)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle
+    (only co-occurring docs meet), count intersections, Jaccard by
+    inclusion-exclusion. This is the exact ORACLE for the MinHash path —
+    at scale run minhash_lsh_pairs first and verify candidates with this on
+    the (tiny) candidate set.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("common") /
+                                       (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold.
+
+    Brute self-join at calibration scale; the 100 TB path buckets by
+    ``similarity.lsh_buckets`` (sign-quantized projections) first so only
+    same-bucket pairs join — this function then verifies candidates exactly.
+    """
+    from .similarity import cosine_expr
+    v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        v.alias("a").join(v.alias("b"), F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,31 @@
+"""Time-series block averaging (reference ``src/upscaling_tools.f90:1-13``,
+wrapper ``libraries/upscaling_tools.py``).
+
+The Fortran kernel averages ``nt_in`` samples into ``nt_out`` blocks of
+``dt = nt_in/nt_out`` (integer division; trailing remainder samples are
+DROPPED — block i covers samples [i*dt, (i+1)*dt)). The Spark form is a
+single groupBy on the block index — partial aggregation makes it one
+narrow-shuffle pass at any length; the streaming twin is a tumbling
+processing-window mean (streaming/ingest.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def time_average(series: DataFrame, nt_in: int, nt_out: int,
+                 t_col: str = "t", v_col: str = "value") -> DataFrame:
+    """(t, value) -> (block, avg) for blocks 0..nt_out-1.
+
+    Matches the Fortran semantics exactly: dt = nt_in // nt_out, samples at
+    t >= nt_out*dt are excluded, mean over each block of dt samples.
+    """
+    dt = nt_in // nt_out
+    return (
+        series
+        .filter(F.col(t_col) < nt_out * dt)
+        .groupBy(F.floor(F.col(t_col) / dt).cast("long").alias("block"))
+        .agg(F.avg(v_col).alias("avg_value"))
+    )

@@ -68,16 +68,21 @@ def with_cell(df: DataFrame, res: int, lat_col="lat", lon_col="lon",
 
 def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
              query_id="query_id", target_id="target_id",
-             lat_col="lat", lon_col="lon", max_rounds: int = 6) -> DataFrame:
+             lat_col="lat", lon_col="lon", max_rounds: int = 6,
+             max_guard_rings: int = 64) -> DataFrame:
     """k nearest targets per query: expanding Chebyshev rings on the cell
     index, exact haversine re-rank (terrain_tools.py:14-23 formula).
 
-    Completeness: if >= k candidates lie within rings 0..r, the true kNN lie
-    within rings 0..r+1 (a cell at ring r+2 is strictly farther than the
-    farthest point of ring r under the index's square metric envelope) — so
-    queries finish one ring after reaching k candidates. Rounds double the
-    ring radius each step: ring budget grows geometrically, log(#rings)
-    shuffle rounds.
+    Two phases for EXACT results:
+    1. candidate phase — rings expand geometrically (log(#rings) shuffle
+       rounds) until every query has >= k candidates;
+    2. guard phase — having candidates in rings 0..r does NOT bound the true
+       kNN to ring r+1 (cells are anisotropic in metres: a ring-2 cell across
+       the short axis can be nearer than a ring-1 point across the long one),
+       so compute each query's k-th candidate distance d_k, convert to a ring
+       bound ceil(d_k / min_cell_extent_m) + 1, and gather the remaining
+       rings up to that bound in ONE extra batch. Every cell whose nearest
+       point could beat d_k is then examined -> exact.
     """
     q = with_cell(queries.select(query_id, lat_col, lon_col), res).select(
         F.col(query_id).alias("qid"), F.col(lat_col).alias("qlat"),
@@ -97,6 +102,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
 
     pending = q.withColumn("r0", F.lit(0)).withColumn("r1", F.lit(1))
     results = None
+    finished = []  # (qid, qlat, qlon, qcell, r1) with >= k candidates
     for rnd in range(max_rounds):
         cand = (pending
                 .withColumn("cell", F.explode(ring_cells("qcell", "r0", "r1")))
@@ -105,26 +111,52 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
         batch = cand if results is None else results.unionByName(cand)
         results = batch.localCheckpoint(eager=True)
         counts = results.groupBy("qid").agg(F.count("*").alias("n"))
-        # a query finishes once it has >= k candidates AND its last gathered
-        # ring exceeded (first-k ring + 1); with geometric ring growth the
-        # +1 guard ring is always inside the next batch, so finish = n >= k
-        # after gathering one extra round
         done_ids = counts.filter(F.col("n") >= k).select("qid")
+        finished.append(pending.join(done_ids, "qid", "left_semi")
+                        .select("qid", "qlat", "qlon", "qcell", "r1"))
         nxt = pending.join(done_ids, "qid", "left_anti")
         if nxt.isEmpty():
+            pending = None
             break
         width = 2 ** (rnd + 1)
         pending = nxt.withColumn("r0", F.col("r1") + 1) \
                      .withColumn("r1", F.col("r1") + F.lit(width))
     if results is None:
         return queries.sparkSession.createDataFrame(
-            [], f"qid long, tid long, dist double, rank int")
+            [], "qid long, tid long, dist double, rank int")
+    if pending is not None:  # queries that never reached k (sparse targets)
+        finished.append(pending.select("qid", "qlat", "qlon", "qcell", "r1"))
+    st = finished[0]
+    for f in finished[1:]:
+        st = st.unionByName(f)
+
     dist = haversine_expr(F.col("qlat"), F.col("tlat"), F.col("qlon"), F.col("tlon"))
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("tid").asc())
-    return (results.dropDuplicates(["qid", "tid"]).withColumn("dist", dist)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "tid", "dist", "rank"))
+    ranked = (results.dropDuplicates(["qid", "tid"]).withColumn("dist", dist)
+              .withColumn("rank", F.row_number().over(w)))
+
+    # guard phase: ring bound from the k-th candidate distance
+    m_per_deg = np.pi * 6372800.0 / 180.0
+    lat_cell_m = (180.0 / (1 << res)) * m_per_deg
+    dk = (ranked.filter(F.col("rank") <= k)
+          .groupBy("qid").agg(F.max("dist").alias("dk")))
+    lon_cell_m = (360.0 / (1 << res)) * m_per_deg * F.cos(F.radians(F.col("qlat")))
+    min_cell = F.least(F.lit(lat_cell_m), lon_cell_m)
+    guard = (st.join(dk, "qid", "left")
+             .withColumn("r_need",
+                         F.least(F.lit(max_guard_rings),
+                                 F.ceil(F.coalesce(F.col("dk"), F.lit(0.0)) / min_cell) + 1)
+                          .cast("int"))
+             .filter(F.col("r_need") > F.col("r1")))
+    extra = (guard
+             .withColumn("r0", F.col("r1") + 1)
+             .withColumn("cell", F.explode(ring_cells("qcell", "r0", "r_need")))
+             .join(t, F.col("cell") == F.col("tcell"))
+             .select("qid", "qlat", "qlon", "tid", "tlat", "tlon"))
+    full = results.unionByName(extra)
+    final = (full.dropDuplicates(["qid", "tid"]).withColumn("dist", dist)
+             .withColumn("rank", F.row_number().over(w)))
+    return final.filter(F.col("rank") <= k).select("qid", "tid", "dist", "rank")
 
 
 def haversine_expr(lat0, lat1, lon0, lon1):

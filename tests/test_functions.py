@@ -1,0 +1,183 @@
+"""Tests for the scalar/aggregate function layer + training-data ops.
+
+Oracles are numpy/scipy/sklearn-free pure-python where possible, the
+reference's own golden table for pedotransfer (fixtures.saxton_golden), and
+brute-force numpy for similarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geospatialtools_spark import fixtures
+from geospatialtools_spark.functions import dedup as DD
+from geospatialtools_spark.functions import metrics as MET
+from geospatialtools_spark.functions import pedotransfer as PT
+from geospatialtools_spark.functions import similarity as SIM
+from geospatialtools_spark.functions import upscaling as UP
+from geospatialtools_spark.oracle import terrain as OT
+
+
+def test_saxton_golden(spark):
+    """Engine pedotransfer matches the reference's own commented-out test
+    table (pedotransfer.py:118-143) at the reference's tolerances."""
+    g = fixtures.saxton_golden()
+    pdf = pd.DataFrame({"clay": g["clay"], "sand": g["sand"]})
+    df = spark.createDataFrame(pdf)
+    # reference's Run_Tests passes (clay, sand) positionally into (S, C)
+    S, C, OM = F.col("clay"), F.col("sand"), F.lit(g["om"])
+    out = df.select(
+        PT.ksat_saxton2006(S, C, OM).alias("ksat"),
+        PT.theta_s(S, C, OM).alias("thetas"),
+        PT.theta_33(S, C, OM).alias("theta33"),
+        PT.theta_1500(S, C, OM).alias("theta1500"),
+    ).toPandas()
+    assert np.allclose(out["ksat"], g["ksat"], atol=5e-1)
+    assert np.allclose(out["thetas"], g["thetas"], atol=1e-2)
+    assert np.allclose(out["theta33"], g["theta33"], atol=1e-2)
+    assert np.allclose(out["theta1500"], g["theta1500"], atol=1e-2)
+
+
+def test_fao_texture(spark):
+    pdf = pd.DataFrame({
+        "sand": [83.0, 17.0, 46.0, None],
+        "clay": [9.0, 67.0, 35.0, 10.0],
+        "silt": [8.0, 17.0, 19.0, 10.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = df.select(PT.fao_soil_texture(
+        F.col("sand"), F.col("clay"), F.col("silt")).alias("c")).toPandas()
+    assert out["c"].tolist()[:3] == [1, 3, 7]
+    assert pd.isna(out["c"].iloc[3])
+
+
+def test_metrics_against_numpy(spark):
+    rng = np.random.RandomState(7)
+    obs = rng.normal(10, 2, 500)
+    model = obs * 1.1 + rng.normal(0, 0.5, 500) - 0.3
+    obs[10] = np.nan  # NaN-pair filtering path
+    df = spark.createDataFrame(pd.DataFrame({"obs": obs, "model": model}))
+    out = MET.summary(df, "obs", "model").toPandas().iloc[0]
+
+    m = ~(np.isnan(obs) | np.isnan(model))
+    o, mm = obs[m], model[m]
+    rho = np.corrcoef(mm, o)[0, 1]
+    beta = mm.mean() / o.mean()
+    alpha12 = (mm.std() / o.std()) / beta
+    kge12 = 1 - np.sqrt((rho - 1) ** 2 + (beta - 1) ** 2 + (alpha12 - 1) ** 2)
+    nse = 1 - np.sum((o - mm) ** 2) / np.sum((o - o.mean()) ** 2)
+    rmse = np.sqrt(np.mean((mm - o) ** 2))
+
+    assert abs(out["kge2012_kge"] - kge12) < 1e-9
+    assert abs(out["nse"] - nse) < 1e-9
+    assert abs(out["nse_nse"] - (2 * (mm.std() / o.std()) * rho
+                                 - (mm.std() / o.std()) ** 2
+                                 - ((mm.mean() - o.mean()) / o.std()) ** 2)) < 1e-9
+    assert abs(out["rmse"] - rmse) < 1e-9
+    assert abs(out["r2"] - rho ** 2) < 1e-9
+    assert abs(out["mae"] - np.mean(np.abs(mm - o))) < 1e-9
+
+
+def test_time_average_matches_fortran_oracle(spark):
+    series = fixtures.make_series(nt_in=720)
+    golden = OT.time_average(series, nt_out=24)
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(720), "value": series}))
+    out = (UP.time_average(df, nt_in=720, nt_out=24)
+           .orderBy("block").toPandas())
+    assert len(out) == 24
+    assert np.allclose(out["avg_value"].to_numpy(), golden, rtol=1e-12)
+
+
+_DOCS = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4, 5],
+    "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about spark engines",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "der hund und die katze sind nicht ein team",
+        "short",
+    ],
+})
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(_DOCS)
+    out = DD.exact_dups(df).toPandas()
+    assert len(out) == 1
+    assert out["keeper_id"].iloc[0] == 0 and out["n_dups"].iloc[0] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(_DOCS)
+    pairs = DD.minhash_lsh_pairs(df).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # exact dup pair always collides in every band; near-dup (0,1)/(1,3)
+    # shares 6/8 shingles (J=0.75) -> expected to collide in >=1 of 4 bands
+    assert (0, 3) in got
+    assert (0, 1) in got and (1, 3) in got
+    assert (2, 4) not in got
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(_DOCS)
+    out = DD.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    rows = {(a, b): j for a, b, j in out.to_numpy()}
+    assert rows[(0, 3)] == 1.0
+    # docs 0/1: 9 tokens -> 7 shingles each, 6 shared -> J = 6/8
+    assert abs(rows[(0, 1)] - 0.75) < 1e-9
+    assert (2, 4) not in rows
+
+
+def test_simhash_near_dups_close(spark):
+    df = spark.createDataFrame(_DOCS)
+    out = df.select("doc_id", DD.simhash(F.col("text")).alias("sh")).toPandas()
+    sh = dict(zip(out["doc_id"], out["sh"]))
+    assert sh[0] == sh[3]  # identical text -> identical fingerprint
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[2]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(60), "embedding": [v.tolist() for v in vecs]}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1], "q_vec": [vecs[0].tolist(), vecs[1].tolist()]}))
+    out = SIM.cosine_topk(corpus, queries, k=3).toPandas()
+
+    vd = vecs.astype(np.float64)
+    sims = vd @ vd.T / (np.linalg.norm(vd, axis=1)[:, None] * np.linalg.norm(vd, axis=1)[None, :])
+    for q in (0, 1):
+        expect = np.argsort(-np.round(sims[q], 6), kind="stable")[:3]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        assert list(got) == list(expect)
+        assert got[0] == q  # self is always the top hit
+
+
+def test_bucketed_topk_self_hit(spark):
+    rng = np.random.RandomState(12)
+    vecs = rng.normal(size=(100, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(100), "embedding": [v.tolist() for v in vecs]}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": [5], "q_vec": [vecs[5].tolist()]}))
+    out = SIM.bucketed_topk(corpus, queries, dim=8, k=3, n_planes=4).toPandas()
+    assert out.sort_values("rank")["vec_id"].iloc[0] == 5
+
+
+def test_lsh_bucket_stability(spark):
+    """Bucket ids are pure functions of the vector (deterministic planes)."""
+    rng = np.random.RandomState(13)
+    vecs = [rng.normal(size=8).astype(np.float32).tolist() for _ in range(20)]
+    df = spark.createDataFrame(pd.DataFrame({"embedding": vecs}))
+    a = df.select(SIM.lsh_buckets(F.col("embedding"), 8, 6).alias("b")).toPandas()
+    b = df.select(SIM.lsh_buckets(F.col("embedding"), 8, 6).alias("b")).toPandas()
+    assert (a["b"] == b["b"]).all()
+    assert a["b"].between(0, 63).all()

@@ -1,0 +1,157 @@
+"""Tests: interleaved-doc invariants, multimodal plumbing, lineage,
+checkpoint-resume, streaming windowed ingest."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geospatialtools_spark import fixtures
+from geospatialtools_spark.operators import media as MD
+from geospatialtools_spark.operators.docs import docs_df, span_fingerprint
+from geospatialtools_spark.plans.checkpointing import StageRunner
+from geospatialtools_spark.plans.lineage import lineage_records
+from geospatialtools_spark.streaming import ingest as ST
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    meta, _, _ = fixtures.make_dem(nx=32, ny=32, tile=16)
+    pdf = fixtures.make_documents(meta, n=120)
+    return docs_df(spark, pdf).localCheckpoint(eager=True)
+
+
+def test_media_pipeline_shapes(spark, docs):
+    media = MD.media_table(docs)
+    mp = media.toPandas()
+    assert set(mp["kind"].unique()) <= {"image", "audio"}
+    assert (mp["media_ref"].str.startswith("blob://")).all()
+
+    feats = MD.decode_and_featurize(MD.fetch_payloads(media)).toPandas()
+    assert len(feats) == len(mp)
+    assert feats["width"].between(16, 255).all()
+    assert all(len(f) == MD.FEATURE_DIM for f in feats["features"])
+    # deterministic: same payload -> same features
+    again = MD.decode_and_featurize(MD.fetch_payloads(media)).toPandas()
+    a = feats.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["features"], b["features"]))
+
+
+def test_media_span_order_reassembly(spark, docs):
+    """posexplode keys allow reassembling the media table back into span
+    order — the multimodal path never loses the interleaving."""
+    media = MD.media_table(docs).toPandas()
+    orig = docs.select("doc_id", F.posexplode("spans").alias("idx", "span")) \
+        .filter(F.col("span.kind") != "text") \
+        .select("doc_id", "idx", F.col("span.media_ref").alias("media_ref")).toPandas()
+    a = media.sort_values(["doc_id", "span_idx"])[["doc_id", "span_idx", "media_ref"]]
+    b = orig.sort_values(["doc_id", "idx"]).rename(columns={"idx": "span_idx"})
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_frame_sample_expansion(spark, docs):
+    media = MD.fetch_payloads(MD.media_table(docs).limit(20), n_bytes=256)
+    frames = MD.frame_sample(media, every_n_bytes=64).toPandas()
+    # 256 bytes / 64 per frame = 4 frames per item
+    counts = frames.groupby(["doc_id", "span_idx"]).size()
+    assert (counts == 4).all()
+
+
+def test_decode_stub_gate(spark, docs):
+    with pytest.raises(NotImplementedError):
+        MD.decode_and_featurize(
+            MD.fetch_payloads(MD.media_table(docs)), decode_stub=False)
+
+
+def test_lineage_records(spark):
+    df = spark.range(1000).repartition(4)
+    lin = lineage_records(df, "stage_x").toPandas()
+    assert lin["rows"].sum() == 1000
+    assert (lin["stage"] == "stage_x").all()
+    assert lin["partition_id"].nunique() == len(lin) <= 4
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """A killed pipeline resumes from the last committed stage with
+    identical output and without recomputing it."""
+    root = str(tmp_path / "ckpt")
+    calls = {"a": 0, "b": 0}
+
+    def stage_a():
+        calls["a"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    def stage_b(a_df):
+        calls["b"] += 1
+        return a_df.groupBy((F.col("id") % 10).alias("g")).agg(F.sum("v").alias("s"))
+
+    r1 = StageRunner(spark, root, {"cfg": 1})
+    a1 = r1.run_stage("a", stage_a)
+    b1 = r1.run_stage("b", lambda: stage_b(a1)).orderBy("g").toPandas()
+    assert calls == {"a": 1, "b": 1}
+
+    # "restart": new runner, same root + config -> both stages resume
+    r2 = StageRunner(spark, root, {"cfg": 1})
+    a2 = r2.run_stage("a", stage_a)
+    b2 = r2.run_stage("b", lambda: stage_b(a2)).orderBy("g").toPandas()
+    assert calls == {"a": 1, "b": 1}          # nothing recomputed
+    pd.testing.assert_frame_equal(b1, b2)     # identical results
+    assert [m.get("resumed") for m in r2.metrics] == [True, True]
+
+    # config change invalidates the checkpoint
+    r3 = StageRunner(spark, root, {"cfg": 2})
+    r3.run_stage("a", stage_a)
+    assert calls["a"] == 2
+
+    # lineage table accumulated commits
+    lin = spark.read.parquet(os.path.join(root, "_lineage")).toPandas()
+    assert set(lin["stage"]) == {"a", "b"}
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """availableNow drain of the windowed-ingest plan == the batch twin."""
+    sf_dir = "/root/testdata/sf0.001"
+    stream = ST.read_events_stream(spark, sf_dir)
+    agg = ST.windowed_ingest_counts(stream, watermark="1 hour", window="1 hour")
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(agg, str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir).toPandas()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = (batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+              .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+              .select(F.col("win.start").alias("win_start"),
+                      F.col("win.end").alias("win_end"), "event_type",
+                      "n_events").toPandas())
+    # append mode emits a window only once the watermark (max event time -
+    # 1 hour) passes its end; trailing windows stay in state at end-of-stream
+    wm = batch.agg(F.max("ts")).collect()[0][0] - pd.Timedelta(hours=1)
+    closed = expect[expect["win_end"] <= wm]
+    g = got.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+    e = closed.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+    assert len(g) >= len(e) > 0
+    merged = e.merge(g, on=["win_start", "event_type"], suffixes=("_b", "_s"))
+    assert len(merged) == len(e)
+    assert (merged["n_events_b"] == merged["n_events_s"]).all()
+    # every emitted window must match the batch twin exactly
+    all_merged = g.merge(expect, on=["win_start", "event_type"],
+                         suffixes=("_s", "_b"))
+    assert len(all_merged) == len(g)
+    assert (all_merged["n_events_s"] == all_merged["n_events_b"]).all()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    sf_dir = "/root/testdata/sf0.001"
+    stream = ST.read_events_stream(spark, sf_dir)
+    dd = ST.dedup_in_watermark(stream).select("event_id", "ts")
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(dd, str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir)
+    n = got.count()
+    assert n == got.select("event_id").distinct().count()
