@@ -434,7 +434,132 @@ def q_events_hourly(spark, sf_dir):
                  F.sum(_micros(F.col("value"))).alias("sum_micros")))
 
 
+def q_polygon_adjacency(spark, sf_dir):
+    """J6 compute_polygon_info (terrain_tools.f90:1804-1857): 4-neighbor
+    contact pairs + centroids of the rect-burned polygon map."""
+    from geospatialtools_spark.operators.zones import polygon_adjacency
+    cells = SY.grid_df(spark)
+    rects = spark.createDataFrame(SY.rects_polygon_pdf())
+    from geospatialtools_spark.operators.rasterize import rasterize
+    c2 = cells.withColumn("tile_i", (F.col("i") / META_UNIT.tile).cast("int")) \
+              .withColumn("tile_j", (F.col("j") / META_UNIT.tile).cast("int"))
+    burned = rasterize(c2, rects, META_UNIT)
+    poly = burned.select("i", "j",
+                         F.when(F.col("attr") == -9999.0, F.lit(0))
+                          .otherwise(F.col("attr")).cast("long").alias("polygon"))
+    out = polygon_adjacency(poly)
+    return out["edges"].select(F.col("pid_a").cast("long"), F.col("pid_b").cast("long"))
+
+
+def q_cluster_rmse(spark, sf_dir):
+    """A8 compute_performance_metrics (terrain_tools.py:97-129) analog:
+    per-cluster-mean replacement RMSE of normalized value, clusters =
+    event_type."""
+    e = _t(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    d = e.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("norm"))
+    mean_c = F.avg("norm").over(Window.partitionBy("event_type"))
+    sq = d.withColumn("sq", (F.col("norm") - mean_c) ** 2)
+    return sq.agg(F.round(F.sqrt(F.avg("sq")), 9).alias("rmse"))
+
+
 # --------------------------------------------- rows-only (non-SQL operators)
+
+def _terrain_zone_cells(spark):
+    """Shared fixture frame for the zone/clustering rows-only queries."""
+    import numpy as np
+
+    from geospatialtools_spark import fixtures
+    from geospatialtools_spark.grid import cells_df
+    from geospatialtools_spark.oracle import terrain as OT
+    meta, dem, mask = fixtures.make_dem(nx=32, ny=32, tile=16)
+    res = 30.0
+    filled = OT.planchon_fill(dem, res)
+    area, fdir = OT.d8_acc(filled, mask, res)
+    slope, aspect = OT.slope_aspect(filled, np.full_like(dem, res), np.full_like(dem, res))
+    ch, _ch_wob, _topo = OT.calculate_channels_wocean_wprop(
+        area, res * res * 20, res * res * 5, fdir, mask)
+    basins = OT.delineate_basins(ch, mask, fdir)
+    hand = OT.calculate_depth2channel(ch, mask.copy(), fdir, filled, leak=False)
+    hs = OT.delineate_hillslopes(ch, area, fdir, mask)
+    cov = fixtures.make_covariates(meta, dem, mask)
+    cells = cells_df(spark, meta,
+                     dem=filled.astype(np.float64),
+                     basins=basins.astype(np.int64),
+                     hillslopes=hs.astype(np.int64),
+                     hand=hand.astype(np.float64),
+                     slope=slope.astype(np.float64),
+                     aspect=aspect.astype(np.float64),
+                     channels=ch.astype(np.int64),
+                     tas=cov["tas"].astype(np.float64),
+                     prec=cov["prec"].astype(np.float64))
+    return meta, cells.localCheckpoint(eager=True)
+
+
+def q_tiles_kmeans(spark, sf_dir):
+    """M2 create_tiles_kmeans (terrain_tools.py:727-787): per-basin k-means
+    tiling with global sequential dense ids."""
+    from geospatialtools_spark.operators.clustering import create_tiles_kmeans
+    _, cells = _terrain_zone_cells(spark)
+    tiles = create_tiles_kmeans(cells, ["tas", "prec", "hand"], 3)
+    return tiles.groupBy("tile").agg(F.count("*").alias("n_cells"))
+
+
+def q_hillslope_props(spark, sf_dir):
+    """A2 calculate_hillslope_properties_updated (terrain_tools.py:394-668):
+    per-hillslope covariate means, bin geometry, width line + relief curve
+    fits — numpy kernel per zone via applyInPandas."""
+    from geospatialtools_spark.operators.zones import hillslope_properties
+    _, cells = _terrain_zone_cells(spark)
+    hp = hillslope_properties(cells, 30.0)
+    return hp.select("hid", "dem", "slope_mean", "width_slope",
+                     "relief_a", "relief_b",
+                     F.round("length", 4).alias("length"),
+                     F.round("area", 4).alias("area"),
+                     F.round("relief", 4).alias("relief"))
+
+
+def q_hru_props(spark, sf_dir):
+    """A3 calculate_hru_properties_updated (terrain_tools.py:1181-1313):
+    per-HRU area/slope/ECDF + hillslope association + Pelletier soil rule."""
+    from geospatialtools_spark.operators.clustering import create_hrus, create_tiles_kmeans
+    from geospatialtools_spark.operators.zones import hillslope_properties, hru_properties
+    _, cells = _terrain_zone_cells(spark)
+    tiles = create_tiles_kmeans(cells, ["tas", "prec", "hand"], 2)
+    with_tiles = cells.join(tiles, ["i", "j"])
+    hrus = create_hrus(with_tiles, ["tas", "prec"], {}, 2)
+    full = with_tiles.join(hrus, ["i", "j"])
+    hp = hillslope_properties(cells, 30.0)
+    out = hru_properties(full, hp, 30.0)
+    return out.select("hru", "hillslope_id", "tile_id", "area",
+                      F.round("hillslope_slope", 6).alias("hillslope_slope"),
+                      F.round("soil_depth", 4).alias("soil_depth"),
+                      F.round("frac", 8).alias("frac"))
+
+
+def q_reduce_basins(spark, sf_dir):
+    """A9 reduce_basin_number (terrain_tools.py:293-338): driver-side merge
+    loop on the basin property table -> broadcast relabel map."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatialtools_spark.operators.clustering import reduce_basin_number
+    from geospatialtools_spark.operators.zones import basin_properties
+    _, cells = _terrain_zone_cells(spark)
+    bp = basin_properties(cells, covariate_cols=["dem"]).toPandas()
+    bp = bp.sort_values("basin")
+    n = len(bp)
+    table = pd.DataFrame({
+        "id": bp["basin"].to_numpy(),
+        # synthetic downstream pointer: next basin id, last -> outlet
+        "nid": np.roll(bp["basin"].to_numpy(), -1),
+        "area": bp["n_cells"].to_numpy(np.float64) * 900.0,
+    })
+    table.loc[table.index[-1], "nid"] = -9998
+    relabel = reduce_basin_number(table, max(2, n // 2))
+    return spark.createDataFrame(relabel)
 
 def q_span_invariant(spark, sf_dir):
     """North_rule invariant: span sequence (kind,text,media_ref,order) hashed
@@ -647,11 +772,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tile_attach": q_doc_tile_attach,
         "knn_docs": q_knn_docs,
         "events_hourly": q_events_hourly,
+        "polygon_adjacency": q_polygon_adjacency,
+        "cluster_rmse": q_cluster_rmse,
         "span_invariant": q_span_invariant,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "terrain_pipeline": q_terrain_pipeline,
         "doc_cell_ids": q_doc_cell_ids,
+        "tiles_kmeans": q_tiles_kmeans,
+        "hillslope_props": q_hillslope_props,
+        "hru_props": q_hru_props,
+        "reduce_basins": q_reduce_basins,
     }
 
 
@@ -999,6 +1130,32 @@ def oracle_sql() -> dict[str, str]:
                    round(dist, 6) AS dist
             FROM scored
             QUALIFY rank <= 5""",
+        "polygon_adjacency": f"""
+            WITH {_SQL_RECT_WINNER},
+            poly AS (
+              SELECT i, j,
+                     CAST(CASE WHEN attr = -9999.0 THEN 0 ELSE attr END AS BIGINT)
+                       AS polygon
+              FROM burned),
+            contacts AS (
+              SELECT a.polygon AS pa, b.polygon AS pb
+              FROM poly a JOIN poly b ON b.i = a.i AND b.j = a.j + 1
+              WHERE a.polygon > 0 AND b.polygon > 0 AND a.polygon <> b.polygon
+              UNION ALL
+              SELECT a.polygon AS pa, b.polygon AS pb
+              FROM poly a JOIN poly b ON b.i = a.i + 1 AND b.j = a.j
+              WHERE a.polygon > 0 AND b.polygon > 0 AND a.polygon <> b.polygon)
+            SELECT DISTINCT least(pa, pb) AS pid_a, greatest(pa, pb) AS pid_b
+            FROM contacts""",
+        "cluster_rmse": """
+            WITH mm AS (SELECT min(value) mn, max(value) mx FROM events),
+            d AS (SELECT event_type, (value - mn) / (mx - mn) AS norm
+                  FROM events, mm),
+            c AS (SELECT norm,
+                         avg(norm) OVER (PARTITION BY event_type) AS mean_c
+                  FROM d)
+            SELECT round(sqrt(avg((norm - mean_c) * (norm - mean_c))), 9) AS rmse
+            FROM c""",
         "events_hourly": """
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_block,
                    count(*) AS n_events,

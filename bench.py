@@ -133,11 +133,20 @@ def main_bench():
 
 def main_scaling():
     """Same flagship job at N and 4N cores, fresh JVM each; efficiency =
-    (rate_4N / rate_N) / 4."""
+    (rate_4N / rate_N) / 4.
+
+    Uses a larger doc count than the default bench (SPARK_GRAFT_SCALE_DOCS,
+    default 20M): scaling efficiency is only meaningful when per-job fixed
+    costs (JVM/session setup, Python-worker spin-up, dimension broadcast) are
+    amortized — at 10^12-doc production scale they vanish entirely, so the
+    bigger input is the honest sandbox proxy.
+    """
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    scale_docs = os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000000")
     results = {}
     for cpus in (n, 4 * n):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_DOCS=scale_docs,
                    SPARK_GRAFT_BENCH_MODE="flagship-only")
         out = subprocess.run([sys.executable, __file__, "--flagship-only"],
                              capture_output=True, text=True, env=env)
@@ -151,7 +160,7 @@ def main_scaling():
         "4n_cores": 4 * n, "docs_per_sec_4N": r_4n,
         "speedup": round(r_4n / r_n, 3),
         "efficiency": round(r_4n / r_n / 4, 3),
-        "docs": N_DOCS,
+        "docs": int(scale_docs),
     }))
 
 

@@ -71,6 +71,36 @@ def exact_dups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def shingles_pudf(k: int = 3):
+    """Arrow-vectorized distinct word-k-shingles — same outputs as the
+    Catalyst ``shingles`` expression, ~30x faster (interpreted higher-order
+    functions dominate otherwise; see minhash_signature_pudf note)."""
+    import re
+
+    from pyspark.sql import types as TY
+
+    ws = re.compile(r"\s+", re.ASCII)
+    nonal = re.compile(r"[^a-z0-9\s]", re.ASCII)
+
+    @F.pandas_udf(TY.ArrayType(TY.StringType()))
+    def sh(text):
+        import pandas as pd
+        out = []
+        for t in text:
+            norm = ws.sub(" ", nonal.sub(" ", (t or "").lower())).strip()
+            toks = norm.split(" ")
+            seen, grams = set(), []
+            for i in range(max(len(toks) - k + 1, 1)):
+                g = " ".join(toks[i:i + k])
+                if g not in seen:
+                    seen.add(g)
+                    grams.append(g)
+            out.append(grams)
+        return pd.Series(out)
+
+    return sh
+
+
 def minhash_signature_pudf(k: int = 3, n_hashes: int = N_MINHASH):
     """Arrow-vectorized MinHash signature UDF — the hot path.
 
@@ -190,8 +220,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """
     sh = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    )
+        F.explode(shingles_pudf(k)(F.col(text_col))).alias("shingle"),
+    ).localCheckpoint(eager=True)  # materialize before the two-sided reuse
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a").join(sh.alias("b"), "shingle")

@@ -1,0 +1,380 @@
+"""Clustering / tiling operators (SURVEY.md §2.10 M1-M7, A8, A9, G14).
+
+The reference clusters with sklearn KMeans/MiniBatchKMeans under fixed seeds
+(``terrain_tools.py:85,72,755``). sklearn is absent from this environment, so
+``kmeans_pp`` is a from-scratch numpy k-means++ + Lloyd with the same seed
+contract — deterministic across runs and partitions, semantically equivalent
+(same objective, same cluster-count clamping and QC fallbacks), though not
+bit-identical to sklearn's label assignment. All call sites keep the
+reference's exact pre/post-processing (subsampling seeds, min-max scaling,
+sequential global ids, dense relabel).
+
+Distribution strategy: per-zone clustering runs inside ``applyInPandas``
+keyed by zone (zones are independent — embarrassingly parallel); whole-table
+clusterings (M5/M6) operate on zone PROPERTY tables, which are tiny by
+construction (#zones << #cells), so they run driver-side and ship back as a
+broadcast relabel map — the same shape the reference uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNDEF = -9999.0
+
+
+# ---------------------------------------------------------------- numpy core
+
+def _kmeans_pp_init(X: np.ndarray, nc: int, rng: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007)."""
+    n = X.shape[0]
+    centers = np.empty((nc, X.shape[1]))
+    centers[0] = X[rng.randint(n)]
+    d2 = np.sum((X - centers[0]) ** 2, axis=1)
+    for k in range(1, nc):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers[k] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((X - centers[k]) ** 2, axis=1))
+    return centers
+
+
+def kmeans_pp(X: np.ndarray, nc: int, seed: int = 35799,
+              max_iter: int = 300, tol: float = 1e-6) -> np.ndarray:
+    """Lloyd's k-means with k-means++ init; returns labels 0..nc-1.
+
+    Deterministic for a given (X, nc, seed). Empty clusters are re-seeded at
+    the farthest point (keeps exactly nc non-empty clusters like sklearn).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centers = _kmeans_pp_init(X, nc, rng)
+    labels = np.zeros(X.shape[0], dtype=np.int64)
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = np.argmin(d2, axis=1)
+        new_centers = centers.copy()
+        for k in range(nc):
+            m = labels == k
+            if m.any():
+                new_centers[k] = X[m].mean(axis=0)
+            else:  # re-seed empty cluster at the farthest point
+                new_centers[k] = X[np.argmax(d2.min(axis=1))]
+        shift = np.sum((new_centers - centers) ** 2)
+        centers = new_centers
+        if shift <= tol:
+            break
+    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def cluster_data(X: np.ndarray, nc: int) -> np.ndarray:
+    """M1 ``cluster_data`` (terrain_tools.py:67-95): subsample cap 1e5 with
+    seed 1245 (used only to clamp nc in this snapshot — the reference fits
+    on the FULL X, :84-90), nc clamped to sample size, nc<=1 -> zeros,
+    KMeans(seed 35799) labels otherwise."""
+    minsamples = 10 ** 5
+    if X.shape[0] > minsamples:
+        np.random.seed(1245)
+        idx = np.random.choice(np.arange(X.shape[0]), minsamples)
+    else:
+        idx = np.arange(X.shape[0])
+    if idx.size < nc:
+        nc = idx.size
+    if nc > 1:
+        return kmeans_pp(X, nc, seed=35799).astype(np.float64)
+    return np.zeros(X.shape[0])
+
+
+def minibatch_kmeans_fixed(X: np.ndarray, nc: int, seed: int = 1) -> np.ndarray:
+    """M2's MiniBatchKMeans(random_state=1, init=0.5*ones, batch_size=25*nc)
+    (terrain_tools.py:760-764). The reference's init places ALL centers at
+    the same point (0.5 vector) and relies on MBK's internal random
+    reassignment to split them; here the centers get a tiny seeded jitter
+    around 0.5 to break the tie, then full-batch Lloyd — deterministic and
+    the same objective."""
+    centers = fit_kmeans_fixed(np.asarray(X, dtype=np.float64), nc, seed)
+    return predict_kmeans(np.asarray(X, dtype=np.float64), centers)
+
+
+def fit_kmeans_fixed(X: np.ndarray, nc: int, seed: int = 1) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    centers = 0.5 * np.ones((nc, X.shape[1])) + 1e-4 * rng.standard_normal((nc, X.shape[1]))
+    for _ in range(300):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = np.argmin(d2, axis=1)
+        new_centers = centers.copy()
+        for k in range(nc):
+            m = labels == k
+            if m.any():
+                new_centers[k] = X[m].mean(axis=0)
+        if np.sum((new_centers - centers) ** 2) <= 1e-12:
+            centers = new_centers
+            break
+        centers = new_centers
+    return centers
+
+
+def predict_kmeans(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+# --------------------------------------------------------------- Spark M2/M3
+
+def create_tiles_kmeans(cells: DataFrame, covariate_cols: list[str],
+                        ntiles: int, zone_col: str = "basins") -> DataFrame:
+    """M2 ``create_tiles_kmeans`` (terrain_tools.py:727-787) distributed.
+
+    Per-basin: min-max normalize covariates (:749-751), subsample cap with
+    seed 1 (:754-760), cluster to ``ntiles`` local labels; then the
+    reference's GLOBAL sequential ids (icluster offsets in ascending basin
+    order, :777-780) via a window cumsum of per-basin label counts, and the
+    final dense relabel (:782-787). Returns (i, j, tile).
+
+    One shuffle (groupBy basin) + one broadcast join for the offsets —
+    basins are independent, so this parallelizes across all executors.
+    """
+    spark = cells.sparkSession
+    src = cells.filter(F.col(zone_col) > 0)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[covariate_cols].to_numpy(np.float64)
+        for c in range(X.shape[1]):
+            lo, hi = X[:, c].min(), X[:, c].max()
+            X[:, c] = (X[:, c] - lo) / (hi - lo) if hi > lo else 0.0
+        minsamples = 10 ** 5
+        if X.shape[0] > minsamples:
+            np.random.seed(1)
+            Xf = X[np.random.choice(np.arange(X.shape[0]), minsamples), :]
+        else:
+            Xf = X
+        nc = min(ntiles, Xf.shape[0])
+        if nc > 1:
+            # fit on the subsample, predict on the full set (:760-765)
+            centers = fit_kmeans_fixed(Xf, nc)
+            labels = predict_kmeans(X, centers)
+        else:
+            labels = np.zeros(X.shape[0], dtype=np.int64)
+        return pd.DataFrame({
+            "i": pdf["i"], "j": pdf["j"], "zone": pdf[zone_col],
+            "local_tile": np.asarray(labels, dtype=np.int64),
+        })
+
+    local = (src.select("i", "j", zone_col, *covariate_cols)
+             .groupBy(zone_col)
+             .applyInPandas(kern, schema="i int, j int, zone long, local_tile long"))
+    # global sequential ids: offset = cumulative distinct-label count of
+    # preceding basins (ascending basin order, like the reference's loop)
+    counts = (local.groupBy("zone")
+              .agg(F.countDistinct("local_tile").alias("k")))
+    w = Window.orderBy("zone").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))
+    tiled = (local.join(F.broadcast(offsets.select("zone", "off")), "zone")
+             .withColumn("tile_raw", F.col("local_tile") + F.col("off")))
+    # dense relabel to 0..K-1 (cleanup, :782-787)
+    distinct = tiled.select("tile_raw").distinct()
+    relabel = distinct.withColumn(
+        "tile", F.dense_rank().over(Window.orderBy("tile_raw")) - 1)
+    return (tiled.join(F.broadcast(relabel), "tile_raw")
+            .select("i", "j", F.col("tile").cast("long").alias("tile")))
+
+
+def create_hrus(cells: DataFrame, covariate_cols: list[str],
+                weights: dict[str, float], nclusters: int,
+                hillslope_col: str = "hillslopes",
+                tile_col: str = "tile") -> DataFrame:
+    """M3 ``create_hrus_hydroblocks`` (terrain_tools.py:1023-1154): per
+    (hillslope, tile) group, weight-scaled normalized covariates -> M1
+    clusters -> global sequential ids -> dense relabel. Returns (i, j, hru).
+    """
+    src = cells.filter((F.col(hillslope_col) > 0) & (F.col(tile_col) >= 0))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[covariate_cols].to_numpy(np.float64)
+        for c, name in enumerate(covariate_cols):
+            col = X[:, c]
+            ok = col != UNDEF
+            if ok.any():
+                col[~ok] = col[ok].mean()
+            lo, hi = col.min(), col.max()
+            col = (col - lo) / (hi - lo) if hi > lo else np.zeros_like(col)
+            X[:, c] = weights.get(name, 1.0) * col
+        labels = cluster_data(X, nclusters).astype(np.int64)
+        return pd.DataFrame({"i": pdf["i"], "j": pdf["j"],
+                             "hs": pdf[hillslope_col].astype(np.int64),
+                             "tl": pdf[tile_col].astype(np.int64),
+                             "local_hru": labels})
+
+    local = (src.select("i", "j", hillslope_col, tile_col, *covariate_cols)
+             .groupBy(hillslope_col, tile_col)
+             .applyInPandas(kern, schema="i int, j int, hs long, tl long, local_hru long"))
+    counts = local.groupBy("hs", "tl").agg(F.countDistinct("local_hru").alias("k"))
+    w = Window.orderBy("hs", "tl").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))
+    hrud = (local.join(F.broadcast(offsets.select("hs", "tl", "off")), ["hs", "tl"])
+            .withColumn("hru_raw", F.col("local_hru") + F.col("off")))
+    relabel = hrud.select("hru_raw").distinct().withColumn(
+        "hru", F.dense_rank().over(Window.orderBy("hru_raw")))
+    return (hrud.join(F.broadcast(relabel), "hru_raw")
+            .select("i", "j", F.col("hru").cast("long").alias("hru")))
+
+
+# ------------------------------------------------------- M5/M6 + relabel J4
+
+def cluster_zone_table(props: DataFrame, feature_cols: list[str],
+                       nc: int, id_col: str) -> DataFrame:
+    """M5/M6 ``cluster_hillslopes``/``cluster_basins_updated``
+    (terrain_tools.py:1316-1371,1492-1522): cluster the (small) zone
+    property table; returns (id_col, cluster) — broadcast-join this back to
+    cells for J4 ``assign_clusters_to_hillslopes`` (terrain_tools.f90:
+    1727-1748). Min-max normalization per feature before clustering
+    (:1341-1344)."""
+    pdf = props.select(id_col, *feature_cols).toPandas()
+    X = pdf[feature_cols].to_numpy(np.float64)
+    for c in range(X.shape[1]):
+        lo, hi = X[:, c].min(), X[:, c].max()
+        X[:, c] = (X[:, c] - lo) / (hi - lo) if hi > lo else 0.0
+    labels = cluster_data(X, nc).astype(np.int64) + 1  # ids 1..nc
+    out = pd.DataFrame({id_col: pdf[id_col], "cluster": labels})
+    return props.sparkSession.createDataFrame(out)
+
+
+def assign_clusters(cells: DataFrame, relabel: DataFrame,
+                    zone_col: str, id_col: str) -> DataFrame:
+    """J4: relabel a zone map through a (zone -> cluster) table; unmatched
+    zones keep NULL (reference leaves -9999, terrain_tools.f90:1739-1744)."""
+    return cells.join(
+        F.broadcast(relabel.select(F.col(id_col).alias(zone_col), "cluster")),
+        zone_col, "left")
+
+
+# ----------------------------------------------------------------------- A8
+
+def performance_metrics(cells: DataFrame, cluster_col: str,
+                        covariate_cols: list[str]) -> DataFrame:
+    """A8 ``compute_performance_metrics`` (terrain_tools.py:97-129): replace
+    each covariate by its cluster mean, report global RMSE per covariate on
+    min-max normalized values. One window pass + one global agg."""
+    out_aggs = []
+    df = cells
+    for c in covariate_cols:
+        mm = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
+        rng = (mm["mx"] - mm["mn"]) or 1.0
+        norm = (F.col(c) - F.lit(mm["mn"])) / F.lit(rng)
+        mean_c = F.avg(norm).over(Window.partitionBy(cluster_col))
+        df = df.withColumn(f"_sq_{c}", (norm - mean_c) ** 2)
+        out_aggs.append(F.sqrt(F.avg(f"_sq_{c}")).alias(f"rmse_{c}"))
+    return df.agg(*out_aggs)
+
+
+def compute_cluster_parameters(cells: DataFrame, covariate_cols: list[str],
+                               tolerances: dict[str, float],
+                               nc0: int = 2, max_rounds: int = 10,
+                               zone_col: str = "basins") -> tuple[DataFrame, int]:
+    """M4 (terrain_tools.py:131-209) driver loop, bounded: double the
+    cluster count until every covariate's A8 RMSE is within tolerance
+    (the reference also adapts per-covariate weights; weight adaptation is
+    equivalent to tolerance scaling here). Returns (cells+cluster, nc)."""
+    nc = nc0
+    src = cells.filter(F.col(zone_col) > 0).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        tiled = create_tiles_kmeans(src, covariate_cols, nc, zone_col=zone_col)
+        joined = src.join(tiled, ["i", "j"])
+        rmse = performance_metrics(joined, "tile", covariate_cols).collect()[0]
+        if all(rmse[f"rmse_{c}"] <= tolerances.get(c, 0.1) for c in covariate_cols):
+            return joined, nc
+        nc *= 2
+    return joined, nc
+
+
+# ----------------------------------------------------------------------- A9
+
+def reduce_basin_number(bp: pd.DataFrame, nbasins_goal: int) -> pd.DataFrame:
+    """A9 ``reduce_basin_number`` (terrain_tools.py:293-338) — iterative
+    merge of small basins into their downstream neighbor minimizing the
+    area standard deviation; candidate set = 10 smallest.
+
+    Runs driver-side on the collected basin table (small by construction);
+    returns a relabel map (old_basin -> new_basin) with new ids densified
+    1..K (:330-335), to broadcast-join onto the cell table.
+    """
+    ids = bp["id"].to_numpy(np.int64) - 1
+    nids = bp["nid"].to_numpy(np.int64) - 1
+    area = bp["area"].to_numpy(np.float64).copy()
+    orig = bp["id"].to_numpy(np.int64)
+    # track final id of every original basin
+    final = {int(i): int(i) for i in orig}
+    nbasins = ids.size
+    while nbasins > nbasins_goal:
+        ibs = np.argsort(area, kind="stable")[:10]
+        astd = []
+        for ib in ibs:
+            area_cp = area.copy()
+            area_cp[ids == nids[ib]] += area_cp[ib]
+            astd.append(np.std(area_cp))
+        astd = np.array(astd)
+        ok = nids[ibs] >= 0
+        if not ok.any():
+            break
+        tmp = np.argmin(astd[ok])
+        ib = ibs[np.where(astd == astd[ok][tmp])[0][0]]
+        # merge basin ib into its downstream neighbor
+        area[ids == nids[ib]] += area[ib]
+        merged_into = int(nids[ib]) + 1
+        merged_from = int(ids[ib]) + 1
+        for k, v in final.items():
+            if v == merged_from:
+                final[k] = merged_into
+        nids[nids == ids[ib]] = nids[ib]
+        ids = np.delete(ids, ib)
+        nids = np.delete(nids, ib)
+        area = np.delete(area, ib)
+        nbasins -= 1
+    # dense reassignment 1..K in ascending surviving-id order (:330-333)
+    survivors = sorted(set(final.values()))
+    dense = {s: k + 1 for k, s in enumerate(survivors)}
+    return pd.DataFrame({
+        "old_basin": list(final.keys()),
+        "new_basin": [dense[v] for v in final.values()],
+    })
+
+
+# ---------------------------------------------------------------------- G14
+
+def basin_count_bisection(acc_cells: DataFrame, meta, nbasins_goal: int,
+                          res: float, basin_threshold: float,
+                          log_th_range: tuple[float, float] = (4.0, 9.0),
+                          max_iter: int = 10,
+                          tolerance: int = 0) -> tuple[DataFrame, float, int]:
+    """G14 ``compute_basin_delineation_nbasins`` (terrain_tools.py:211-253):
+    bisection on log10(channel threshold) to hit a target basin count.
+
+    ``acc_cells`` carries (i, j, fi, fj, area, mask, dem, ...) — fdir/acc are
+    computed ONCE and reused across probes (the reference recomputes them
+    every probe; caching is the optimization its own bisection begs for).
+    Each probe = channels + basins + countDistinct. Returns
+    (cells+basins of best probe, threshold, nbasins).
+    """
+    from .terrain import channel_segments, delineate_basins
+    src = acc_cells.localCheckpoint(eager=True)
+    lo, hi = log_th_range
+    best = None
+    for _ in range(max_iter):
+        mid = 0.5 * (lo + hi)
+        th = 10.0 ** mid
+        chdf, _ = channel_segments(src, meta, th, basin_threshold)
+        with_ch = src.join(chdf.select("i", "j", "channels"), ["i", "j"])
+        basins = delineate_basins(with_ch, meta)
+        n = basins.filter(F.col("basins") > 0).select("basins").distinct().count()
+        if best is None or abs(n - nbasins_goal) < abs(best[2] - nbasins_goal):
+            best = (basins, th, n)  # keep the closest probe, not the last
+        if abs(n - nbasins_goal) <= tolerance:
+            break
+        if n > nbasins_goal:  # too many basins -> raise threshold
+            lo = mid
+        else:
+            hi = mid
+    return best

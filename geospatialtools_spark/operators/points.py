@@ -100,7 +100,16 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
             out.append(np.unique(np.concatenate(rings)).tolist() if rings else [])
         return pd.Series(out)
 
-    pending = q.withColumn("r0", F.lit(0)).withColumn("r1", F.lit(1))
+    # initial ring radius from target density: aim for ~3k candidates in the
+    # first gather so most queries finish in ONE round (each extra round is
+    # a full explode+join+checkpoint pass — the dominant cost)
+    import math
+    n_t = t.count()
+    n_cells = t.select("tcell").distinct().count()
+    density = n_t / max(n_cells, 1)
+    r_est = max(1, min(8, math.ceil(0.5 * (math.sqrt(3.0 * k / max(density, 1e-9)) - 1))))
+
+    pending = q.withColumn("r0", F.lit(0)).withColumn("r1", F.lit(int(r_est)))
     results = None
     finished = []  # (qid, qlat, qlon, qcell, r1) with >= k candidates
     for rnd in range(max_rounds):

@@ -103,7 +103,14 @@ def apply_stencil(
             b = np.full((i1 - i0, j1 - j0), fill, dtype=np.float64)
             b[ii, jj] = pdf[c].to_numpy()
             blocks[c] = b
-        res = kernel(blocks, i0, j0, meta)
+        if getattr(kernel, "needs_core", False):
+            # core window in block coordinates — for kernels that must NOT
+            # touch halo cells (e.g. iterative fixpoints where halo rows are
+            # other tiles' current estimates)
+            res = kernel(blocks, i0, j0, meta,
+                         (ci0 - i0, ci1 - i0, cj0 - j0, cj1 - j0))
+        else:
+            res = kernel(blocks, i0, j0, meta)
         ci, cj = np.meshgrid(np.arange(ci0, ci1), np.arange(cj0, cj1), indexing="ij")
         out = {
             "tile_i": np.full(ci.size, ti, dtype=np.int32),

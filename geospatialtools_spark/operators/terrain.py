@@ -188,7 +188,8 @@ def _topo_acc(n: int, src: np.ndarray, dst: np.ndarray, base: np.ndarray) -> np.
 
 def flow_accumulation(fdir_df: DataFrame, meta: GridMeta, res: float,
                       mask_df: DataFrame | None = None,
-                      max_rounds: int = 64) -> DataFrame:
+                      max_rounds: int = 64,
+                      base_col: str | None = None) -> DataFrame:
     """G3 step 2 / G4: upstream cell counts -> area (terrain_tools.f90:232-249).
 
     fdir_df: (tile_i, tile_j, i, j, fi, fj). Exact integer accumulation:
@@ -212,7 +213,8 @@ def flow_accumulation(fdir_df: DataFrame, meta: GridMeta, res: float,
         (F.col("dst_ti") != F.col("tile_i")) | (F.col("dst_tj") != F.col("tile_j"))
     ).select(F.col("id").alias("src"), "dst_ti", "dst_tj", "dst").localCheckpoint(eager=True)
 
-    base_cells = fdir_df.select("tile_i", "tile_j", "i", "j", "fi", "fj").localCheckpoint(eager=True)
+    base_sel = ["tile_i", "tile_j", "i", "j", "fi", "fj"] + ([base_col] if base_col else [])
+    base_cells = fdir_df.select(*base_sel).localCheckpoint(eager=True)
     inflow_schema = "dst_ti int, dst_tj int, dst long, val long"
     acc_schema = "tile_i int, tile_j int, i int, j int, acc long"
 
@@ -227,7 +229,11 @@ def flow_accumulation(fdir_df: DataFrame, meta: GridMeta, res: float,
             gid = ii * ny + jj
             idx = {g: k for k, g in enumerate(gid)}
             n = len(gid)
-            base = np.ones(n, dtype=np.int64)
+            # G5 seeded variant (terrain_tools.f90:303-414): base = seed
+            # indicator instead of 1 -> acc(v) counts the seeds whose flow
+            # path passes v (each seed once: unique downstream paths)
+            base = (cells_pdf[base_col].to_numpy(np.int64).copy()
+                    if base_col else np.ones(n, dtype=np.int64))
             if len(inflow_pdf):
                 for d, v in zip(inflow_pdf["dst"].to_numpy(np.int64),
                                 inflow_pdf["val"].to_numpy(np.int64)):
@@ -713,3 +719,125 @@ def gap_fill_hrus(cells: DataFrame, meta: GridMeta) -> DataFrame:
 
     return stencil.apply_stencil(cells, meta, ["hru", "channels"], kernel,
                                  [("hru_filled", "long")], halo=1)
+
+
+# ---------------------------------------------------------------------------
+# MFD accumulation (G5c) + one-step neighbor inflow (G5b)
+# ---------------------------------------------------------------------------
+
+def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
+                     p: float = 1.0, dem_col: str = "dem",
+                     max_rounds: int = 64) -> DataFrame:
+    """G5c Freeman multiple-flow-direction accumulation
+    (terrain_tools.f90:517-626, ``fract_flow_mfd`` :581-626) — iterative
+    tile+halo fixpoint matching oracle.mfd_acc bit-for-bit.
+
+    Each round re-derives every tile's catchment densely (descending-dem
+    order, float32 additions in the Fortran's positions order) using the
+    PREVIOUS round's neighbor-tile catchment estimates in the halo; upstream
+    tiles converge first, so the fixpoint arrives in <= tile-graph-diameter
+    rounds (detected by exact equality of the global float32 bit-checksum).
+    Halo = 2: the donor-side normalization (angle_sum of a halo-1 cell)
+    needs that cell's own neighbors.
+
+    Scale note: per round only O(perimeter) halo rows shuffle; rounds grow
+    with the longest cross-tile flow path in TILES (not cells), so larger
+    tiles trade fewer rounds for more per-task memory — at 100 TB pick
+    tiles of 4-16k cells/side.
+    """
+    from ..oracle.terrain import P8, DIAG
+
+    t = meta.tile
+    res32 = np.float32(res)
+    p32 = np.float32(p)
+
+    state = cells.select("tile_i", "tile_j", "i", "j", F.col(dem_col).alias("dem")) \
+        .withColumn("catch", F.lit(1.0))
+    state = state.localCheckpoint(eager=True)
+
+    def make_kernel():
+        def kern(blocks, i0, j0, m, core):
+            dem = blocks["dem"].astype(np.float32)
+            prev = blocks["catch"].astype(np.float32)
+            h, w = dem.shape
+            ci0, ci1, cj0, cj1 = core
+            # per-cell downhill slope^p normalization (fract_flow_mfd:600-612)
+            angle = np.zeros((h, w), dtype=np.float32)
+            for (k, l) in P8:
+                s = np.zeros((h, w), dtype=np.float32)
+                i0c, i1c = max(0, -k), h - max(0, k)
+                j0c, j1c = max(0, -l), w - max(0, l)
+                length = DIAG * res32 if (k + l) in (-2, 0, 2) else res32
+                d = (dem[i0c:i1c, j0c:j1c] - dem[i0c + k:i1c + k, j0c + l:j1c + l]) / length
+                lower = dem[i0c:i1c, j0c:j1c] > dem[i0c + k:i1c + k, j0c + l:j1c + l]
+                s[i0c:i1c, j0c:j1c] = np.where(lower & ~np.isnan(d), d, 0.0)
+                s[np.isnan(s)] = 0.0
+                angle = (angle + s ** p32).astype(np.float32)
+            catch = prev.copy()
+            nanmask = np.isnan(dem)
+            # recompute CORE cells only, in descending dem order; halo cells
+            # keep the neighbor tiles' current estimates. P8-ordered float32
+            # additions (oracle.mfd_acc main loop)
+            order = np.argsort(-np.where(nanmask, -np.inf, dem), axis=None, kind="stable")
+            oi, oj = np.unravel_index(order, (h, w))
+            for idx in range(order.size):
+                i, j = int(oi[idx]), int(oj[idx])
+                if nanmask[i, j]:
+                    continue
+                if not (ci0 <= i < ci1 and cj0 <= j < cj1):
+                    continue
+                acc = np.float32(1.0)
+                for (k, l) in P8:
+                    inew, jnew = i + k, j + l
+                    if inew < 0 or jnew < 0 or inew >= h or jnew >= w:
+                        continue
+                    if nanmask[inew, jnew] or not dem[inew, jnew] > dem[i, j]:
+                        continue
+                    if angle[inew, jnew] == 0.0:
+                        fract = np.float32(0.0)
+                    else:
+                        length = DIAG * res32 if (k + l) in (-2, 0, 2) else res32
+                        slope = (dem[inew, jnew] - dem[i, j]) / length
+                        fract = slope ** p32 / angle[inew, jnew]
+                    acc = np.float32(acc + fract * catch[inew, jnew])
+                catch[i, j] = acc
+            return {"catch": catch.astype(np.float64)}
+        kern.needs_core = True
+        return kern
+
+    kern = make_kernel()
+    prev_sum = None
+    for _ in range(max_rounds):
+        new = stencil.apply_stencil(state, meta, ["dem", "catch"], kern,
+                                    [("catch", "double")], halo=2)
+        state = (new.join(cells.select("i", "j", F.col(dem_col).alias("dem")), ["i", "j"])
+                 .select("tile_i", "tile_j", "i", "j", "dem", "catch")
+                 .localCheckpoint(eager=True))
+        chk = state.select(
+            F.sum(F.crc32(F.col("catch").cast("float").cast("string")).cast("long"))
+        ).collect()[0][0]
+        if chk == prev_sum:
+            break
+        prev_sum = chk
+    area = (F.lit(float(res32)).cast("float") * F.lit(float(res32)).cast("float")
+            * F.col("catch").cast("float")).cast("float")
+    return state.select("tile_i", "tile_j", "i", "j",
+                        area.cast("double").alias("mfd_area"))
+
+
+def acc_neighbors(cells: DataFrame, meta: GridMeta, res: float,
+                  var_col: str, dem_col: str = "dem") -> DataFrame:
+    """G5b ``calculate_d8_acc_neighbors`` (terrain_tools.f90:443-515): for
+    each cell, the sum of ``var`` over immediate upstream neighbors
+    (strictly higher AND D8-flowing into it; slopes init 0, diagonals
+    corrected). Non-recursive -> ONE stencil pass, no iteration."""
+    from ..oracle.terrain import d8_acc_neighbors as _oracle_fn
+
+    def kern(blocks, i0, j0, m):
+        dem = np.nan_to_num(blocks["dem"], nan=float(F32_UNDEF))
+        var = np.nan_to_num(blocks[var_col], nan=0.0)
+        out = _oracle_fn(dem, res, var)
+        return {"inflow_sum": out.astype(np.float64)}
+
+    return stencil.apply_stencil(cells, meta, [dem_col, var_col], kern,
+                                 [("inflow_sum", "double")], halo=2)

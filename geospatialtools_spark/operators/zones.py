@@ -1,0 +1,404 @@
+"""Zone property tables (SURVEY.md §2.4 A1-A4, J6) — the reference's
+pickle-dumped dict-of-arrays become plain DataFrames.
+
+Heavy per-zone numerics (A2's bin geometry + curve fits) run inside
+``applyInPandas`` keyed by zone — zones are independent, so this is the
+embarrassingly-parallel shape; outputs are flat columns plus array columns
+for the ragged per-zone arrays (position/d2c/width), exactly the reference's
+property bag. scipy is absent from this environment, so ``curve_fit`` of the
+relief shape is replaced by a deterministic bounded grid+Gauss-Newton least
+squares over the same [1,5]^2 box (same model, same fallback to [1,1]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNDEF = -9999.0
+
+
+# ------------------------------------------------- scalar shape fns (§2.8)
+
+def frelief(x, a, b):
+    """terrain_tools.py:42-43: 1-(1-x^a)^b."""
+    return 1.0 - (1.0 - x ** a) ** b
+
+
+def frelief_inv(x, a, b):
+    """terrain_tools.py:45-46."""
+    return (1.0 - (1.0 - x) ** (1.0 / b)) ** (1.0 / a)
+
+
+def fwidth(x, a):
+    """terrain_tools.py:48-49: 1 + a*x."""
+    return 1.0 + a * x
+
+
+def fit_frelief(x: np.ndarray, y: np.ndarray,
+                bounds=(1.0, 5.0), grid: int = 21) -> tuple[float, float]:
+    """Deterministic bounded least-squares fit of frelief (replaces
+    scipy.optimize.curve_fit at terrain_tools.py:615, bounds [1,5]^2):
+    coarse grid scan then Gauss-Newton refinement projected to the box.
+    Any numerical failure falls back to (1, 1) like the reference's
+    except-branch (:616-617)."""
+    try:
+        lo, hi = bounds
+        gs = np.linspace(lo, hi, grid)
+        best, best_sse = (1.0, 1.0), np.inf
+        for a in gs:
+            for b in gs:
+                r = frelief(x, a, b) - y
+                sse = float(np.dot(r, r))
+                if sse < best_sse:
+                    best_sse, best = sse, (float(a), float(b))
+        a, b = best
+        for _ in range(25):  # Gauss-Newton
+            u = np.clip(x, 1e-12, 1.0)
+            inner = np.clip(1.0 - u ** a, 1e-12, 1.0)
+            f = 1.0 - inner ** b
+            r = f - y
+            # d f / d a = b * inner^(b-1) * u^a * ln(u)
+            dfda = b * inner ** (b - 1.0) * (u ** a) * np.log(u)
+            dfdb = -(inner ** b) * np.log(inner)
+            J = np.stack([dfda, dfdb], axis=1)
+            JTJ = J.T @ J + 1e-9 * np.eye(2)
+            step = np.linalg.solve(JTJ, J.T @ r)
+            a = float(np.clip(a - step[0], lo, hi))
+            b = float(np.clip(b - step[1], lo, hi))
+            if np.linalg.norm(step) < 1e-10:
+                break
+        return a, b
+    except Exception:
+        return 1.0, 1.0
+
+
+# ----------------------------------------------------------------------- A1
+
+def basin_properties(cells: DataFrame, zone_col: str = "basins",
+                     covariate_cols: list[str] | None = None) -> DataFrame:
+    """A1 ``calculate_basin_properties_updated`` (terrain_tools.py:340-392):
+    per-basin means of every covariate ignoring -9999, plus area = res^2 *
+    count (res^2 carried in an 'area' column if present). Single hash agg."""
+    covariate_cols = covariate_cols or [
+        c for c in cells.columns if c not in ("i", "j", "tile_i", "tile_j", zone_col)]
+    aggs = [F.count("*").alias("n_cells")]
+    for c in covariate_cols:
+        aggs.append(F.avg(F.when(F.col(c) != UNDEF, F.col(c))).alias(f"mean_{c}"))
+    return (cells.filter(F.col(zone_col) > 0)
+            .groupBy(F.col(zone_col).alias("basin")).agg(*aggs))
+
+
+# ----------------------------------------------------------------------- A4
+
+def channel_properties(cells: DataFrame, res: float,
+                       channel_col: str = "channels",
+                       slope_col: str = "slope") -> DataFrame:
+    """A4 ``calculate_channel_properties`` (terrain_tools.py:1634-1664):
+    per-channel mean slope + length = count*res, constant manning/width/
+    bankfull placeholders (:1652-1656)."""
+    return (cells.filter(F.col(channel_col) > 0)
+            .groupBy(F.col(channel_col).alias("channel"))
+            .agg(F.avg(F.when(F.col(slope_col) != UNDEF, F.col(slope_col))).alias("slope"),
+                 (F.count("*") * res).alias("length"))
+            .withColumn("manning", F.lit(0.03))
+            .withColumn("width", F.lit(1.0))
+            .withColumn("bankfull", F.lit(1.0)))
+
+
+# ----------------------------------------------------------------------- A2
+
+_HP_SCHEMA = (
+    "hid long, latitude double, longitude double, dem double, aspect double,"
+    " tas double, prec double, slope_mean double, x_aspect double,"
+    " y_aspect double, width_intercept double, width_slope double,"
+    " relief_a double, relief_b double, length double, area double,"
+    " relief double, position_array array<double>, d2c_array array<double>,"
+    " width_array array<double>"
+)
+
+
+def hillslope_properties(cells: DataFrame, res: float,
+                         hillslope_col: str = "hillslopes",
+                         covariates: list[str] | None = None) -> DataFrame:
+    """A2 ``calculate_hillslope_properties_updated``
+    (terrain_tools.py:394-668) as a grouped-map kernel — the reference's
+    biggest function, run verbatim-in-semantics per hillslope:
+
+    - covariate means ignoring -9999 (:634-639), aspect to cartesian (:398-400)
+    - HAND equal-frequency binning, nc = min(25, area/8100, #distinct) (:437-444)
+    - per-bin mean slope / mean d2c / area, sorted by d2c (:455-470)
+    - trapezoid walk -> per-bin length, position, mid-HAND (:477-516)
+    - QC fallback to the canonical 2-bin hillslope (:513-518 semantics:
+      zero length or zero relief)
+    - width = area/length; weighted linear width fit (np.polyfit, cosine
+      weights, :589-599), slope clamped to [-0.99, 99] (:600-601)
+    - relief curve frelief fit over [1,5]^2, fallback [1,1] (:611-617)
+    """
+    if covariates is None:
+        covariates = [c for c in ("dem", "latitude", "longitude", "tas", "prec")
+                      if c in cells.columns]
+    need = ["i", "j", hillslope_col, "hand", "slope", "aspect", *covariates]
+    # undefined-HAND cells cannot enter the bin geometry (the reference's
+    # rasters carry valid HAND on every hillslope cell; ours may not at the
+    # ocean boundary)
+    src = cells.filter((F.col(hillslope_col) > 0)
+                       & (F.col("hand") != UNDEF)
+                       & (F.col("slope") != UNDEF)).select(*need)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        uh = int(pdf[hillslope_col].iloc[0])
+        sd2c = pdf["hand"].to_numpy(np.float64)
+        sslope = pdf["slope"].to_numpy(np.float64)
+        m = np.ones(len(pdf), dtype=bool)
+
+        nc = min(25, int(np.ceil(m.sum() * res ** 2 / 8100.0)))
+        nc = min(nc, np.unique(sd2c[m]).size)
+        if nc > 1:
+            tmp_sorted = np.sort(sd2c[m])
+            stride = int(np.ceil(float(tmp_sorted.size) / (nc + 1)))
+            bin_edges = tmp_sorted[np.arange(0, tmp_sorted.size, stride)]
+            cls = np.digitize(sd2c[m], bin_edges)
+        else:
+            cls = np.ones(m.sum(), dtype=np.int64)
+
+        slope_b, d2c_b, area_b = [], [], []
+        for cl in np.unique(cls):
+            m1 = cls == cl
+            if not m1.any():
+                continue
+            slope_b.append(np.mean(sslope[m1]))
+            d2c_b.append(np.mean(sd2c[m1]))
+            area_b.append(res ** 2 * np.sum(m1))
+        order = np.argsort(d2c_b, kind="stable")
+        s = np.array(slope_b)[order]
+        d2c = np.array(d2c_b)[order]
+        area = np.array(area_b)[order]
+        s[s == 0] = 1e-4
+
+        length, slopes, hand, position = [], [], [], []
+        r = pos = 0.0
+        for k in range(d2c.size):
+            if k == 0:
+                l = d2c[k] / s[k]
+                slp = s[k]
+                hand.append(l * slp / 2)
+                r = l * slp
+                pos = l / 2
+            else:
+                slp = (s[k] + s[k - 1]) / 2
+                l = (d2c[k] - r) / slp
+                hand.append(r + l * slp / 2)
+                r = r + l * slp
+                pos = pos + l / 2
+            slopes.append(slp)
+            position.append(pos)
+            length.append(l)
+        length = np.array(length)
+        slopes = np.array(slopes)
+        position = np.array(position)
+        hand = np.array(hand)
+        if (np.min(length) == 0.0) or (np.max(hand) == 0.0):
+            hand = np.array([0.5, 1.5])
+            length = np.array([10.0, 10.0])
+            slopes = np.array([0.1, 0.1])
+            position = np.array([5.0, 15.0])
+            area = np.array([900.0, 900.0])
+
+        width = area / length
+        position_e = np.array([0.0, *position, length[-1] / 2])
+        w = np.array([width[0], *width, width[-1]])
+        d2c_e = np.array([0.0, *hand, hand[-1]])
+        relief = d2c_e[-1]
+        position_e = position_e / np.sum(length)
+        d2c_n = d2c_e / relief
+
+        if d2c_n.size == 3:
+            fw = [0.0, 1.0]
+            fr = (1.0, 1.0)
+        else:
+            weights = np.cos(np.linspace(-np.pi / 4, np.pi / 4, position_e.size - 2))
+            weights = weights / np.sum(weights)
+            tmp = w / np.max(w)
+            w[tmp > 100] = 100 * tmp[tmp > 100]
+            z = np.polyfit(position_e[1:-1], w[1:-1], 1, w=weights)
+            fw = [z[0] / z[1], 1.0]
+            fw[0] = min(fw[0], 99.0)
+            fw[0] = max(fw[0], -0.99)
+            if d2c_n[1:-1].size > 10:
+                fr = fit_frelief(position_e[1:-1], d2c_n[1:-1])
+            else:
+                fr = (1.0, 1.0)
+
+        def masked_mean(col):
+            v = pdf[col].to_numpy(np.float64)
+            ok = v != UNDEF
+            return float(np.mean(v[ok])) if ok.any() else UNDEF
+
+        aspect = pdf["aspect"].to_numpy(np.float64)
+        ok_a = aspect != UNDEF
+        return pd.DataFrame([{
+            "hid": uh,
+            "latitude": masked_mean("latitude") if "latitude" in pdf else UNDEF,
+            "longitude": masked_mean("longitude") if "longitude" in pdf else UNDEF,
+            "dem": masked_mean("dem"),
+            "aspect": masked_mean("aspect"),
+            "tas": masked_mean("tas") if "tas" in pdf else UNDEF,
+            "prec": masked_mean("prec") if "prec" in pdf else UNDEF,
+            "slope_mean": masked_mean("slope"),
+            "x_aspect": float(np.mean(np.sin(aspect[ok_a]))) if ok_a.any() else UNDEF,
+            "y_aspect": float(np.mean(np.cos(aspect[ok_a]))) if ok_a.any() else UNDEF,
+            "width_intercept": fw[1], "width_slope": fw[0],
+            "relief_a": fr[0], "relief_b": fr[1],
+            "length": float(np.sum(length)), "area": float(np.sum(area)),
+            "relief": float(relief),
+            "position_array": position_e.tolist(),
+            "d2c_array": d2c_n.tolist(),
+            "width_array": w.tolist(),
+        }])
+
+    return src.groupBy(hillslope_col).applyInPandas(kern, schema=_HP_SCHEMA)
+
+
+# ----------------------------------------------------------------------- A3
+
+def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
+                   hillslope_col: str = "hillslopes",
+                   tile_col: str = "tile", hru_col: str = "hru",
+                   hand_col: str = "hand",
+                   slope_col: str = "slope") -> DataFrame:
+    """A3 ``calculate_hru_properties_updated`` (terrain_tools.py:1181-1313).
+
+    Stage 1 (distributed): per-HRU area/slope + 10-bin HAND histogram ->
+    ECDF arrays, -9999 HAND mean-imputed (:1216-1229), inside applyInPandas.
+    Stage 2 (driver): hillslope geometric association — normalized relief
+    segments via frelief_inv, per-segment length/hand/width, hillslope &
+    overall fractions, and the Pelletier-2016 upland/lowland soil-depth rule
+    (:1294-1307) — on the small property tables, then shipped back as a
+    broadcast join.
+    """
+    src = cells.filter(F.col(hru_col) > 0)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        hand = pdf[hand_col].to_numpy(np.float64).copy()
+        ok = hand != UNDEF
+        hand[~ok] = np.mean(hand[ok]) if ok.any() else 0.0
+        hist, bedges = np.histogram(hand, bins=10)
+        ecdf = np.cumsum(hist).astype(np.float64)
+        ecdf = ecdf / ecdf[-1]
+        ecdf = np.append(np.zeros(1), ecdf)
+        return pd.DataFrame([{
+            "hru": int(pdf[hru_col].iloc[0]),
+            "hillslope_id": int(np.mean(pdf[hillslope_col])),
+            "tile_id": int(np.mean(pdf[tile_col])),
+            "area": float(res ** 2 * len(pdf)),
+            "hillslope_slope": float(np.mean(pdf[slope_col])),
+            "hand_ecdf": ecdf.tolist(),
+            "hand_bedges": bedges.tolist(),
+        }])
+
+    _base_schema = ("hru long, hillslope_id long, tile_id long, area double, "
+                    "hillslope_slope double, hand_ecdf array<double>, "
+                    "hand_bedges array<double>")
+    base = src.groupBy(hru_col).applyInPandas(kern, schema=_base_schema).toPandas()
+
+    hpdf = hp.toPandas()
+    # hillslope fractions of total cell count (:1184-1190)
+    hs_counts = (cells.filter(F.col(hillslope_col) > 0)
+                 .groupBy(hillslope_col).agg(F.count("*").alias("n"))).toPandas()
+    total = cells.count()
+    frac_map = {int(r[hillslope_col]): r["n"] / total for _, r in hs_counts.iterrows()}
+    fsum = sum(frac_map.get(int(h), 0.0) for h in hpdf["hid"])
+    n = len(base)
+    for col in ["hillslope_length", "hillslope_hand", "hillslope_position",
+                "hillslope_width", "hillslope_frac", "soil_depth",
+                "depth_to_bedrock", "frac"]:
+        base[col] = np.zeros(n)
+
+    for _, hrow in hpdf.iterrows():
+        hid = int(hrow["hid"])
+        m = (base["hillslope_id"] == hid).to_numpy()
+        if not m.any():
+            continue
+        tids, idx = np.unique(base.loc[m, "tile_id"].to_numpy(), return_inverse=True)
+        nrelief = np.linspace(0, 1, 2 * tids.size + 1)[0::2]
+        a, b = hrow["relief_a"], hrow["relief_b"]
+        length = hrow["length"] * (frelief_inv(nrelief[1:], a, b)
+                                   - frelief_inv(nrelief[:-1], a, b))
+        hand = hrow["relief"] * (nrelief[:-1] + nrelief[1:]) / 2
+        pos_v = frelief_inv(nrelief, a, b)
+        p0 = hrow["width_slope"]
+        width = (fwidth(pos_v[1:], p0) + fwidth(pos_v[:-1], p0)) / 2
+        frac = (width * length) / np.sum(width * length)
+        positions = np.linspace(0, 1, 2 * tids.size + 1)[1::2]
+        base.loc[m, "hillslope_length"] = length[idx]
+        base.loc[m, "hillslope_hand"] = hand[idx]
+        base.loc[m, "hillslope_position"] = positions[idx]
+        base.loc[m, "hillslope_width"] = width[idx]
+        for it, tid in enumerate(tids):
+            m1 = m & (base["tile_id"] == tid).to_numpy()
+            areas = base.loc[m1, "area"].to_numpy()
+            base.loc[m1, "hillslope_frac"] = frac[it] * areas / areas.sum()
+        hfrac = (frac_map.get(hid, 0.0) / fsum) if fsum else 0.0
+        base.loc[m, "frac"] = hfrac * base.loc[m, "hillslope_frac"]
+        # Pelletier 2016 upland/lowland rule (:1294-1307); the soil columns
+        # default to the lowland constants when the upland covariates
+        # (ul_mask, lt_uvt, uhst, uhrt) are absent from hp
+        ul = float(hrow.get("ul_mask", 2.0))
+        lt_uvt = float(hrow.get("lt_uvt", 4.0))
+        if ul >= 1.5:  # lowland
+            soil = 2.0
+            sed = max(lt_uvt - soil, 0.0)
+            soil_depth = soil * np.ones(tids.size)
+            dtb = (soil + sed) * np.ones(tids.size)
+        else:  # upland
+            soil_depth = np.linspace(2.0, float(hrow.get("uhst", 2.0)), tids.size)
+            dtb = np.linspace(lt_uvt, float(hrow.get("uhrt", 4.0)), tids.size)
+        base.loc[m, "soil_depth"] = soil_depth[idx]
+        base.loc[m, "depth_to_bedrock"] = dtb[idx]
+
+    out_schema = (_base_schema + ", hillslope_length double, hillslope_hand double,"
+                  " hillslope_position double, hillslope_width double,"
+                  " hillslope_frac double, soil_depth double,"
+                  " depth_to_bedrock double, frac double")
+    return cells.sparkSession.createDataFrame(base, schema=out_schema)
+
+
+# ----------------------------------------------------------------------- J6
+
+def polygon_adjacency(cells: DataFrame, polygon_col: str = "polygon",
+                      cluster_col: str | None = None) -> dict[str, DataFrame]:
+    """J6 ``compute_polygon_info`` (terrain_tools.f90:1804-1857, wrapper
+    terrain_tools.py:1590-1632): 4-neighbor shifted self-joins emit
+    (polygon, polygon) contact pairs + per-polygon centroids; optional
+    (cluster, cluster) contact pairs when a cluster map is supplied.
+
+    Pure DataFrame: one shuffle per axis shift (Catalyst merges them), one
+    groupBy for centroids — no stencil kernel needed for 1-cell adjacency.
+    """
+    p = cells.filter(F.col(polygon_col) > 0).select(
+        "i", "j", F.col(polygon_col).alias("pid"),
+        *([F.col(cluster_col).alias("cid")] if cluster_col else []))
+    edges = None
+    for di, dj in ((0, 1), (1, 0)):
+        shifted = p.select((F.col("i") + di).alias("i"), (F.col("j") + dj).alias("j"),
+                           F.col("pid").alias("pid2"),
+                           *([F.col("cid").alias("cid2")] if cluster_col else []))
+        e = (p.join(shifted, ["i", "j"])
+             .filter(F.col("pid") != F.col("pid2")))
+        edges = e if edges is None else edges.unionByName(e)
+    pairs = (edges.select(F.least("pid", "pid2").alias("pid_a"),
+                          F.greatest("pid", "pid2").alias("pid_b")).distinct())
+    centroids = p.groupBy("pid").agg(
+        F.avg("i").alias("ci"), F.avg("j").alias("cj"),
+        F.count("*").alias("n_cells"))
+    out = {"edges": pairs, "centroids": centroids}
+    if cluster_col:
+        out["cluster_edges"] = (edges
+                                .filter(F.col("cid") != F.col("cid2"))
+                                .select(F.least("cid", "cid2").alias("cid_a"),
+                                        F.greatest("cid", "cid2").alias("cid_b"))
+                                .distinct())
+    return out

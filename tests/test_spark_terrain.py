@@ -160,3 +160,54 @@ def test_prescribed_fdir_accumulation(spark, grid32, golden32):
                                .select("i", "j", "mask"))
     got = collect_dense(meta, acc, "area")
     assert np.array_equal(got, want)
+
+
+def test_mfd_accumulation(spark, grid32, golden32):
+    """G5c distributed MFD == oracle bit-for-bit (float32)."""
+    meta, dem, mask = grid32
+    cells = cells_df(spark, meta, dem=golden32["filled"].astype(np.float64))
+    out = ST.mfd_accumulation(cells, meta, RES, p=1.0)
+    got = collect_dense(meta, out, "mfd_area")
+    assert np.array_equal(got, golden32["mfd"])
+
+
+def test_acc_neighbors(spark, grid32, golden32):
+    """G5b one-step inflow sum == oracle bit-for-bit."""
+    meta, dem, mask = grid32
+    rng = np.random.RandomState(9)
+    var = rng.rand(meta.nx, meta.ny).astype(np.float32).astype(np.float64)
+    cells = cells_df(spark, meta, dem=golden32["filled"].astype(np.float64),
+                     v=var)
+    out = ST.acc_neighbors(cells, meta, RES, "v")
+    got = collect_dense(meta, out, "inflow_sum")
+    want = T.d8_acc_neighbors(golden32["filled"], RES, var)
+    assert np.array_equal(got, want)
+
+
+def test_seeded_accumulation(spark, fdir_df, grid32, golden32):
+    """G5 seeded counts: acc(v) = #seeds upstream (incl. v)."""
+    meta, dem, mask = grid32
+    rng = np.random.RandomState(5)
+    seeds = (rng.rand(meta.nx, meta.ny) < 0.1).astype(np.int64)
+    sdf = cells_df(spark, meta, seed=seeds)
+    fdir_seeded = fdir_df.join(sdf.select("i", "j", "seed"), ["i", "j"])
+    out = ST.flow_accumulation(fdir_seeded, meta, RES, base_col="seed")
+    got = collect_dense(meta, out, "acc", fill=0, dtype=np.int64)
+    # numpy oracle: push seed counts down the fdir graph topologically
+    fdir = golden32["fdir"]
+    want = T._upstream_counts(fdir) * 0  # shape
+    # brute-force: follow each seed's path
+    want = seeds.copy()
+    for i in range(meta.nx):
+        for j in range(meta.ny):
+            if not seeds[i, j]:
+                continue
+            ci, cj = i, j
+            for _ in range(meta.nx * meta.ny):
+                fi, fj = int(fdir[ci, cj, 0]), int(fdir[ci, cj, 1])
+                if fi == -9999 or not (0 <= fi < meta.nx and 0 <= fj < meta.ny):
+                    break
+                want[fi, fj] += 1
+                ci, cj = fi, fj
+    m = golden32["fdir"][:, :, 0] != -9999
+    assert np.array_equal(got[m], want[m])
