@@ -17,6 +17,8 @@ Two tiers, per the training-data-pipeline mandate:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -110,3 +112,54 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "cosine")
     )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 3, train_sample: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "query_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the centroid-partitioned scale
+    path (FAISS-style coarse quantizer, public design):
+
+    1. train: k-means centroids on a deterministic sample (driver-side — the
+       codebook is tiny; numpy k-means++ from operators/clustering);
+    2. assign: every corpus vector to its nearest centroid (Arrow pandas
+       UDF), giving the partition/bucket key — at 100 TB this is the Iceberg
+       partition column, so a probe reads only nprobe/n_centroids of data;
+    3. probe: each query scans its ``nprobe`` nearest centroid lists only,
+       exact cosine re-rank inside.
+
+    Recall grows with nprobe (nprobe = n_centroids -> exact).
+    """
+    from pyspark.sql import types as TY
+
+    from ..operators.clustering import kmeans_pp_centers
+
+    sample_pdf = (corpus.orderBy(id_col).limit(train_sample)
+                  .select(vec_col).toPandas())
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
+    centroids = kmeans_pp_centers(X, min(n_centroids, len(X)), seed=35799)
+
+    @F.pandas_udf(TY.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((V[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    @F.pandas_udf(TY.ArrayType(TY.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((V[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    c = corpus.withColumn("_list", assign(F.col(vec_col)))
+    q = queries.withColumn("_list", F.explode(probes(F.col(q_vec_col))))
+    scored = c.join(F.broadcast(q), "_list").select(
+        F.col(q_id_col), F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.dropDuplicates([q_id_col, id_col])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, "rank", id_col, "cosine"))

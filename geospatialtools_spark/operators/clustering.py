@@ -41,17 +41,14 @@ def _kmeans_pp_init(X: np.ndarray, nc: int, rng: np.random.RandomState) -> np.nd
     return centers
 
 
-def kmeans_pp(X: np.ndarray, nc: int, seed: int = 35799,
-              max_iter: int = 300, tol: float = 1e-6) -> np.ndarray:
-    """Lloyd's k-means with k-means++ init; returns labels 0..nc-1.
-
-    Deterministic for a given (X, nc, seed). Empty clusters are re-seeded at
-    the farthest point (keeps exactly nc non-empty clusters like sklearn).
-    """
+def kmeans_pp_centers(X: np.ndarray, nc: int, seed: int = 35799,
+                      max_iter: int = 300, tol: float = 1e-6) -> np.ndarray:
+    """Fitted centers of Lloyd's k-means with k-means++ init (deterministic
+    for a given (X, nc, seed)); empty clusters re-seed at the farthest
+    point, like sklearn."""
     X = np.asarray(X, dtype=np.float64)
     rng = np.random.RandomState(seed)
     centers = _kmeans_pp_init(X, nc, rng)
-    labels = np.zeros(X.shape[0], dtype=np.int64)
     for _ in range(max_iter):
         d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         labels = np.argmin(d2, axis=1)
@@ -66,6 +63,14 @@ def kmeans_pp(X: np.ndarray, nc: int, seed: int = 35799,
         centers = new_centers
         if shift <= tol:
             break
+    return centers
+
+
+def kmeans_pp(X: np.ndarray, nc: int, seed: int = 35799,
+              max_iter: int = 300, tol: float = 1e-6) -> np.ndarray:
+    """Labels 0..nc-1 from ``kmeans_pp_centers``."""
+    X = np.asarray(X, dtype=np.float64)
+    centers = kmeans_pp_centers(X, nc, seed, max_iter, tol)
     d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     return np.argmin(d2, axis=1)
 

@@ -841,3 +841,104 @@ def acc_neighbors(cells: DataFrame, meta: GridMeta, res: float,
 
     return stencil.apply_stencil(cells, meta, [dem_col, var_col], kern,
                                  [("inflow_sum", "double")], halo=2)
+
+
+def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
+                      p: int = 1, dem_col: str = "dem",
+                      channel_col: str = "channels", mask_col: str = "mask",
+                      max_rounds: int = 64) -> DataFrame:
+    """G12 ``calculate_depth2channel_mfd`` (terrain_tools.f90:628-746) —
+    tile-iterative fixpoint matching oracle.depth2channel_mfd bit-for-bit.
+
+    Channel cells pin channeldepth = clamp(dem, >=0); every other masked
+    cell is the slope^p-weighted average of its strictly-lower masked
+    neighbors' channeldepths, resolved in ascending-dem order (float32,
+    positions-order additions). Halo carries neighbor tiles' current
+    estimates; values propagate uphill one tile per round.
+    """
+    from ..oracle.terrain import DIAG, P8
+
+    res32 = np.float32(res)
+    undef32 = np.float32(UNDEF)
+    p32 = np.float32(p)
+
+    init_cd = F.when(
+        (F.col("mask") > 0) & (F.col("chan") > 0),
+        F.greatest(F.col("dem").cast("float"), F.lit(0.0).cast("float")).cast("double"),
+    ).otherwise(F.lit(float(UNDEF)))
+    state = cells.select("tile_i", "tile_j", "i", "j",
+                         F.col(dem_col).alias("dem"),
+                         F.col(mask_col).cast("double").alias("mask"),
+                         F.col(channel_col).cast("double").alias("chan")) \
+        .withColumn("cd", init_cd).localCheckpoint(eager=True)
+
+    def make_kernel():
+        def kern(blocks, i0, j0, m, core):
+            ci0, ci1, cj0, cj1 = core
+            dem = blocks["dem"].astype(np.float32)
+            mask = np.nan_to_num(blocks["mask"], nan=0.0)
+            chan = np.nan_to_num(blocks["chan"], nan=0.0)
+            cd = np.nan_to_num(blocks["cd"], nan=float(UNDEF)).astype(np.float32)
+            h, w = dem.shape
+            order = np.argsort(np.where(np.isnan(dem), np.inf, dem),
+                               axis=None, kind="stable")
+            oi, oj = np.unravel_index(order, (h, w))
+            for idx in range(order.size):
+                i, j = int(oi[idx]), int(oj[idx])
+                if not (ci0 <= i < ci1 and cj0 <= j < cj1):
+                    continue
+                if np.isnan(dem[i, j]) or mask[i, j] < 1 or chan[i, j] > 0:
+                    continue
+                slopes = np.zeros(8, dtype=np.float32)
+                for pos, (k, l) in enumerate(P8):
+                    inew, jnew = i + k, j + l
+                    if not (0 <= inew < h and 0 <= jnew < w):
+                        continue
+                    if np.isnan(dem[inew, jnew]) or mask[inew, jnew] == 0:
+                        continue
+                    if dem[i, j] > dem[inew, jnew]:
+                        length = np.float32(DIAG) * res32 if (k + l) in (-2, 0, 2) else res32
+                        slopes[pos] = (dem[i, j] - dem[inew, jnew]) / length
+                angle_sum = np.float32(0.0)
+                for pos in range(8):
+                    angle_sum = np.float32(angle_sum + slopes[pos] ** p32)
+                acc = undef32
+                for pos, (k, l) in enumerate(P8):
+                    inew, jnew = i + k, j + l
+                    if not (0 <= inew < h and 0 <= jnew < w):
+                        continue
+                    if slopes[pos] == 0.0 or np.isnan(dem[inew, jnew]) \
+                            or mask[inew, jnew] == 0:
+                        continue
+                    fract = slopes[pos] ** p32 / angle_sum
+                    if acc == undef32:
+                        acc = np.float32(0.0)
+                    acc = np.float32(acc + fract * cd[inew, jnew])
+                cd[i, j] = acc
+            return {"cd": cd.astype(np.float64)}
+        kern.needs_core = True
+        return kern
+
+    kern = make_kernel()
+    side = cells.select("i", "j", F.col(dem_col).alias("dem"),
+                        F.col(mask_col).cast("double").alias("mask"),
+                        F.col(channel_col).cast("double").alias("chan"))
+    prev = None
+    for _ in range(max_rounds):
+        new = stencil.apply_stencil(state, meta, ["dem", "mask", "chan", "cd"],
+                                    kern, [("cd", "double")], halo=1)
+        state = (new.join(side, ["i", "j"])
+                 .select("tile_i", "tile_j", "i", "j", "dem", "mask", "chan", "cd")
+                 .localCheckpoint(eager=True))
+        chk = state.select(
+            F.sum(F.crc32(F.col("cd").cast("float").cast("string")).cast("long"))
+        ).collect()[0][0]
+        if chk == prev:
+            break
+        prev = chk
+    d2c = (F.col("dem").cast("float") - F.col("cd").cast("float")).cast("float")
+    d2c = F.when(d2c < 0, F.lit(float(UNDEF))) \
+           .when(F.col("mask") <= 0, F.lit(float(UNDEF))) \
+           .otherwise(d2c)
+    return state.select("tile_i", "tile_j", "i", "j",
+                        d2c.cast("double").alias("hand_mfd"))

@@ -906,3 +906,62 @@ def time_average(series: np.ndarray, nt_out: int) -> np.ndarray:
     nt_in = series.size
     dt = nt_in // nt_out
     return series[: nt_out * dt].reshape(nt_out, dt).sum(axis=1) / dt
+
+
+def depth2channel_mfd(channels: np.ndarray, mask: np.ndarray, dem: np.ndarray,
+                      res: float, p: int = 1) -> np.ndarray:
+    """calculate_depth2channel_mfd (terrain_tools.f90:628-746).
+
+    channeldepth(c) = sum over strictly-lower masked neighbors n of
+    fract(c->n) * channeldepth(n), fract = slope^p / sum(slopes^p) over c's
+    downhill masked neighbors (determine_channel_depth_mfd :690-745);
+    channel cells carry clamp(dem, >=0) (:655-662). Resolved in ascending-dem
+    order (the recursion resolves downhill first), float32 additions in
+    positions order. HAND = dem - channeldepth; negatives and mask<=0 ->
+    -9999 (:675-686).
+    """
+    dem32 = dem.astype(np.float32)
+    res32 = np.float32(res)
+    nx, ny = dem32.shape
+    undef = np.float32(UNDEF)
+    cd = dem32.copy()
+    cd[cd < 0] = 0.0
+    cd[(mask <= 0) | (channels <= 0)] = undef
+
+    order = np.argsort(dem32, axis=None, kind="stable")
+    oi, oj = np.unravel_index(order, (nx, ny))
+    for idx in range(order.size):
+        i, j = int(oi[idx]), int(oj[idx])
+        if cd[i, j] != undef or mask[i, j] < 1:
+            continue
+        slopes = np.zeros(8, dtype=np.float32)
+        for pos, (k, l) in enumerate(P8):
+            inew, jnew = i + k, j + l
+            if not _in_grid(inew, jnew, nx, ny) or mask[inew, jnew] == 0:
+                continue
+            if dem32[i, j] > dem32[inew, jnew]:
+                length = np.float32(DIAG) * res32 if (k + l) in (-2, 0, 2) else res32
+                slopes[pos] = (dem32[i, j] - dem32[inew, jnew]) / length
+        angle_sum = np.float32(0.0)
+        for pos in range(8):
+            angle_sum = np.float32(angle_sum + slopes[pos] ** np.float32(p))
+        acc = undef
+        for pos, (k, l) in enumerate(P8):
+            inew, jnew = i + k, j + l
+            if not _in_grid(inew, jnew, nx, ny):
+                continue
+            if slopes[pos] == 0.0 or mask[inew, jnew] == 0:
+                continue
+            fract = slopes[pos] ** np.float32(p) / angle_sum
+            nb = cd[inew, jnew]
+            # ascending order guarantees strictly-lower neighbors resolved;
+            # unresolved (still undef) neighbors contribute undef like the
+            # reference's cd carry
+            if acc == undef:
+                acc = np.float32(0.0)
+            acc = np.float32(acc + fract * nb)
+        cd[i, j] = acc
+    d2c = (dem32 - cd).astype(np.float32)
+    d2c[d2c < 0] = undef
+    d2c[mask <= 0] = undef
+    return d2c

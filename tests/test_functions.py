@@ -181,3 +181,28 @@ def test_lsh_bucket_stability(spark):
     b = df.select(SIM.lsh_buckets(F.col("embedding"), 8, 6).alias("b")).toPandas()
     assert (a["b"] == b["b"]).all()
     assert a["b"].between(0, 63).all()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=all centroids == brute force; small nprobe keeps the
+    self-hit and high overlap."""
+    rng = np.random.RandomState(21)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(200), "embedding": [v.tolist() for v in vecs]}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": [3, 7], "q_vec": [vecs[3].tolist(), vecs[7].tolist()]}))
+    brute = SIM.cosine_topk(corpus, queries, k=5).toPandas()
+    exact_ivf = SIM.ivf_topk(corpus, queries, dim=8, k=5,
+                             n_centroids=4, nprobe=4).toPandas()
+    a = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = exact_ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    approx = SIM.ivf_topk(corpus, queries, dim=8, k=5,
+                          n_centroids=8, nprobe=2).toPandas()
+    for q in (3, 7):
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        want = set(brute[brute["query_id"] == q]["vec_id"])
+        assert q in got               # self-hit always found
+        assert len(got & want) >= 3   # decent recall at nprobe=2/8

@@ -211,3 +211,15 @@ def test_seeded_accumulation(spark, fdir_df, grid32, golden32):
                 ci, cj = fi, fj
     m = golden32["fdir"][:, :, 0] != -9999
     assert np.array_equal(got[m], want[m])
+
+
+def test_depth2channel_mfd(spark, grid32, golden32):
+    """G12 distributed MFD HAND == new oracle bit-for-bit."""
+    meta, dem, mask = grid32
+    want = T.depth2channel_mfd(golden32["channels"], mask, golden32["filled"], RES)
+    cells = cells_df(spark, meta, dem=golden32["filled"].astype(np.float64),
+                     channels=golden32["channels"].astype(np.int64),
+                     mask=mask.astype(np.int64))
+    out = ST.depth2channel_mfd(cells, meta, RES)
+    got = collect_dense(meta, out, "hand_mfd")
+    assert np.array_equal(got, want)
