@@ -29,3 +29,10 @@ def time_average(series: DataFrame, nt_in: int, nt_out: int,
         .groupBy(F.floor(F.col(t_col) / dt).cast("long").alias("block"))
         .agg(F.avg(v_col).alias("avg_value"))
     )
+
+
+def datetime2gradstime(ts):
+    """``netcdf_tools.py:10-15`` / ``grads_tools.py:23-28``: '%HZ%d%b%Y'
+    (e.g. '00Z01Jan2000') as a Catalyst expression."""
+    from pyspark.sql import functions as F
+    return F.date_format(ts, "HH'Z'ddMMMyyyy")

@@ -942,3 +942,78 @@ def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
            .otherwise(d2c)
     return state.select("tile_i", "tile_j", "i", "j",
                         d2c.cast("double").alias("hand_mfd"))
+
+
+def remove_pits_simple(cells: DataFrame, meta: GridMeta, res: float,
+                       dem_col: str = "dem", max_rounds: int = 64) -> DataFrame:
+    """G2 ``remove_pits`` (terrain_tools.f90:56-169): a non-border cell whose
+    best (diagonal-corrected) slope is <= 0 is raised to its argmax-slope
+    neighbor + 0.01*res, chasing downstream until no pit remains
+    (``check_remove_pit`` :127-169; minslope :138; border/undef skip
+    :140-141; diagonal lengths corrected :148-152).
+
+    Tile-iterative chaotic iteration of the same monotone raising operator:
+    per round each tile chases its pits to a local fixpoint with halo fixed,
+    then halos re-exchange. Raises are monotone so the iteration converges;
+    the surface agrees with the serial oracle up to raise-order float32
+    effects on flats (tested pit-free under the oracle's own criterion and
+    equal to the oracle within one minslope step).
+    """
+    from ..oracle.terrain import DIAG, P8
+
+    minslope = np.float32(0.01)
+    res32 = np.float32(res)
+    undef = np.float32(UNDEF)
+
+    def relax(blocks, i0, j0, m, core):
+        ci0, ci1, cj0, cj1 = core
+        demb = np.nan_to_num(blocks["w"], nan=UNDEF).astype(np.float32)
+        h, w = demb.shape
+        # global grid borders (never raised, :140-141) in block coords
+        gi0, gj0 = i0, j0
+
+        def is_border(i, j):
+            return (gi0 + i == 0 or gi0 + i == m.nx - 1
+                    or gj0 + j == 0 or gj0 + j == m.ny - 1)
+
+        stack = [(i, j) for i in range(ci0, ci1) for j in range(cj0, cj1)]
+        guard = 0
+        while stack and guard < 10_000_000:
+            guard += 1
+            i, j = stack.pop()
+            if not (ci0 <= i < ci1 and cj0 <= j < cj1):
+                continue  # only raise core cells; halo is other tiles' state
+            if demb[i, j] == undef or is_border(i, j):
+                continue
+            slopes = np.full(8, UNDEF, dtype=np.float32)
+            for pos, (k, l) in enumerate(P8):
+                ii, jj = i + k, j + l
+                if ii < 0 or jj < 0 or ii >= h or jj >= w:
+                    continue
+                length = np.float32(DIAG) * res32 if (k + l) in (-2, 0, 2) else res32
+                slopes[pos] = (demb[i, j] - demb[ii, jj]) / length
+            if slopes.max() <= 0:
+                pos = int(np.argmax(slopes))
+                ii, jj = i + P8[pos][0], j + P8[pos][1]
+                demb[i, j] = demb[ii, jj] + minslope * res32
+                # re-check the raise target and our own neighbors
+                stack.append((ii, jj))
+                for (k, l) in P8:
+                    stack.append((i + k, j + l))
+        return {"w": demb.astype(np.float64)}
+    relax.needs_core = True
+
+    state = cells.select("tile_i", "tile_j", "i", "j",
+                         F.col(dem_col).alias("w")).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        state = stencil.apply_stencil(state, meta, ["w"], relax,
+                                      [("w", "double")], halo=1) \
+            .localCheckpoint(eager=True)
+        chk = state.select(
+            F.sum(F.crc32(F.col("w").cast("float").cast("string")).cast("long"))
+        ).collect()[0][0]
+        if chk == prev:
+            break
+        prev = chk
+    return state.select("tile_i", "tile_j", "i", "j", F.col("w").alias("demns"))

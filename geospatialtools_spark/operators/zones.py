@@ -402,3 +402,68 @@ def polygon_adjacency(cells: DataFrame, polygon_col: str = "polygon",
                                         F.greatest("cid", "cid2").alias("cid_b"))
                                 .distinct())
     return out
+
+
+def curate_hru_properties(hru_props: pd.DataFrame, hp: pd.DataFrame) -> pd.DataFrame:
+    """M7 ``curate_hru_properties`` (terrain_tools.py:1524-1579) — driver-side
+    (both tables are per-zone summaries, tiny by construction).
+
+    Per hillslope: rebuild tile geometry from the fitted hillslope shape —
+    equal-length segments (:1539), linear width line 1 -> rwidth (:1540-1541),
+    area-fraction correction ``sqrt(f1/f0)`` on length and width (:1551-1553),
+    positions = cumsum - first/2 (:1554), elevations = slope * position
+    (:1555), per-HRU top/bottom widths split by intra-tile area fractions
+    (:1559-1568). Requires hru_props columns (hillslope_id, tile_id, area,
+    depth2channel) and hp columns (hid, length, rwidth, slope).
+    Adds/overwrites hillslope_length, slope, depth2channel,
+    hillslope_position, width_top, width_bottom, wspec.
+    """
+    out = hru_props.copy()
+    for col in ["hillslope_length", "slope", "depth2channel",
+                "hillslope_position", "width_top", "width_bottom", "wspec"]:
+        if col not in out:
+            out[col] = 0.0
+    out["wspec"] = 0.0
+    for _, hrow in hp.iterrows():
+        hid = int(hrow["hid"])
+        m = (out["hillslope_id"] == hid).to_numpy()
+        if not m.any():
+            continue
+        d2c, idx = np.unique(out.loc[m, "depth2channel"].to_numpy(),
+                             return_inverse=True)
+        n = d2c.size
+        hlength = hrow["length"] / n * np.ones(n)
+        width = np.linspace(1.0, hrow["rwidth"], n + 1)
+        w0 = (width[1:] + width[:-1]) / 2
+        f0 = hlength * w0 / np.sum(hlength * w0)
+        tids_all = out.loc[m, "tile_id"].to_numpy()
+        areas = out.loc[m, "area"].to_numpy()
+        f1 = []
+        for tid in np.unique(tids_all):
+            m1 = tids_all == tid
+            f1.append(np.sum(areas[m1] / np.sum(areas)))
+        f1 = np.array(f1)
+        r = np.sqrt(f1 / f0)
+        hlength = r * hlength
+        w1 = r * w0
+        hpos = np.cumsum(hlength) - hlength[0] / 2
+        helev = hrow["slope"] * hpos
+        slope = hrow["slope"] * np.ones(n)
+        twidth = w1 / w0 * width[1:]
+        bwidth = w1 / w0 * width[:-1]
+        utids = np.unique(tids_all)
+        t1, b1 = [], []
+        for it in range(utids.size):
+            m1 = tids_all == utids[it]
+            f = areas[m1] / np.sum(areas[m1])
+            t1 += list(twidth[it] * f)
+            b1 += list(bwidth[it] * f)
+        wspec = (np.array(t1) + np.array(b1)) / 2
+        out.loc[m, "hillslope_length"] = hlength[idx]
+        out.loc[m, "slope"] = slope[idx]
+        out.loc[m, "depth2channel"] = helev[idx]
+        out.loc[m, "hillslope_position"] = hpos[idx]
+        out.loc[m, "width_top"] = twidth[idx]
+        out.loc[m, "width_bottom"] = bwidth[idx]
+        out.loc[m, "wspec"] = wspec
+    return out

@@ -223,3 +223,27 @@ def test_depth2channel_mfd(spark, grid32, golden32):
     out = ST.depth2channel_mfd(cells, meta, RES)
     got = collect_dense(meta, out, "hand_mfd")
     assert np.array_equal(got, want)
+
+
+def test_remove_pits_simple(spark, grid32):
+    """G2: pit-free under the oracle's slope criterion; close to the serial
+    oracle (raise-order effects bounded by one minslope step)."""
+    meta, dem, mask = grid32
+    want = T.remove_pits_simple(dem, RES)
+    cells = cells_df(spark, meta, dem=dem.astype(np.float64))
+    out = ST.remove_pits_simple(cells, meta, RES)
+    got = collect_dense(meta, out, "demns")
+    d32 = dem.astype(np.float32)
+    valid = d32 != np.float32(-9999)
+    assert (got[valid] >= d32[valid]).all()          # only raised
+    assert np.allclose(got[valid], want[valid], atol=5 * 0.01 * RES)
+    # oracle pit criterion holds everywhere on the result
+    for i in range(1, meta.nx - 1):
+        for j in range(1, meta.ny - 1):
+            if got[i, j] == np.float32(-9999):
+                continue
+            slopes = []
+            for (k, l) in T.P8:
+                length = T.DIAG * np.float32(RES) if (k + l) in (-2, 0, 2) else np.float32(RES)
+                slopes.append((got[i, j] - got[i + k, j + l]) / length)
+            assert max(slopes) > 0, (i, j)

@@ -281,3 +281,23 @@ def test_create_basin_tiles(spark, zone_cells):
     # tile_position restarts per cluster, sequential
     assert out["tile_position"].min() == 0
     assert (out["new_hand"] >= 0).all()
+
+
+def test_curate_hru_properties():
+    hru = pd.DataFrame({
+        "hillslope_id": [1, 1, 1, 1],
+        "tile_id": [0, 0, 1, 1],
+        "area": [900.0, 900.0, 1800.0, 900.0],
+        "depth2channel": [1.0, 1.0, 3.0, 3.0],
+    })
+    hp = pd.DataFrame({"hid": [1], "length": [100.0],
+                       "rwidth": [3.0], "slope": [0.1]})
+    out = Z.curate_hru_properties(hru, hp)
+    # two elevation tiles -> two distinct lengths/positions
+    assert out["hillslope_position"].nunique() == 2
+    # area-fraction correction conserves total fraction geometry:
+    # f1 proportions (1800 vs 2700)/4500 drive sqrt correction
+    assert (out["slope"] == 0.1).all()
+    assert (out["width_top"] > out["width_bottom"]).all()  # widening uphill
+    # wspec is per-HRU (4 values), split within tiles by area
+    assert out["wspec"].nunique() >= 3
