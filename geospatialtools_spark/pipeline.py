@@ -1,0 +1,138 @@
+"""End-to-end tiling pipeline (SURVEY.md §3.1 lifecycle) — the engine's
+equivalent of the reference's HydroBlocks preprocessing driver, as a
+checkpoint-resumable chain of pure stages:
+
+    dem -> planchon fill -> D8 fdir -> accumulation -> channels+topology ->
+    basins -> HAND -> hillslopes -> k-means tiles -> HRUs ->
+    basin/hillslope/HRU property tables
+
+Every stage commits through plans.checkpointing.StageRunner (parquet +
+manifest, the sandbox stand-in for an Iceberg snapshot): a killed run
+restarts at the last committed stage, and `<root>/_lineage` accumulates
+per-partition rows/wall-ms records for every commit (north_rule).
+
+Deploy: ``spark-submit --py-files geospatialtools_spark.zip scripts/run_pipeline.py``
+(see scripts/ for the cluster entrypoint; zip the package with
+``python -m zipfile -c geospatialtools_spark.zip geospatialtools_spark``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grid import GridMeta
+from .operators import clustering as CL
+from .operators import terrain as ST
+from .operators import zones as Z
+from .plans.checkpointing import StageRunner
+
+
+@dataclass
+class PipelineConfig:
+    res: float = 30.0
+    channel_threshold_factor: float = 20.0   # * res^2
+    basin_threshold_factor: float = 5.0      # * res^2
+    ntiles: int = 3
+    nhru_clusters: int = 2
+    covariates: list[str] = field(default_factory=lambda: ["tas", "prec", "hand"])
+    hru_covariates: list[str] = field(default_factory=lambda: ["tas", "prec"])
+
+    def as_dict(self) -> dict:
+        return {"res": self.res, "th": self.channel_threshold_factor,
+                "bth": self.basin_threshold_factor, "ntiles": self.ntiles,
+                "nhru": self.nhru_clusters, "cov": self.covariates,
+                "hcov": self.hru_covariates}
+
+
+def run_terrain_pipeline(spark: SparkSession, cells: DataFrame, meta: GridMeta,
+                         config: PipelineConfig, ckpt_root: str) -> dict[str, DataFrame]:
+    """Run (or resume) the full chain; returns the named stage outputs.
+
+    ``cells`` needs (tile_i, tile_j, i, j, dem, mask) plus the configured
+    covariate columns. Stages are deterministic, so a resume reproduces the
+    exact same tables the killed run would have produced.
+    """
+    res = config.res
+    th = config.channel_threshold_factor * res * res
+    bth = config.basin_threshold_factor * res * res
+    runner = StageRunner(spark, ckpt_root, config.as_dict())
+    out: dict[str, DataFrame] = {}
+
+    cells = cells.localCheckpoint(eager=True)
+    base_cov = cells.select("i", "j", "mask", *[c for c in config.covariates
+                                                if c in cells.columns and c != "hand"])
+
+    filled = runner.run_stage("fill", lambda: ST.planchon_fill(cells, meta, res))
+    base = (filled.withColumnRenamed("demns", "dem")
+            .join(cells.select("i", "j", "mask"), ["i", "j"]))
+    out["filled"] = filled
+
+    fdir = runner.run_stage("fdir", lambda: ST.d8_flow_direction(base, meta, res))
+    out["fdir"] = fdir
+
+    acc = runner.run_stage("acc", lambda: ST.flow_accumulation(
+        fdir, meta, res, mask_df=base.select("i", "j", "mask")))
+    out["acc"] = acc
+
+    full = (fdir.join(base.select("i", "j", "mask", "dem"), ["i", "j"])
+            .join(acc.select("i", "j", "area"), ["i", "j"]))
+
+    def _channels():
+        chdf, topo = ST.channel_segments(full, meta, th, bth)
+        return chdf.join(topo.withColumnRenamed("cid", "channels")
+                         .select("channels", "downstream"), ["channels"], "left")
+    channels = runner.run_stage("channels", _channels)
+    out["channels"] = channels
+
+    with_ch = full.join(channels.select("i", "j", "channels"), ["i", "j"])
+    basins = runner.run_stage("basins", lambda: ST.delineate_basins(with_ch, meta))
+    out["basins"] = basins
+
+    hand = runner.run_stage("hand", lambda: ST.depth2channel(with_ch, meta))
+    out["hand"] = hand
+
+    hillslopes = runner.run_stage(
+        "hillslopes", lambda: ST.delineate_hillslopes(with_ch, meta))
+    out["hillslopes"] = hillslopes
+
+    zone_cells = (base.select("i", "j", "mask", "dem")
+                  .join(base_cov.drop("mask"), ["i", "j"])
+                  .join(basins.select("i", "j", "basins"), ["i", "j"])
+                  .join(hand.select("i", "j", "hand"), ["i", "j"])
+                  .join(hillslopes.select("i", "j", "hillslopes"), ["i", "j"])
+                  .join(channels.select("i", "j", "channels"), ["i", "j"]))
+    slopes = ST.slope_aspect(
+        base.withColumn("dx", F.lit(res)).withColumn("dy", F.lit(res)), meta)
+    zone_cells = zone_cells.join(slopes.select("i", "j", "slope", "aspect"), ["i", "j"])
+    zone_cells = zone_cells.withColumn(
+        "tile_i", (F.col("i") / meta.tile).cast("int")).withColumn(
+        "tile_j", (F.col("j") / meta.tile).cast("int")).localCheckpoint(eager=True)
+
+    tiles = runner.run_stage("tiles", lambda: CL.create_tiles_kmeans(
+        zone_cells, [c for c in config.covariates if c in zone_cells.columns],
+        config.ntiles))
+    out["tiles"] = tiles
+
+    with_tiles = zone_cells.join(tiles, ["i", "j"])
+    hrus = runner.run_stage("hrus", lambda: CL.create_hrus(
+        with_tiles, [c for c in config.hru_covariates if c in zone_cells.columns],
+        {}, config.nhru_clusters))
+    out["hrus"] = hrus
+
+    out["basin_props"] = runner.run_stage(
+        "basin_props", lambda: Z.basin_properties(
+            zone_cells, covariate_cols=["dem", "hand", "slope"]))
+    hp = runner.run_stage(
+        "hillslope_props", lambda: Z.hillslope_properties(zone_cells, res))
+    out["hillslope_props"] = hp
+    out["hru_props"] = runner.run_stage(
+        "hru_props", lambda: Z.hru_properties(
+            with_tiles.join(hrus, ["i", "j"]), hp, res))
+    out["channel_props"] = runner.run_stage(
+        "channel_props", lambda: Z.channel_properties(zone_cells, res))
+
+    out["_metrics"] = runner.metrics  # type: ignore[assignment]
+    return out

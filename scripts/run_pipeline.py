@@ -1,0 +1,54 @@
+"""Cluster entrypoint (north_rule deployment shape):
+
+    python -m zipfile -c geospatialtools_spark.zip geospatialtools_spark
+    spark-submit --py-files geospatialtools_spark.zip scripts/run_pipeline.py \
+        --ckpt /path/checkpoints [--nx 128 --ny 128 --tile 64]
+
+Runs the full resumable terrain pipeline on the deterministic fixture DEM
+(stand-in for a real DEM cell table; swap ``make_inputs`` for
+``sources.raster_io.read_raster`` in production). Safe to kill and re-run:
+committed stages resume from their parquet+manifest snapshots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def make_inputs(spark, nx: int, ny: int, tile: int):
+    import numpy as np
+
+    from geospatialtools_spark import fixtures
+    from geospatialtools_spark.grid import cells_df
+    meta, dem, mask = fixtures.make_dem(nx=nx, ny=ny, tile=tile)
+    cov = fixtures.make_covariates(meta, dem, mask)
+    cells = cells_df(spark, meta,
+                     dem=dem.astype(np.float64), mask=mask.astype(np.int64),
+                     tas=cov["tas"].astype(np.float64),
+                     prec=cov["prec"].astype(np.float64))
+    return meta, cells
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from geospatialtools_spark.pipeline import PipelineConfig, run_terrain_pipeline
+    spark = SparkSession.builder.appName("geospatialtools-pipeline").getOrCreate()
+    meta, cells = make_inputs(spark, args.nx, args.ny, args.tile)
+    out = run_terrain_pipeline(spark, cells, meta, PipelineConfig(), args.ckpt)
+    summary = {name: df.count() for name, df in out.items() if name != "_metrics"}
+    print(json.dumps({"stages": out["_metrics"], "rows": summary}, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,3 +155,32 @@ def test_streaming_dedup(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     n = got.count()
     assert n == got.select("event_id").distinct().count()
+
+
+def test_full_pipeline_resume(spark, tmp_path):
+    """SURVEY §3.1 lifecycle end-to-end + kill-resume at pipeline level:
+    second run resumes every stage; outputs identical."""
+    import numpy as np
+
+    from geospatialtools_spark.grid import cells_df
+    from geospatialtools_spark.pipeline import PipelineConfig, run_terrain_pipeline
+    meta, dem, mask = fixtures.make_dem(nx=32, ny=32, tile=16)
+    cov = fixtures.make_covariates(meta, dem, mask)
+    cells = cells_df(spark, meta,
+                     dem=dem.astype(np.float64), mask=mask.astype(np.int64),
+                     tas=cov["tas"].astype(np.float64),
+                     prec=cov["prec"].astype(np.float64))
+    root = str(tmp_path / "ck")
+    cfg = PipelineConfig()
+    out1 = run_terrain_pipeline(spark, cells, meta, cfg, root)
+    counts1 = {k: v.count() for k, v in out1.items() if k != "_metrics"}
+    assert counts1["basins"] > 0 and counts1["hru_props"] > 0
+    assert all(not m.get("resumed") for m in out1["_metrics"])
+
+    out2 = run_terrain_pipeline(spark, cells, meta, cfg, root)
+    assert all(m.get("resumed") for m in out2["_metrics"])   # full resume
+    counts2 = {k: v.count() for k, v in out2.items() if k != "_metrics"}
+    assert counts1 == counts2
+    b1 = out1["basins"].orderBy("i", "j").toPandas()
+    b2 = out2["basins"].orderBy("i", "j").toPandas()
+    pd.testing.assert_frame_equal(b1, b2)
