@@ -78,14 +78,18 @@ def salt_hot_keys(df: DataFrame, key: str, n_salt: int = 16,
 
 
 def explode_salt(dim: DataFrame, key: str, hot_keys: DataFrame, n_salt: int = 16) -> DataFrame:
-    """Replicate dimension rows of hot keys across all salt buckets."""
+    """Replicate dimension rows of hot keys across all salt buckets.
+
+    The generator sits at the top level with a CONDITIONAL upper bound
+    (Spark rejects explode nested inside CASE): non-hot keys explode a
+    1-element [0] sequence — exactly one row, salt 0.
+    """
     hot = hot_keys.withColumn("_hot", F.lit(True))
-    out = dim.join(F.broadcast(hot), key, "left").withColumn(
-        "salt",
-        F.when(F.col("_hot").isNotNull(),
-               F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-         .otherwise(F.lit(0)).cast("int"),
-    ).drop("_hot")
+    hi = F.when(F.col("_hot").isNotNull(), F.lit(n_salt - 1)).otherwise(F.lit(0))
+    out = (dim.join(F.broadcast(hot), key, "left")
+           .withColumn("salt", F.explode(F.sequence(F.lit(0), hi)))
+           .withColumn("salt", F.col("salt").cast("int"))
+           .drop("_hot"))
     return out
 
 

@@ -1,0 +1,137 @@
+"""Skew-salting equivalence + hypothesis property tests (SURVEY.md §5.2.4).
+
+Property tests run on the numpy oracle (fast, no Spark) over random small
+DEMs; the salting test proves the salted join plan returns the same multiset
+as the plain join under a pathological hotspot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.oracle import terrain as T
+
+RES = 30.0
+
+
+# ----------------------------------------------------------- skew salting
+
+def test_salted_join_equals_plain_join(spark):
+    """salt_hot_keys + explode_salt: the salted equi-join returns exactly
+    the plain join's rows while splitting the hot key across salt buckets."""
+    from geospatialtools_spark.operators.docs import explode_salt, salt_hot_keys
+    n = 5000
+    # 80% of facts share ONE hot key
+    facts = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 5 < 4, F.lit(7)).otherwise(F.col("id") % 50).alias("k"))
+    dim = spark.range(50).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("attr"))
+    plain = facts.join(dim, "k").select("row_id", "attr").toPandas()
+
+    salted, hot = salt_hot_keys(facts, "k", n_salt=8, hot_threshold=100)
+    assert hot.count() == 1  # key 7 detected hot
+    dim_s = explode_salt(dim, "k", hot, n_salt=8)
+    out = salted.join(dim_s, ["k", "salt"]).select("row_id", "attr").toPandas()
+    a = plain.sort_values(["row_id", "attr"]).reset_index(drop=True)
+    b = out.sort_values(["row_id", "attr"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the hot key's fact rows really spread over multiple salt buckets
+    spread = (salted.filter(F.col("k") == 7).select("salt").distinct().count())
+    assert spread > 1
+
+
+# ------------------------------------------------------- hypothesis (oracle)
+
+def _random_dem(data, n=12):
+    vals = data.draw(st.lists(st.floats(min_value=0.0, max_value=100.0,
+                                        allow_nan=False, width=32),
+                              min_size=n * n, max_size=n * n))
+    return np.array(vals, dtype=np.float32).reshape(n, n)
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_accumulation_conservation(data):
+    """Sum of accumulation counts == sum over cells of their path lengths;
+    every cell contributes >= its own res^2 (mass conservation)."""
+    dem = _random_dem(data)
+    dem = T.planchon_fill(dem, RES)
+    mask = np.ones(dem.shape, dtype=np.int32)
+    area, fdir = T.d8_acc(dem, mask, RES)
+    r2 = np.float32(RES) ** 2
+    assert (area >= r2 * np.float32(0.999)).all()
+    # outlet cells (fdir undefined or off-grid) collectively drain every cell
+    n = dem.size
+    acc_counts = np.round(area / r2).astype(np.int64)
+    assert acc_counts.max() <= n
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_planchon_monotone_idempotent(data):
+    dem = _random_dem(data)
+    filled = T.planchon_fill(dem, RES)
+    assert (filled >= dem - np.float32(1e-5)).all()      # only raises
+    again = T.planchon_fill(filled, RES)
+    assert np.array_equal(filled, again)                 # idempotent
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_basins_constant_downstream(data):
+    """Basin labels never change along a flow path below the channel mask."""
+    dem = T.planchon_fill(_random_dem(data), RES)
+    mask = np.ones(dem.shape, dtype=np.int32)
+    area, fdir = T.d8_acc(dem, mask, RES)
+    th = float(np.percentile(area, 80))
+    ch = T.calculate_channels(area, th, th, fdir)
+    basins = T.delineate_basins(ch, mask, fdir)
+    nx, ny = dem.shape
+    for i in range(nx):
+        for j in range(ny):
+            if basins[i, j] <= 0:
+                continue
+            fi, fj = int(fdir[i, j, 0]), int(fdir[i, j, 1])
+            if fi == -9999 or not (0 <= fi < nx and 0 <= fj < ny):
+                continue
+            if basins[fi, fj] > 0 and ch[i, j] <= 0 and ch[fi, fj] <= 0:
+                assert basins[fi, fj] == basins[i, j]
+
+
+@settings(max_examples=20, deadline=None)
+@given(ids=st.lists(st.integers(min_value=-9999, max_value=50), min_size=5,
+                    max_size=60))
+def test_cleanup_relabel_bijective(ids):
+    """A5 dense relabel: order-preserving bijection onto 0..K-1."""
+    arr = np.array([v if v > 0 else -9999 for v in ids], dtype=np.int64)
+    out = T.cleanup_hillslopes(arr.reshape(1, -1).copy()).ravel()
+    valid_in = arr[arr > 0]
+    valid_out = out[arr > 0]
+    if valid_in.size == 0:
+        return
+    k = np.unique(valid_in).size
+    assert set(valid_out) == set(range(k))
+    # order preserved
+    pairs = sorted(set(zip(valid_in, valid_out)))
+    outs = [b for _, b in pairs]
+    assert outs == sorted(outs)
+    assert (out[arr <= 0] == arr[arr <= 0]).all()  # non-positive untouched
+
+
+@settings(max_examples=10, deadline=None)
+@given(nt_out=st.integers(min_value=1, max_value=24),
+       seed=st.integers(min_value=0, max_value=10 ** 6))
+def test_time_average_block_mean(nt_out, seed):
+    rng = np.random.RandomState(seed)
+    nt_in = nt_out * rng.randint(1, 10)
+    series = rng.rand(nt_in)
+    out = T.time_average(series, nt_out)
+    dt = nt_in // nt_out
+    for b in range(nt_out):
+        assert abs(out[b] - series[b * dt:(b + 1) * dt].sum() / dt) < 1e-12
