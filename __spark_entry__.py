@@ -415,6 +415,43 @@ def q_doc_tile_attach(spark, sf_dir):
     return out.select("doc_id", "i", "j", F.col("tile_id").alias("tile_id"))
 
 
+def q_pip_join_docs(spark, sf_dir):
+    """J2 at point granularity (operators/rasterize.pip_join): attach the
+    winning polygon (max polygon_id on overlap) to each doc point."""
+    from geospatialtools_spark.operators.rasterize import pip_join
+    pts = _docs_xy(spark, sf_dir).select("doc_id", "lat", "lon")
+    polys = spark.createDataFrame(SY.rects_polygon_pdf())
+    out = pip_join(pts, polys, META_UNIT)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("polygon_id"), F.lit(-1)).cast("long").alias("polygon_id"),
+        F.coalesce(F.nanvl(F.col("attr"), F.lit(None)), F.lit(-9999.0)).alias("attr"))
+
+
+def q_grads_time(spark, sf_dir):
+    """S9-adjacent datetime2gradstime ('%HZ%d%b%Y', netcdf_tools.py:10-15)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id",
+                    UP.datetime2gradstime(F.col("ts").cast("timestamp")).alias("gtime"))
+
+
+def q_terrain_mfd(spark, sf_dir):
+    """G5c+G12 MFD chain on the fixture DEM: per-HAND-band cell counts of
+    MFD accumulation area (rows-only; golden bit-parity lives in tests)."""
+    from geospatialtools_spark.operators.terrain import depth2channel_mfd, mfd_accumulation
+    meta, cells = _terrain_zone_cells(spark)
+    mfd = mfd_accumulation(cells, meta, 30.0)
+    hand = depth2channel_mfd(cells.withColumn("mask", (F.col("dem") != -9999)
+                                              .cast("long")), meta, 30.0)
+    j = mfd.select("i", "j", "mfd_area").join(hand.select("i", "j", "hand_mfd"),
+                                              ["i", "j"])
+    band = F.when(F.col("hand_mfd") == -9999, F.lit(-1)) \
+            .otherwise(F.least(F.floor(F.col("hand_mfd") / 10), F.lit(9))).cast("long")
+    return (j.groupBy(band.alias("hand_band"))
+            .agg(F.count("*").alias("n_cells"),
+                 F.round(F.avg("mfd_area"), 2).alias("mean_mfd_area")))
+
+
 def q_knn_docs(spark, sf_dir):
     """J8 kNN via expanding cell-ring search + exact haversine re-rank."""
     from geospatialtools_spark.operators.points import knn_join
@@ -770,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_extract": q_point_extract,
         "rasterize_rects": q_rasterize_rects,
         "doc_tile_attach": q_doc_tile_attach,
+        "pip_join_docs": q_pip_join_docs,
+        "grads_time": q_grads_time,
+        "terrain_mfd": q_terrain_mfd,
         "knn_docs": q_knn_docs,
         "events_hourly": q_events_hourly,
         "polygon_adjacency": q_polygon_adjacency,
@@ -1116,6 +1156,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             LEFT JOIN burned b ON b.i = CAST(floor(pts.lat * {SY.G}) AS BIGINT)
                               AND b.j = CAST(floor(pts.lon * {SY.G}) AS BIGINT)""",
+        "pip_join_docs": f"""
+            WITH pts AS ({_DOCS_XY}),
+            rects AS ({SY.sql_rects()}),
+            w AS (
+              SELECT p.doc_id, max(r.rect_id) AS polygon_id,
+                     arg_max(r.attr, r.rect_id) AS attr
+              FROM pts p JOIN rects r
+                ON p.lon > r.x0 AND p.lon < r.x1
+               AND p.lat > r.y0 AND p.lat < r.y1
+              GROUP BY p.doc_id)
+            SELECT pts.doc_id,
+                   CAST(coalesce(w.polygon_id, -1) AS BIGINT) AS polygon_id,
+                   coalesce(w.attr, -9999.0) AS attr
+            FROM pts LEFT JOIN w USING (doc_id)""",
+        "grads_time": """
+            SELECT event_id, strftime(ts, '%HZ%d%b%Y') AS gtime FROM events""",
         "knn_docs": f"""
             WITH q AS ({SY.sql_query_points()}),
             t AS (SELECT doc_id AS tid, lat AS tlat, lon AS tlon FROM ({_DOCS_XY})),
