@@ -168,9 +168,10 @@ def create_tiles_kmeans(cells: DataFrame, covariate_cols: list[str],
             "local_tile": np.asarray(labels, dtype=np.int64),
         })
 
-    local = (src.select("i", "j", zone_col, *covariate_cols)
-             .groupBy(zone_col)
-             .applyInPandas(kern, schema="i int, j int, zone long, local_tile long"))
+    from .grouped import grouped_map
+    local = grouped_map(src.select("i", "j", zone_col, *covariate_cols),
+                        [zone_col], kern,
+                        schema="i int, j int, zone long, local_tile long")
     # global sequential ids: offset = cumulative distinct-label count of
     # preceding basins (ascending basin order, like the reference's loop)
     counts = (local.groupBy("zone")
@@ -213,9 +214,10 @@ def create_hrus(cells: DataFrame, covariate_cols: list[str],
                              "tl": pdf[tile_col].astype(np.int64),
                              "local_hru": labels})
 
-    local = (src.select("i", "j", hillslope_col, tile_col, *covariate_cols)
-             .groupBy(hillslope_col, tile_col)
-             .applyInPandas(kern, schema="i int, j int, hs long, tl long, local_hru long"))
+    from .grouped import grouped_map
+    local = grouped_map(src.select("i", "j", hillslope_col, tile_col, *covariate_cols),
+                        [hillslope_col, tile_col], kern,
+                        schema="i int, j int, hs long, tl long, local_hru long")
     counts = local.groupBy("hs", "tl").agg(F.countDistinct("local_hru").alias("k"))
     w = Window.orderBy("hs", "tl").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))

@@ -259,7 +259,8 @@ def hillslope_properties(cells: DataFrame, res: float,
             "width_array": w.tolist(),
         }])
 
-    return src.groupBy(hillslope_col).applyInPandas(kern, schema=_HP_SCHEMA)
+    from .grouped import grouped_map
+    return grouped_map(src, [hillslope_col], kern, schema=_HP_SCHEMA)
 
 
 # ----------------------------------------------------------------------- A3
@@ -302,7 +303,8 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
     _base_schema = ("hru long, hillslope_id long, tile_id long, area double, "
                     "hillslope_slope double, hand_ecdf array<double>, "
                     "hand_bedges array<double>")
-    base = src.groupBy(hru_col).applyInPandas(kern, schema=_base_schema).toPandas()
+    from .grouped import grouped_map
+    base = grouped_map(src, [hru_col], kern, schema=_base_schema).toPandas()
 
     hpdf = hp.toPandas()
     # hillslope fractions of total cell count (:1184-1190)

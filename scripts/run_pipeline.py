@@ -39,10 +39,19 @@ def main() -> int:
     ap.add_argument("--tile", type=int, default=32)
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import SparkSession
 
     from geospatialtools_spark.pipeline import PipelineConfig, run_terrain_pipeline
-    spark = SparkSession.builder.appName("geospatialtools-pipeline").getOrCreate()
+    cores = os.cpu_count() or 8
+    spark = (SparkSession.builder.appName("geospatialtools-pipeline")
+             # at cluster scale: ~2-3x total executor cores; AQE coalesces
+             .config("spark.sql.shuffle.partitions", str(2 * cores))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
     meta, cells = make_inputs(spark, args.nx, args.ny, args.tile)
     out = run_terrain_pipeline(spark, cells, meta, PipelineConfig(), args.ckpt)
     summary = {name: df.count() for name, df in out.items() if name != "_metrics"}
