@@ -172,6 +172,9 @@ def create_tiles_kmeans(cells: DataFrame, covariate_cols: list[str],
     local = grouped_map(src.select("i", "j", zone_col, *covariate_cols),
                         [zone_col], kern,
                         schema="i int, j int, zone long, local_tile long")
+    # materialize: three downstream actions (counts, join, relabel) must not
+    # each re-run the clustering pass
+    local = local.localCheckpoint(eager=True)
     # global sequential ids: offset = cumulative distinct-label count of
     # preceding basins (ascending basin order, like the reference's loop)
     counts = (local.groupBy("zone")
@@ -218,6 +221,7 @@ def create_hrus(cells: DataFrame, covariate_cols: list[str],
     local = grouped_map(src.select("i", "j", hillslope_col, tile_col, *covariate_cols),
                         [hillslope_col, tile_col], kern,
                         schema="i int, j int, hs long, tl long, local_hru long")
+    local = local.localCheckpoint(eager=True)  # see create_tiles_kmeans note
     counts = local.groupBy("hs", "tl").agg(F.countDistinct("local_hru").alias("k"))
     w = Window.orderBy("hs", "tl").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))

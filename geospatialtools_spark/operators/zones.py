@@ -319,11 +319,15 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
                 "depth_to_bedrock", "frac"]:
         base[col] = np.zeros(n)
 
+    hid_groups = {int(k): v for k, v in
+                  base.groupby("hillslope_id").indices.items()}
     for _, hrow in hpdf.iterrows():
         hid = int(hrow["hid"])
-        m = (base["hillslope_id"] == hid).to_numpy()
-        if not m.any():
+        rows = hid_groups.get(hid)
+        if rows is None:
             continue
+        m = np.zeros(len(base), dtype=bool)
+        m[rows] = True
         tids, idx = np.unique(base.loc[m, "tile_id"].to_numpy(), return_inverse=True)
         nrelief = np.linspace(0, 1, 2 * tids.size + 1)[0::2]
         a, b = hrow["relief_a"], hrow["relief_b"]

@@ -63,13 +63,15 @@ class StageRunner:
 
         t0 = time.time()
         out = fn()
-        lin = lineage_records(out, stage)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         lin_dir = os.path.join(self.root, "_lineage")
         out.write.mode("overwrite").parquet(tmp)
-        n_rows = self.spark.read.parquet(tmp).count()
-        lin_pdf = lin.toPandas()
+        committed = self.spark.read.parquet(tmp)
+        n_rows = committed.count()
+        # lineage over the COMMITTED data: measuring the unmaterialized plan
+        # would re-execute the whole stage a second time
+        lin_pdf = lineage_records(committed, stage).toPandas()
         wall_ms = int((time.time() - t0) * 1000)
 
         if os.path.exists(d):
