@@ -376,6 +376,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.bucketed_topk(emb, q, dim=64, k=5, n_planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (numpy k-means codebook + nprobe centroid
+    lists); rows-only — the codebook assignment is not SQL-expressible."""
+    emb, q = _queries_emb(spark, sf_dir)
+    return SIM.ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=3)
+
+
 # ----------------------------------------------------------------- spatial
 
 def q_point_extract(spark, sf_dir):
@@ -804,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "point_extract": q_point_extract,
         "rasterize_rects": q_rasterize_rects,
         "doc_tile_attach": q_doc_tile_attach,

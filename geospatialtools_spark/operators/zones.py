@@ -319,6 +319,13 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
                 "depth_to_bedrock", "frac"]:
         base[col] = np.zeros(n)
 
+    # positional column offsets + per-hillslope row indices: every write is
+    # O(rows-of-this-hillslope), never O(total rows)
+    cols = {c: base.columns.get_loc(c) for c in
+            ["tile_id", "area", "hillslope_length", "hillslope_hand",
+             "hillslope_position", "hillslope_width", "hillslope_frac",
+             "soil_depth", "depth_to_bedrock", "frac"]}
+    vals = base.to_numpy(dtype=object)
     hid_groups = {int(k): v for k, v in
                   base.groupby("hillslope_id").indices.items()}
     for _, hrow in hpdf.iterrows():
@@ -326,9 +333,9 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
         rows = hid_groups.get(hid)
         if rows is None:
             continue
-        m = np.zeros(len(base), dtype=bool)
-        m[rows] = True
-        tids, idx = np.unique(base.loc[m, "tile_id"].to_numpy(), return_inverse=True)
+        tile_ids = vals[rows, cols["tile_id"]].astype(np.int64)
+        areas_all = vals[rows, cols["area"]].astype(np.float64)
+        tids, idx = np.unique(tile_ids, return_inverse=True)
         nrelief = np.linspace(0, 1, 2 * tids.size + 1)[0::2]
         a, b = hrow["relief_a"], hrow["relief_b"]
         length = hrow["length"] * (frelief_inv(nrelief[1:], a, b)
@@ -339,16 +346,17 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
         width = (fwidth(pos_v[1:], p0) + fwidth(pos_v[:-1], p0)) / 2
         frac = (width * length) / np.sum(width * length)
         positions = np.linspace(0, 1, 2 * tids.size + 1)[1::2]
-        base.loc[m, "hillslope_length"] = length[idx]
-        base.loc[m, "hillslope_hand"] = hand[idx]
-        base.loc[m, "hillslope_position"] = positions[idx]
-        base.loc[m, "hillslope_width"] = width[idx]
-        for it, tid in enumerate(tids):
-            m1 = m & (base["tile_id"] == tid).to_numpy()
-            areas = base.loc[m1, "area"].to_numpy()
-            base.loc[m1, "hillslope_frac"] = frac[it] * areas / areas.sum()
+        vals[rows, cols["hillslope_length"]] = length[idx]
+        vals[rows, cols["hillslope_hand"]] = hand[idx]
+        vals[rows, cols["hillslope_position"]] = positions[idx]
+        vals[rows, cols["hillslope_width"]] = width[idx]
+        # per-tile area split of the tile fraction
+        tile_area_sums = np.zeros(tids.size)
+        np.add.at(tile_area_sums, idx, areas_all)
+        hfrac_rows = frac[idx] * areas_all / tile_area_sums[idx]
+        vals[rows, cols["hillslope_frac"]] = hfrac_rows
         hfrac = (frac_map.get(hid, 0.0) / fsum) if fsum else 0.0
-        base.loc[m, "frac"] = hfrac * base.loc[m, "hillslope_frac"]
+        vals[rows, cols["frac"]] = hfrac * hfrac_rows
         # Pelletier 2016 upland/lowland rule (:1294-1307); the soil columns
         # default to the lowland constants when the upland covariates
         # (ul_mask, lt_uvt, uhst, uhrt) are absent from hp
@@ -362,8 +370,15 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
         else:  # upland
             soil_depth = np.linspace(2.0, float(hrow.get("uhst", 2.0)), tids.size)
             dtb = np.linspace(lt_uvt, float(hrow.get("uhrt", 4.0)), tids.size)
-        base.loc[m, "soil_depth"] = soil_depth[idx]
-        base.loc[m, "depth_to_bedrock"] = dtb[idx]
+        vals[rows, cols["soil_depth"]] = soil_depth[idx]
+        vals[rows, cols["depth_to_bedrock"]] = dtb[idx]
+    base = pd.DataFrame(vals, columns=base.columns)
+    for c in ["hru", "hillslope_id", "tile_id"]:
+        base[c] = base[c].astype(np.int64)
+    for c in ["area", "hillslope_slope", "hillslope_length", "hillslope_hand",
+              "hillslope_position", "hillslope_width", "hillslope_frac",
+              "soil_depth", "depth_to_bedrock", "frac"]:
+        base[c] = base[c].astype(np.float64)
 
     out_schema = (_base_schema + ", hillslope_length double, hillslope_hand double,"
                   " hillslope_position double, hillslope_width double,"

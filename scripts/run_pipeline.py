@@ -1,8 +1,13 @@
 """Cluster entrypoint (north_rule deployment shape):
 
     python -m zipfile -c geospatialtools_spark.zip geospatialtools_spark
-    spark-submit --py-files geospatialtools_spark.zip scripts/run_pipeline.py \
+    spark-submit --driver-memory 16g \
+        --py-files geospatialtools_spark.zip scripts/run_pipeline.py \
         --ckpt /path/checkpoints [--nx 128 --ny 128 --tile 64]
+
+(--driver-memory matters in local mode: executors share the driver JVM, and
+the iterative operators localCheckpoint per round — the 1 GB default dies
+around 512^2.)
 
 Runs the full resumable terrain pipeline on the deterministic fixture DEM
 (stand-in for a real DEM cell table; swap ``make_inputs`` for
