@@ -446,6 +446,8 @@ def q_terrain_mfd(spark, sf_dir):
     """G5c+G12 MFD chain on the fixture DEM: per-HAND-band cell counts of
     MFD accumulation area (rows-only; golden bit-parity lives in tests)."""
     from geospatialtools_spark.operators.terrain import depth2channel_mfd, mfd_accumulation
+    from geospatialtools_spark.session import release_blocks
+    release_blocks(spark)
     meta, cells = _terrain_zone_cells(spark)
     mfd = mfd_accumulation(cells, meta, 30.0)
     hand = depth2channel_mfd(cells.withColumn("mask", (F.col("dem") != -9999)
@@ -460,11 +462,12 @@ def q_terrain_mfd(spark, sf_dir):
 
 
 def q_knn_docs(spark, sf_dir):
-    """J8 kNN via expanding cell-ring search + exact haversine re-rank."""
-    from geospatialtools_spark.operators.points import knn_join
+    """J8 kNN: broadcast-scan (|Q|=20 << |T|) with the cell-ring index as
+    the large-|Q| path — see points.knn dispatcher."""
+    from geospatialtools_spark.operators.points import knn
     targets = _docs_xy(spark, sf_dir).select(F.col("doc_id").alias("target_id"), "lat", "lon")
     queries = SY.query_points_df(spark)
-    out = knn_join(queries, targets, k=5, res=12)
+    out = knn(queries, targets, k=5, res=12)
     return out.select("qid", "tid", "rank", F.round(F.col("dist"), 6).alias("dist"))
 
 
@@ -658,6 +661,8 @@ def q_terrain_pipeline(spark, sf_dir):
                                                          flow_accumulation,
                                                          planchon_fill)
     from geospatialtools_spark.operators.terrain import d8_flow_direction
+    from geospatialtools_spark.session import release_blocks
+    release_blocks(spark)
     meta, dem, mask = make_dem(nx=64, ny=64, tile=32)
     res = 30.0
     th, bth = res * res * 20, res * res * 5
@@ -817,7 +822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tile_attach": q_doc_tile_attach,
         "pip_join_docs": q_pip_join_docs,
         "grads_time": q_grads_time,
-        "terrain_mfd": q_terrain_mfd,
         "knn_docs": q_knn_docs,
         "events_hourly": q_events_hourly,
         "polygon_adjacency": q_polygon_adjacency,
@@ -825,12 +829,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_invariant": q_span_invariant,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
-        "terrain_pipeline": q_terrain_pipeline,
         "doc_cell_ids": q_doc_cell_ids,
         "tiles_kmeans": q_tiles_kmeans,
         "hillslope_props": q_hillslope_props,
         "hru_props": q_hru_props,
         "reduce_basins": q_reduce_basins,
+        # the two long-pole rows-only queries run LAST so a driver time
+        # budget can never cut off an oracled or zone-table entry (round 1
+        # lost hru_props/reduce_basins exactly this way)
+        "terrain_mfd": q_terrain_mfd,
+        "terrain_pipeline": q_terrain_pipeline,
     }
 
 

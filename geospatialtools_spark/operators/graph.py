@@ -18,19 +18,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve(state: DataFrame, max_rounds: int = 64, checkpoint_every: int = 4) -> DataFrame:
+def resolve(state: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Iterate until no PENDING rows remain; returns (id, label).
 
     Each round: join pending rows to their target's state — if the target is
-    DONE adopt its label, else jump to the target's ptr (doubling). Lineage
-    is truncated with localCheckpoint every ``checkpoint_every`` rounds; at
-    cluster scale this maps to an Iceberg snapshot per round group (the
-    checkpoint-resume story in plans/checkpoint.py).
+    DONE adopt its label, else jump to the target's ptr (doubling). Each
+    round is materialized with an eager localCheckpoint (the round's one
+    job), so the convergence test is a cheap count over cached blocks, never
+    a lineage recompute; at cluster scale this maps to an Iceberg snapshot
+    per round (the checkpoint-resume story in plans/checkpointing.py).
     """
     state = state.localCheckpoint(eager=True)
-    for r in range(max_rounds):
-        pending = state.filter(~F.col("done"))
-        if pending.isEmpty():
+    for _ in range(max_rounds):
+        # count() fully materializes the previous round's lazy checkpoint and
+        # answers convergence in the same job — one job per round total
+        if state.filter(~F.col("done")).count() == 0:
             break
         target = state.select(
             F.col("id").alias("t_id"),
@@ -48,7 +50,6 @@ def resolve(state: DataFrame, max_rounds: int = 64, checkpoint_every: int = 4) -
                 F.when(F.coalesce(F.col("t_done"), F.lit(True)), F.col("t_label")).alias("label"),
             )
         )
-        state = state.filter(F.col("done")).unionByName(resolved)
-        if (r + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+        state = state.filter(F.col("done")).unionByName(resolved) \
+                     .localCheckpoint(eager=False)
     return state.select("id", "label")

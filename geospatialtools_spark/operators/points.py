@@ -94,10 +94,27 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
 
     @F.pandas_udf(TY.ArrayType(TY.LongType()))
     def ring_cells(cell: pd.Series, r0: pd.Series, r1: pd.Series) -> pd.Series:
-        out = []
-        for c, a, b in zip(cell.to_numpy(), r0.to_numpy(), r1.to_numpy()):
-            rings = [cellindex.ring(np.array([c]), rr).ravel() for rr in range(int(a), int(b) + 1)]
-            out.append(np.unique(np.concatenate(rings)).tolist() if rings else [])
+        # vectorized annulus generation: one numpy broadcast per DISTINCT
+        # (r0, r1) pair in the batch (usually 1-2), no per-row Python. Edge
+        # clipping can duplicate cells; downstream dropDuplicates absorbs it.
+        c = cell.to_numpy()
+        a = r0.to_numpy()
+        b = r1.to_numpy()
+        out: list = [[]] * len(c)
+        if len(c) == 0:
+            return pd.Series(out)
+        x, y = cellindex.cell_to_xy(c)
+        res = int(cellindex.cell_res(c[:1])[0])
+        for aa, bb in set(zip(a.tolist(), b.tolist())):
+            sel = np.nonzero((a == aa) & (b == bb))[0]
+            offs = np.arange(-bb, bb + 1, dtype=np.int64)
+            dx, dy = np.meshgrid(offs, offs, indexing="ij")
+            keep = np.maximum(np.abs(dx), np.abs(dy)).ravel() >= aa
+            dx, dy = dx.ravel()[keep], dy.ravel()[keep]
+            cells = cellindex.encode_xy(x[sel][:, None] + dx[None, :],
+                                        y[sel][:, None] + dy[None, :], res)
+            for row_i, lst in zip(sel.tolist(), cells.tolist()):
+                out[row_i] = lst
         return pd.Series(out)
 
     # initial ring radius from target density: aim for ~3k candidates in the
@@ -166,6 +183,100 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
     final = (full.dropDuplicates(["qid", "tid"]).withColumn("dist", dist)
              .withColumn("rank", F.row_number().over(w)))
     return final.filter(F.col("rank") <= k).select("qid", "tid", "dist", "rank")
+
+
+def knn_broadcast(queries: DataFrame, targets: DataFrame, k: int,
+                  query_id="query_id", target_id="target_id",
+                  lat_col="lat", lon_col="lon", pad: int = 8) -> DataFrame:
+    """Exact kNN for a SMALL query side: broadcast the collected queries into
+    a single numpy pass over the targets (mapInPandas, per-partition running
+    top-(k+pad)), then re-rank the tiny candidate union JVM-side.
+
+    The canonical distributed plan when |Q| << |T|: the target table is
+    scanned ONCE with zero shuffle; only |Q| * (k+pad) rows per partition
+    survive to the final window. At 10^12 targets this is still a full scan
+    — when |Q| is large, or the target table is cell-partitioned so ring
+    probes prune partitions, use ``knn_join`` instead (``knn`` dispatches).
+
+    numpy haversine only SELECTS a candidate superset (pad guards ulp-level
+    numpy-vs-JVM ordering differences); the returned distance/rank come from
+    the same Catalyst expression as ``knn_join``, so output is identical to
+    the exact brute-force oracle.
+    """
+    qpdf = queries.select(query_id, lat_col, lon_col).toPandas()
+    nq = len(qpdf)
+    if nq == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, tid long, dist double, rank int")
+    qlat = qpdf[lat_col].to_numpy(dtype=np.float64)
+    qlon = qpdf[lon_col].to_numpy(dtype=np.float64)
+    keep = k + pad
+
+    t = targets.select(F.col(target_id).alias("tid"),
+                       F.col(lat_col).alias("tlat"),
+                       F.col(lon_col).alias("tlon"))
+    out_schema = TY.StructType([
+        TY.StructField("qidx", TY.IntegerType()),
+        t.schema["tid"],
+        TY.StructField("tlat", TY.DoubleType()),
+        TY.StructField("tlon", TY.DoubleType()),
+    ])
+
+    def part(batches):
+        cand_d = [[] for _ in range(nq)]
+        cand_rows = [[] for _ in range(nq)]  # (tid, tlat, tlon)
+        for pdf in batches:
+            tlat = pdf["tlat"].to_numpy(dtype=np.float64)
+            tlon = pdf["tlon"].to_numpy(dtype=np.float64)
+            tids = pdf["tid"].to_numpy()
+            d = haversine_np(qlat[:, None], tlat[None, :],
+                             qlon[:, None], tlon[None, :])
+            m = d.shape[1]
+            take = min(keep, m)
+            idx = np.argpartition(d, take - 1, axis=1)[:, :take]
+            for qi in range(nq):
+                sel = idx[qi]
+                cand_d[qi].append(d[qi, sel])
+                cand_rows[qi].append((tids[sel], tlat[sel], tlon[sel]))
+        rows = {"qidx": [], "tid": [], "tlat": [], "tlon": []}
+        for qi in range(nq):
+            if not cand_d[qi]:
+                continue
+            d = np.concatenate(cand_d[qi])
+            tids = np.concatenate([r[0] for r in cand_rows[qi]])
+            la = np.concatenate([r[1] for r in cand_rows[qi]])
+            lo = np.concatenate([r[2] for r in cand_rows[qi]])
+            order = np.lexsort((tids, d))[:keep]
+            rows["qidx"].extend([qi] * len(order))
+            rows["tid"].extend(tids[order].tolist())
+            rows["tlat"].extend(la[order].tolist())
+            rows["tlon"].extend(lo[order].tolist())
+        yield pd.DataFrame(rows)
+
+    cand = t.mapInPandas(part, out_schema)
+    qdf = queries.sparkSession.createDataFrame(
+        qpdf.assign(qidx=np.arange(nq, dtype=np.int32))).select(
+        "qidx", F.col(query_id).alias("qid"),
+        F.col(lat_col).alias("qlat"), F.col(lon_col).alias("qlon"))
+    dist = haversine_expr(F.col("qlat"), F.col("tlat"), F.col("qlon"), F.col("tlon"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("tid").asc())
+    return (cand.join(F.broadcast(qdf), "qidx")
+            .withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", F.col("tid"), "dist", "rank"))
+
+
+def knn(queries: DataFrame, targets: DataFrame, k: int, res: int,
+        small_query_threshold: int = 10_000, **kw) -> DataFrame:
+    """kNN dispatcher: broadcast-scan when the query side is small (exact,
+    one pass, no shuffle), expanding cell-ring index search otherwise."""
+    nq = queries.count()
+    if nq <= small_query_threshold:
+        kw.pop("max_rounds", None)
+        kw.pop("max_guard_rings", None)
+        return knn_broadcast(queries, targets, k, **kw)
+    return knn_join(queries, targets, k, res, **kw)
 
 
 def haversine_expr(lat0, lat1, lon0, lon1):

@@ -120,12 +120,12 @@ def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
             interior &= valid
         w = z.copy()
         w[(z != undef) & interior] = wmax
-        return {"w": w.astype(np.float64)}
+        # emit z alongside w: the relax loop then needs no re-join per round
+        # (one applyInPandas shuffle per round is the whole round)
+        return {"z": z.astype(np.float64), "w": w.astype(np.float64)}
 
     state = stencil.apply_stencil(cells, meta, [dem_col], init_kernel,
-                                  [("w", "double")], halo=1)
-    state = state.join(cells.select("i", "j", dem_col), ["i", "j"]) \
-                 .withColumnRenamed(dem_col, "z")
+                                  [("z", "double"), ("w", "double")], halo=1)
 
     def relax_kernel(blocks, i0, j0, m):
         z = np.nan_to_num(blocks["z"], nan=UNDEF).astype(np.float32)
@@ -146,14 +146,15 @@ def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
             if not changed.any():
                 break
             w[changed] = neww[changed]
-        return {"w": w.astype(np.float64)}
+        return {"z": z.astype(np.float64), "w": w.astype(np.float64)}
 
     prev = None
     for _ in range(max_rounds):
+        # lazy checkpoint: the checksum action below materializes it, so each
+        # round is ONE job (truncated lineage + convergence test together)
         state = stencil.apply_stencil(state, meta, ["z", "w"], relax_kernel,
-                                      [("w", "double")], halo=1)
-        state = state.join(cells.select("i", "j", dem_col), ["i", "j"]) \
-                     .withColumnRenamed(dem_col, "z").localCheckpoint(eager=True)
+                                      [("z", "double"), ("w", "double")],
+                                      halo=1).localCheckpoint(eager=False)
         chk = state.agg(F.sum(F.col("w").cast("double")).alias("s")).collect()[0]["s"]
         if prev is not None and chk == prev:
             break
@@ -267,7 +268,7 @@ def flow_accumulation(fdir_df: DataFrame, meta: GridMeta, res: float,
         ).select("dst_ti", "dst_tj", "dst", "val")
         acc = (base_cells.groupBy("tile_i", "tile_j")
                .cogroup(inflows.groupBy("dst_ti", "dst_tj"))
-               .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=True)
+               .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=False)
         chk = acc.agg(F.sum("acc")).collect()[0][0]
         if chk == prev:
             break
@@ -725,6 +726,51 @@ def gap_fill_hrus(cells: DataFrame, meta: GridMeta) -> DataFrame:
 # MFD accumulation (G5c) + one-step neighbor inflow (G5b)
 # ---------------------------------------------------------------------------
 
+# Per-worker-process cache of round-invariant tile plans (levels + fractions)
+# for the iterative MFD kernels. dem is static across fixpoint rounds, so the
+# wavefront decomposition is computed once per (kernel, tile) per worker and
+# reused every round. Module-global => survives task boundaries under
+# spark.python.worker.reuse (the default); bounded by tiles-per-worker.
+_MFD_PLAN_CACHE: dict = {}
+
+
+def _shift_read(arr: np.ndarray, k: int, l: int, fill) -> np.ndarray:
+    """arr value at (i+k, j+l), ``fill`` outside the block."""
+    out = np.full_like(arr, fill)
+    h, w = arr.shape
+    a0, a1 = max(0, -k), h - max(0, k)
+    b0, b1 = max(0, -l), w - max(0, l)
+    out[a0:a1, b0:b1] = arr[a0 + k:a1 + k, b0 + l:b1 + l]
+    return out
+
+
+def _peel_levels(target: np.ndarray, dep_masks: list[np.ndarray]) -> list[np.ndarray]:
+    """Wavefront decomposition of the strict-dem dependency DAG.
+
+    ``target``: cells recomputed this sweep; ``dep_masks[pos]``: cell c
+    depends on its P8 neighbor at pos (True at c). Returns flat index arrays
+    level 0, 1, ... such that every dependency of a level-L cell lies in a
+    lower level (or outside ``target``). Processing levels in order with the
+    per-cell P8-position addition sequence is arithmetic-identical to the
+    sequential sorted-order sweep (strict inequalities => acyclic; equal-dem
+    cells never interact)."""
+    from ..oracle.terrain import P8
+
+    remaining = target.copy()
+    levels = []
+    while remaining.any():
+        can = remaining.copy()
+        for pos, (k, l) in enumerate(P8):
+            # dependency on a not-yet-peeled neighbor blocks this level
+            nb_rem = _shift_read(remaining, k, l, False)
+            can &= ~(dep_masks[pos] & nb_rem)
+        if not can.any():  # safety: malformed dep masks would loop forever
+            levels.append(np.flatnonzero(remaining))
+            break
+        levels.append(np.flatnonzero(can))
+        remaining &= ~can
+    return levels
+
 def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
                      p: float = 1.0, dem_col: str = "dem",
                      max_rounds: int = 64) -> DataFrame:
@@ -755,64 +801,75 @@ def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
         .withColumn("catch", F.lit(1.0))
     state = state.localCheckpoint(eager=True)
 
+    def _plan(dem: np.ndarray, core):
+        """Round-invariant tile plan: per-P8-position fraction arrays + the
+        wavefront levels. All arithmetic float32, identical per element to
+        the sequential kernel's scalar ops (fract = slope^p / angle[donor],
+        fract_flow_mfd:600-612); invalid positions encode fract = 0 so the
+        masked vector add is a bit-exact no-op."""
+        h, w = dem.shape
+        nanmask = np.isnan(dem)
+        angle = np.zeros((h, w), dtype=np.float32)
+        for (k, l) in P8:
+            length = DIAG * res32 if (k + l) in (-2, 0, 2) else res32
+            nb = _shift_read(dem, k, l, np.nan)
+            d = ((dem - nb) / length).astype(np.float32)
+            s = np.where((dem > nb) & ~np.isnan(d), d, np.float32(0.0)).astype(np.float32)
+            angle = (angle + s ** p32).astype(np.float32)
+        ci0, ci1, cj0, cj1 = core
+        target = np.zeros((h, w), dtype=bool)
+        target[ci0:ci1, cj0:cj1] = True
+        target &= ~nanmask
+        fracts, deps = [], []
+        for (k, l) in P8:
+            nb_dem = _shift_read(dem, k, l, np.nan)
+            higher = nb_dem > dem  # nan-safe: False outside block / undef
+            length = DIAG * res32 if (k + l) in (-2, 0, 2) else res32
+            slope = ((nb_dem - dem) / length).astype(np.float32)
+            nb_angle = _shift_read(angle, k, l, np.float32(0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f = np.where(higher & (nb_angle != 0.0),
+                             slope ** p32 / nb_angle, np.float32(0.0))
+            fracts.append(f.astype(np.float32).ravel())
+            deps.append(higher)
+        levels = _peel_levels(target, deps)
+        noffs = [k * w + l for (k, l) in P8]
+        return levels, fracts, noffs
+
     def make_kernel():
         def kern(blocks, i0, j0, m, core):
+            import zlib
             dem = blocks["dem"].astype(np.float32)
             prev = blocks["catch"].astype(np.float32)
             h, w = dem.shape
-            ci0, ci1, cj0, cj1 = core
-            # per-cell downhill slope^p normalization (fract_flow_mfd:600-612)
-            angle = np.zeros((h, w), dtype=np.float32)
-            for (k, l) in P8:
-                s = np.zeros((h, w), dtype=np.float32)
-                i0c, i1c = max(0, -k), h - max(0, k)
-                j0c, j1c = max(0, -l), w - max(0, l)
-                length = DIAG * res32 if (k + l) in (-2, 0, 2) else res32
-                d = (dem[i0c:i1c, j0c:j1c] - dem[i0c + k:i1c + k, j0c + l:j1c + l]) / length
-                lower = dem[i0c:i1c, j0c:j1c] > dem[i0c + k:i1c + k, j0c + l:j1c + l]
-                s[i0c:i1c, j0c:j1c] = np.where(lower & ~np.isnan(d), d, 0.0)
-                s[np.isnan(s)] = 0.0
-                angle = (angle + s ** p32).astype(np.float32)
-            catch = prev.copy()
-            nanmask = np.isnan(dem)
-            # recompute CORE cells only, in descending dem order; halo cells
-            # keep the neighbor tiles' current estimates. P8-ordered float32
-            # additions (oracle.mfd_acc main loop)
-            order = np.argsort(-np.where(nanmask, -np.inf, dem), axis=None, kind="stable")
-            oi, oj = np.unravel_index(order, (h, w))
-            for idx in range(order.size):
-                i, j = int(oi[idx]), int(oj[idx])
-                if nanmask[i, j]:
-                    continue
-                if not (ci0 <= i < ci1 and cj0 <= j < cj1):
-                    continue
-                acc = np.float32(1.0)
-                for (k, l) in P8:
-                    inew, jnew = i + k, j + l
-                    if inew < 0 or jnew < 0 or inew >= h or jnew >= w:
-                        continue
-                    if nanmask[inew, jnew] or not dem[inew, jnew] > dem[i, j]:
-                        continue
-                    if angle[inew, jnew] == 0.0:
-                        fract = np.float32(0.0)
-                    else:
-                        length = DIAG * res32 if (k + l) in (-2, 0, 2) else res32
-                        slope = (dem[inew, jnew] - dem[i, j]) / length
-                        fract = slope ** p32 / angle[inew, jnew]
-                    acc = np.float32(acc + fract * catch[inew, jnew])
-                catch[i, j] = acc
-            return {"catch": catch.astype(np.float64)}
+            key = ("mfd", i0, j0, h, w, core, zlib.crc32(dem.tobytes()))
+            plan = _MFD_PLAN_CACHE.get(key)
+            if plan is None:
+                plan = _MFD_PLAN_CACHE[key] = _plan(dem, core)
+            levels, fracts, noffs = plan
+            # level sweep: every donor (strictly higher) of a level-L cell is
+            # final (lower level => updated, halo/nan => fixed estimate);
+            # additions stay in P8 position order per cell => bit-equal to
+            # the sequential descending-dem sweep (oracle.mfd_acc main loop)
+            catch = prev.ravel().copy()
+            size = catch.size
+            for idxs in levels:
+                acc = np.ones(idxs.size, dtype=np.float32)
+                for pos in range(8):
+                    nb = catch[np.clip(idxs + noffs[pos], 0, size - 1)]
+                    acc = (acc + fracts[pos][idxs] * nb).astype(np.float32)
+                catch[idxs] = acc
+            return {"dem": dem.astype(np.float64),
+                    "catch": catch.reshape(h, w).astype(np.float64)}
         kern.needs_core = True
         return kern
 
     kern = make_kernel()
     prev_sum = None
     for _ in range(max_rounds):
-        new = stencil.apply_stencil(state, meta, ["dem", "catch"], kern,
-                                    [("catch", "double")], halo=2)
-        state = (new.join(cells.select("i", "j", F.col(dem_col).alias("dem")), ["i", "j"])
-                 .select("tile_i", "tile_j", "i", "j", "dem", "catch")
-                 .localCheckpoint(eager=True))
+        state = stencil.apply_stencil(state, meta, ["dem", "catch"], kern,
+                                      [("dem", "double"), ("catch", "double")],
+                                      halo=2).localCheckpoint(eager=False)
         chk = state.select(
             F.sum(F.crc32(F.col("catch").cast("float").cast("string")).cast("long"))
         ).collect()[0][0]
@@ -872,64 +929,81 @@ def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
                          F.col(channel_col).cast("double").alias("chan")) \
         .withColumn("cd", init_cd).localCheckpoint(eager=True)
 
+    def _plan(dem: np.ndarray, mask: np.ndarray, chan: np.ndarray, core):
+        """Round-invariant plan (determine_channel_depth_mfd:690-745
+        semantics): slopes toward strictly-lower masked neighbors, f32
+        positions-order angle_sum, fract arrays, wavefront levels."""
+        h, w = dem.shape
+        slopes, valids = [], []
+        for (k, l) in P8:
+            length = np.float32(DIAG) * res32 if (k + l) in (-2, 0, 2) else res32
+            nb_dem = _shift_read(dem, k, l, np.nan)
+            nb_mask = _shift_read(mask, k, l, 0.0)
+            lower = (dem > nb_dem) & (nb_mask != 0)  # nan-safe: False
+            s = np.where(lower, ((dem - nb_dem) / length).astype(np.float32),
+                         np.float32(0.0)).astype(np.float32)
+            slopes.append(s)
+        angle_sum = np.float32(0.0) * np.zeros((h, w), dtype=np.float32)
+        for pos in range(8):
+            angle_sum = (angle_sum + slopes[pos] ** p32).astype(np.float32)
+        fracts, deps = [], []
+        for pos in range(8):
+            v = slopes[pos] != 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f = np.where(v, slopes[pos] ** p32 / angle_sum, np.float32(0.0))
+            fracts.append(f.astype(np.float32).ravel())
+            valids.append(v.ravel())
+            deps.append(v)
+        ci0, ci1, cj0, cj1 = core
+        target = np.zeros((h, w), dtype=bool)
+        target[ci0:ci1, cj0:cj1] = True
+        target &= ~np.isnan(dem) & (mask >= 1) & (chan <= 0)
+        levels = _peel_levels(target, deps)
+        noffs = [k * w + l for (k, l) in P8]
+        return levels, fracts, valids, noffs
+
     def make_kernel():
         def kern(blocks, i0, j0, m, core):
-            ci0, ci1, cj0, cj1 = core
+            import zlib
             dem = blocks["dem"].astype(np.float32)
             mask = np.nan_to_num(blocks["mask"], nan=0.0)
             chan = np.nan_to_num(blocks["chan"], nan=0.0)
             cd = np.nan_to_num(blocks["cd"], nan=float(UNDEF)).astype(np.float32)
             h, w = dem.shape
-            order = np.argsort(np.where(np.isnan(dem), np.inf, dem),
-                               axis=None, kind="stable")
-            oi, oj = np.unravel_index(order, (h, w))
-            for idx in range(order.size):
-                i, j = int(oi[idx]), int(oj[idx])
-                if not (ci0 <= i < ci1 and cj0 <= j < cj1):
-                    continue
-                if np.isnan(dem[i, j]) or mask[i, j] < 1 or chan[i, j] > 0:
-                    continue
-                slopes = np.zeros(8, dtype=np.float32)
-                for pos, (k, l) in enumerate(P8):
-                    inew, jnew = i + k, j + l
-                    if not (0 <= inew < h and 0 <= jnew < w):
-                        continue
-                    if np.isnan(dem[inew, jnew]) or mask[inew, jnew] == 0:
-                        continue
-                    if dem[i, j] > dem[inew, jnew]:
-                        length = np.float32(DIAG) * res32 if (k + l) in (-2, 0, 2) else res32
-                        slopes[pos] = (dem[i, j] - dem[inew, jnew]) / length
-                angle_sum = np.float32(0.0)
+            key = ("d2c", i0, j0, h, w, core,
+                   zlib.crc32(dem.tobytes()), zlib.crc32(mask.tobytes()),
+                   zlib.crc32(chan.tobytes()))
+            plan = _MFD_PLAN_CACHE.get(key)
+            if plan is None:
+                plan = _MFD_PLAN_CACHE[key] = _plan(dem, mask, chan, core)
+            levels, fracts, valids, noffs = plan
+            # ascending-dem level sweep; the acc == undef VALUE check (not a
+            # flag) is preserved from the sequential kernel so a partial sum
+            # that lands exactly on -9999 resets identically
+            cdf = cd.ravel()
+            size = cdf.size
+            zero32 = np.float32(0.0)
+            for idxs in levels:
+                acc = np.full(idxs.size, undef32, dtype=np.float32)
                 for pos in range(8):
-                    angle_sum = np.float32(angle_sum + slopes[pos] ** p32)
-                acc = undef32
-                for pos, (k, l) in enumerate(P8):
-                    inew, jnew = i + k, j + l
-                    if not (0 <= inew < h and 0 <= jnew < w):
-                        continue
-                    if slopes[pos] == 0.0 or np.isnan(dem[inew, jnew]) \
-                            or mask[inew, jnew] == 0:
-                        continue
-                    fract = slopes[pos] ** p32 / angle_sum
-                    if acc == undef32:
-                        acc = np.float32(0.0)
-                    acc = np.float32(acc + fract * cd[inew, jnew])
-                cd[i, j] = acc
-            return {"cd": cd.astype(np.float64)}
+                    v = valids[pos][idxs]
+                    nb = cdf[np.clip(idxs + noffs[pos], 0, size - 1)]
+                    contrib = fracts[pos][idxs] * nb
+                    acc = np.where(v & (acc == undef32), zero32, acc)
+                    acc = (acc + np.where(v, contrib, zero32)).astype(np.float32)
+                cdf[idxs] = acc
+            return {"dem": dem.astype(np.float64), "mask": mask,
+                    "chan": chan, "cd": cdf.reshape(h, w).astype(np.float64)}
         kern.needs_core = True
         return kern
 
     kern = make_kernel()
-    side = cells.select("i", "j", F.col(dem_col).alias("dem"),
-                        F.col(mask_col).cast("double").alias("mask"),
-                        F.col(channel_col).cast("double").alias("chan"))
     prev = None
     for _ in range(max_rounds):
-        new = stencil.apply_stencil(state, meta, ["dem", "mask", "chan", "cd"],
-                                    kern, [("cd", "double")], halo=1)
-        state = (new.join(side, ["i", "j"])
-                 .select("tile_i", "tile_j", "i", "j", "dem", "mask", "chan", "cd")
-                 .localCheckpoint(eager=True))
+        state = stencil.apply_stencil(
+            state, meta, ["dem", "mask", "chan", "cd"], kern,
+            [("dem", "double"), ("mask", "double"), ("chan", "double"),
+             ("cd", "double")], halo=1).localCheckpoint(eager=False)
         chk = state.select(
             F.sum(F.crc32(F.col("cd").cast("float").cast("string")).cast("long"))
         ).collect()[0][0]
@@ -1009,7 +1083,7 @@ def remove_pits_simple(cells: DataFrame, meta: GridMeta, res: float,
     for _ in range(max_rounds):
         state = stencil.apply_stencil(state, meta, ["w"], relax,
                                       [("w", "double")], halo=1) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         chk = state.select(
             F.sum(F.crc32(F.col("w").cast("float").cast("string")).cast("long"))
         ).collect()[0][0]

@@ -45,9 +45,32 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative operators localCheckpoint per round; without periodic JVM
+        # GC the ContextCleaner never sees the dropped weak refs (24g heap
+        # rarely fills) and dead checkpoint blocks pile up in the unified
+        # memory pool, degrading every later query in a long session
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_blocks(spark: SparkSession) -> None:
+    """Force a JVM GC so the ContextCleaner drops checkpoint/broadcast blocks
+    whose Python references are gone.
+
+    Long multi-query sessions (the correctness gate runs 52 queries in one
+    session) otherwise accumulate dead localCheckpoint blocks in the unified
+    memory pool — measured 5.7x slowdown on the terrain chain at query 46 vs
+    a fresh session. Checkpoint-heavy queries call this on entry.
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
