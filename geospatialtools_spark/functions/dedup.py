@@ -209,7 +209,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index join: explode distinct shingles, self-join on shingle
@@ -217,24 +218,37 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     inclusion-exclusion. This is the exact ORACLE for the MinHash path —
     at scale run minhash_lsh_pairs first and verify candidates with this on
     the (tiny) candidate set.
+
+    ``max_df`` caps the document frequency of shingles used for CANDIDATE
+    GENERATION (a stopword shingle shared by 1e5 docs would emit 1e10 join
+    rows); candidate pairs are then verified on their FULL shingle sets, so
+    reported jaccard values are exact. The only approximation: a pair whose
+    every common shingle exceeds max_df is never generated — at threshold
+    0.5 such pairs are overwhelmingly stopword-only boilerplate; pick
+    max_df >> the corpus' near-dup cluster size.
     """
-    sh = docs.select(
+    arrays = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles_pudf(k)(F.col(text_col))).alias("shingle"),
+        shingles_pudf(k)(F.col(text_col)).alias("sh"),
     ).localCheckpoint(eager=True)  # materialize before the two-sided reuse
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    sh = arrays.select("_id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") <= max_df).select("shingle"))
+        sh = sh.join(dfc, "shingle")
     inter = (
         sh.alias("a").join(sh.alias("b"), "shingle")
         .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
+    a_side = arrays.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
+    b_side = arrays.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
+    common = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     return (
-        inter
-        .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn("jaccard", F.round(F.col("common") /
-                                       (F.col("na") + F.col("nb") - F.col("common")), 6))
+        inter.join(a_side, "id_a").join(b_side, "id_b")
+        .withColumn("jaccard", F.round(
+            common / (F.size("sha") + F.size("shb") - common), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -243,11 +257,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold.
+    """Embedding near-dup pairs: cosine >= threshold — BRUTE self-join.
 
-    Brute self-join at calibration scale; the 100 TB path buckets by
-    ``similarity.lsh_buckets`` (sign-quantized projections) first so only
-    same-bucket pairs join — this function then verifies candidates exactly.
+    Calibration/oracle path only (quadratic); the scale path is
+    ``embedding_dup_pairs_bucketed`` below.
     """
     from .similarity import cosine_expr
     v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -258,4 +271,44 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
             F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.95,
+                                 n_planes: int = 8,
+                                 probe_radius: int = 1) -> DataFrame:
+    """Embedding near-dup pairs at scale: sign-LSH bucket prefilter + exact
+    cosine verification of candidates. NO cartesian join — the self-join is
+    an equi-join on the bucket id, so only same-bucket pairs shuffle
+    (expected candidate volume ~ (1+r*n_planes) * N^2 / 2^n_planes).
+
+    One side multi-probes every bucket within Hamming distance
+    <= ``probe_radius`` of its own, so a pair survives whenever its two
+    bucket ids differ in <= probe_radius plane signs. Per-plane split
+    probability for a cosine-t pair is arccos(t)/pi (Goemans-Williamson),
+    so recall = P[Binomial(n_planes, arccos(t)/pi) <= probe_radius]; exact
+    duplicates (cosine 1.0, identical vectors) always share a bucket.
+    Reported cosine values are exact (verified per candidate).
+    """
+    from .similarity import cosine_expr, lsh_buckets
+    v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                   lsh_buckets(F.col(vec_col), dim, n_planes).alias("_b"))
+    v = v.localCheckpoint(eager=True)  # both join sides reuse the buckets
+    probes = [F.col("_b")]
+    if probe_radius >= 1:
+        probes += [F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    if probe_radius >= 2:
+        probes += [F.col("_b").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                   for p in range(n_planes) for q in range(p + 1, n_planes)]
+    left = v.select("_id", "_v", F.explode(F.array(*probes)).alias("_b"))
+    return (
+        left.alias("a").join(v.alias("b"), "_b")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -175,10 +175,13 @@ def create_tiles_kmeans(cells: DataFrame, covariate_cols: list[str],
     # materialize: three downstream actions (counts, join, relabel) must not
     # each re-run the clustering pass
     local = local.localCheckpoint(eager=True)
-    # global sequential ids: offset = cumulative distinct-label count of
-    # preceding basins (ascending basin order, like the reference's loop)
+    # global sequential ids: offset advances by max(local_label)+1 per basin
+    # (the reference's icluster = np.max(hrus)+1, :777-780) — NOT the
+    # distinct-label count: k-means can emit non-contiguous labels (empty
+    # clusters), and a distinct-count offset would collide raw ids of
+    # adjacent basins, silently merging tiles across zones
     counts = (local.groupBy("zone")
-              .agg(F.countDistinct("local_tile").alias("k")))
+              .agg((F.max("local_tile") + 1).alias("k")))
     w = Window.orderBy("zone").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))
     tiled = (local.join(F.broadcast(offsets.select("zone", "off")), "zone")
@@ -201,15 +204,31 @@ def create_hrus(cells: DataFrame, covariate_cols: list[str],
     """
     src = cells.filter((F.col(hillslope_col) > 0) & (F.col(tile_col) >= 0))
 
+    # GLOBAL covariate stats, like the reference: -9999 imputed with the
+    # whole-grid mean of valid values (terrain_tools.py:1029-1031) and
+    # min-max normalization with the covariates' global min/max metadata
+    # (normalize_variable, :54-66, called at :1063-1064) — per-group scaling
+    # would change relative covariate weights and cluster membership.
+    stat_aggs = []
+    for c in covariate_cols:
+        valid = F.when(F.col(c) != UNDEF, F.col(c))
+        stat_aggs += [F.avg(valid).alias(f"mean_{c}"),
+                      F.min(valid).alias(f"min_{c}"),
+                      F.max(valid).alias(f"max_{c}")]
+    g = src.agg(*stat_aggs).collect()[0]
+    gstats = {c: (g[f"mean_{c}"], g[f"min_{c}"], g[f"max_{c}"])
+              for c in covariate_cols}
+
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[covariate_cols].to_numpy(np.float64)
         for c, name in enumerate(covariate_cols):
             col = X[:, c]
-            ok = col != UNDEF
-            if ok.any():
-                col[~ok] = col[ok].mean()
-            lo, hi = col.min(), col.max()
-            col = (col - lo) / (hi - lo) if hi > lo else np.zeros_like(col)
+            mean_v, lo, hi = gstats[name]
+            col[col == UNDEF] = mean_v if mean_v is not None else 0.0
+            if hi is not None and lo is not None and hi != lo:
+                col = (col - lo) / (hi - lo)
+            else:
+                col = np.zeros_like(col)
             X[:, c] = weights.get(name, 1.0) * col
         labels = cluster_data(X, nclusters).astype(np.int64)
         return pd.DataFrame({"i": pdf["i"], "j": pdf["j"],
@@ -222,7 +241,8 @@ def create_hrus(cells: DataFrame, covariate_cols: list[str],
                         [hillslope_col, tile_col], kern,
                         schema="i int, j int, hs long, tl long, local_hru long")
     local = local.localCheckpoint(eager=True)  # see create_tiles_kmeans note
-    counts = local.groupBy("hs", "tl").agg(F.countDistinct("local_hru").alias("k"))
+    # offset = max(local)+1 per group (maxc = np.max(clusters)+1, :1147-1148)
+    counts = local.groupBy("hs", "tl").agg((F.max("local_hru") + 1).alias("k"))
     w = Window.orderBy("hs", "tl").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))
     hrud = (local.join(F.broadcast(offsets.select("hs", "tl", "off")), ["hs", "tl"])
@@ -291,13 +311,14 @@ def compute_cluster_parameters(cells: DataFrame, covariate_cols: list[str],
     equivalent to tolerance scaling here). Returns (cells+cluster, nc)."""
     nc = nc0
     src = cells.filter(F.col(zone_col) > 0).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
         tiled = create_tiles_kmeans(src, covariate_cols, nc, zone_col=zone_col)
         joined = src.join(tiled, ["i", "j"])
         rmse = performance_metrics(joined, "tile", covariate_cols).collect()[0]
         if all(rmse[f"rmse_{c}"] <= tolerances.get(c, 0.1) for c in covariate_cols):
-            return joined, nc
-        nc *= 2
+            break
+        if r < max_rounds - 1:  # keep nc = the count actually used for the
+            nc *= 2             # returned clustering, even on non-convergence
     return joined, nc
 
 

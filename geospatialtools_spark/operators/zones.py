@@ -110,14 +110,77 @@ def channel_properties(cells: DataFrame, res: float,
 
 # ----------------------------------------------------------------------- A2
 
-_HP_SCHEMA = (
-    "hid long, latitude double, longitude double, dem double, aspect double,"
-    " tas double, prec double, slope_mean double, x_aspect double,"
-    " y_aspect double, width_intercept double, width_slope double,"
+_HP_GEO_SCHEMA = (
+    "hid long, width_intercept double, width_slope double,"
     " relief_a double, relief_b double, length double, area double,"
     " relief double, position_array array<double>, d2c_array array<double>,"
     " width_array array<double>"
 )
+
+_HP_MEAN_COLS = ["latitude", "longitude", "dem", "aspect", "tas", "prec",
+                 "slope"]
+_HP_PELLETIER = ["uhrt", "uhst", "lt_uvt", "ul_mask"]
+
+
+def _bbox_window_means(cells: DataFrame, src: DataFrame, hillslope_col: str,
+                       mean_cols: list[str]) -> DataFrame:
+    """Per-hillslope covariate means over the hillslope's full BOUNDING-BOX
+    window — including other hillslopes' and unlabeled cells — masked only
+    against -9999, exactly like the reference's
+    ``tmp[var][imin:imax+1, jmin:jmax+1]`` slices (terrain_tools.py:634-639).
+
+    x/y_aspect reproduce the reference quirk of applying sin/cos BEFORE the
+    -9999 mask (:398-400): undef-aspect cells leak sin(-9999)/cos(-9999)
+    into the means, because the mask tests the TRIG value against -9999.
+
+    Join strategy: when the cell table carries (tile_i, tile_j), each bbox
+    explodes to its covered tiles and the join is a tile equi-join + exact
+    range filter (replication ~ bbox tile count — scales); otherwise a
+    broadcast range join over the (small) bbox table.
+    """
+    bbox = (src.groupBy(F.col(hillslope_col).alias("hid"))
+            .agg(F.min("i").alias("i0"), F.max("i").alias("i1"),
+                 F.min("j").alias("j0"), F.max("j").alias("j1")))
+    in_box = ((F.col("i") >= F.col("i0")) & (F.col("i") <= F.col("i1"))
+              & (F.col("j") >= F.col("j0")) & (F.col("j") <= F.col("j1")))
+    want = ["i", "j"] + [c for c in mean_cols if c in cells.columns]
+    tile = None
+    if "tile_i" in cells.columns and "tile_j" in cells.columns:
+        # tile side = first-row i of tile_i=1 minus that of tile_i=0
+        tdf = (cells.groupBy("tile_i").agg(F.min("i").alias("mi"))
+               .orderBy("tile_i").limit(2).collect())
+        if len(tdf) > 1:
+            tile = int(tdf[1]["mi"] - tdf[0]["mi"])
+    if tile:
+        covered = bbox.withColumn(
+            "tile_i", F.explode(F.sequence((F.col("i0") / tile).cast("int"),
+                                           (F.col("i1") / tile).cast("int")))
+        ).withColumn(
+            "tile_j", F.explode(F.sequence((F.col("j0") / tile).cast("int"),
+                                           (F.col("j1") / tile).cast("int"))))
+        joined = (cells.select("tile_i", "tile_j", *want)
+                  .join(F.broadcast(covered), ["tile_i", "tile_j"])
+                  .filter(in_box))
+    else:
+        joined = cells.select(*want).join(F.broadcast(bbox), in_box)
+    aggs = []
+    for c in mean_cols:
+        out_name = "slope_mean" if c == "slope" else c
+        if c not in cells.columns:
+            aggs.append(F.lit(float(UNDEF)).alias(out_name))
+            continue
+        aggs.append(F.coalesce(
+            F.avg(F.when(F.col(c) != UNDEF, F.col(c))),
+            F.lit(float(UNDEF))).alias(out_name))
+    if "aspect" in cells.columns:
+        for out_name, trig in (("x_aspect", F.sin), ("y_aspect", F.cos)):
+            v = trig(F.col("aspect"))
+            aggs.append(F.coalesce(F.avg(F.when(v != UNDEF, v)),
+                                   F.lit(float(UNDEF))).alias(out_name))
+    else:
+        aggs += [F.lit(float(UNDEF)).alias("x_aspect"),
+                 F.lit(float(UNDEF)).alias("y_aspect")]
+    return joined.groupBy("hid").agg(*aggs)
 
 
 def hillslope_properties(cells: DataFrame, res: float,
@@ -127,7 +190,11 @@ def hillslope_properties(cells: DataFrame, res: float,
     (terrain_tools.py:394-668) as a grouped-map kernel — the reference's
     biggest function, run verbatim-in-semantics per hillslope:
 
-    - covariate means ignoring -9999 (:634-639), aspect to cartesian (:398-400)
+    - covariate means over the hillslope's full BBOX window ignoring -9999
+      (:634-639, see _bbox_window_means — includes neighboring hillslopes'
+      cells, reproduced deliberately), aspect to cartesian (:398-400),
+      Pelletier covariates (uhrt/uhst/lt_uvt/ul_mask, :403-406) carried
+      through when present so hru_properties can take the upland branch
     - HAND equal-frequency binning, nc = min(25, area/8100, #distinct) (:437-444)
     - per-bin mean slope / mean d2c / area, sorted by d2c (:455-470)
     - trapezoid walk -> per-bin length, position, mid-HAND (:477-516)
@@ -138,9 +205,9 @@ def hillslope_properties(cells: DataFrame, res: float,
     - relief curve frelief fit over [1,5]^2, fallback [1,1] (:611-617)
     """
     if covariates is None:
-        covariates = [c for c in ("dem", "latitude", "longitude", "tas", "prec")
+        covariates = [c for c in (*_HP_MEAN_COLS, *_HP_PELLETIER)
                       if c in cells.columns]
-    need = ["i", "j", hillslope_col, "hand", "slope", "aspect", *covariates]
+    need = ["i", "j", hillslope_col, "hand", "slope"]
     # undefined-HAND cells cannot enter the bin geometry (the reference's
     # rasters carry valid HAND on every hillslope cell; ours may not at the
     # ocean boundary)
@@ -232,24 +299,8 @@ def hillslope_properties(cells: DataFrame, res: float,
             else:
                 fr = (1.0, 1.0)
 
-        def masked_mean(col):
-            v = pdf[col].to_numpy(np.float64)
-            ok = v != UNDEF
-            return float(np.mean(v[ok])) if ok.any() else UNDEF
-
-        aspect = pdf["aspect"].to_numpy(np.float64)
-        ok_a = aspect != UNDEF
         return pd.DataFrame([{
             "hid": uh,
-            "latitude": masked_mean("latitude") if "latitude" in pdf else UNDEF,
-            "longitude": masked_mean("longitude") if "longitude" in pdf else UNDEF,
-            "dem": masked_mean("dem"),
-            "aspect": masked_mean("aspect"),
-            "tas": masked_mean("tas") if "tas" in pdf else UNDEF,
-            "prec": masked_mean("prec") if "prec" in pdf else UNDEF,
-            "slope_mean": masked_mean("slope"),
-            "x_aspect": float(np.mean(np.sin(aspect[ok_a]))) if ok_a.any() else UNDEF,
-            "y_aspect": float(np.mean(np.cos(aspect[ok_a]))) if ok_a.any() else UNDEF,
             "width_intercept": fw[1], "width_slope": fw[0],
             "relief_a": fr[0], "relief_b": fr[1],
             "length": float(np.sum(length)), "area": float(np.sum(area)),
@@ -260,7 +311,22 @@ def hillslope_properties(cells: DataFrame, res: float,
         }])
 
     from .grouped import grouped_map
-    return grouped_map(src, [hillslope_col], kern, schema=_HP_SCHEMA)
+    geo = grouped_map(src, [hillslope_col], kern, schema=_HP_GEO_SCHEMA)
+    mean_cols = list(dict.fromkeys(
+        [*_HP_MEAN_COLS, *[c for c in covariates if c in cells.columns]]))
+    means = _bbox_window_means(
+        cells, cells.filter(F.col(hillslope_col) > 0), hillslope_col, mean_cols)
+    out = geo.join(means, "hid", "left")
+    # hillslopes filtered out of `means` (none, normally) keep UNDEF
+    fill_cols = (["slope_mean" if c == "slope" else c for c in mean_cols]
+                 + ["x_aspect", "y_aspect"]
+                 + [c for c in _HP_PELLETIER if c not in mean_cols])
+    for c in fill_cols:
+        if c in out.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(float(UNDEF))))
+        else:
+            out = out.withColumn(c, F.lit(float(UNDEF)))
+    return out
 
 
 # ----------------------------------------------------------------------- A3
@@ -274,11 +340,14 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
 
     Stage 1 (distributed): per-HRU area/slope + 10-bin HAND histogram ->
     ECDF arrays, -9999 HAND mean-imputed (:1216-1229), inside applyInPandas.
-    Stage 2 (driver): hillslope geometric association — normalized relief
-    segments via frelief_inv, per-segment length/hand/width, hillslope &
-    overall fractions, and the Pelletier-2016 upland/lowland soil-depth rule
-    (:1294-1307) — on the small property tables, then shipped back as a
-    broadcast join.
+    Stage 2 (distributed): hillslope geometric association — normalized
+    relief segments via frelief_inv, per-segment length/hand/width,
+    hillslope & overall fractions, and the Pelletier-2016 upland/lowland
+    soil-depth rule (:1294-1307) — as a grouped map over hillslope keys with
+    the (small) hillslope property table broadcast-joined in; the driver
+    touches only the global hillslope cell-count fractions (one tiny agg).
+    At continental scale (10^6+ hillslopes) nothing here collects to the
+    driver.
     """
     src = cells.filter(F.col(hru_col) > 0)
 
@@ -304,87 +373,88 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
                     "hillslope_slope double, hand_ecdf array<double>, "
                     "hand_bedges array<double>")
     from .grouped import grouped_map
-    base = grouped_map(src, [hru_col], kern, schema=_base_schema).toPandas()
+    base = grouped_map(src, [hru_col], kern, schema=_base_schema)
 
-    hpdf = hp.toPandas()
-    # hillslope fractions of total cell count (:1184-1190)
+    # hillslope fractions of total cell count (:1184-1190) — small aggregate
     hs_counts = (cells.filter(F.col(hillslope_col) > 0)
                  .groupBy(hillslope_col).agg(F.count("*").alias("n"))).toPandas()
     total = cells.count()
     frac_map = {int(r[hillslope_col]): r["n"] / total for _, r in hs_counts.iterrows()}
-    fsum = sum(frac_map.get(int(h), 0.0) for h in hpdf["hid"])
-    n = len(base)
-    for col in ["hillslope_length", "hillslope_hand", "hillslope_position",
-                "hillslope_width", "hillslope_frac", "soil_depth",
-                "depth_to_bedrock", "frac"]:
-        base[col] = np.zeros(n)
+    hp_ids = [int(r["hid"]) for r in hp.select("hid").collect()]
+    fsum = sum(frac_map.get(h, 0.0) for h in hp_ids)
 
-    # positional column offsets + per-hillslope row indices: every write is
-    # O(rows-of-this-hillslope), never O(total rows)
-    cols = {c: base.columns.get_loc(c) for c in
-            ["tile_id", "area", "hillslope_length", "hillslope_hand",
-             "hillslope_position", "hillslope_width", "hillslope_frac",
-             "soil_depth", "depth_to_bedrock", "frac"]}
-    vals = base.to_numpy(dtype=object)
-    hid_groups = {int(k): v for k, v in
-                  base.groupby("hillslope_id").indices.items()}
-    for _, hrow in hpdf.iterrows():
-        hid = int(hrow["hid"])
-        rows = hid_groups.get(hid)
-        if rows is None:
-            continue
-        tile_ids = vals[rows, cols["tile_id"]].astype(np.int64)
-        areas_all = vals[rows, cols["area"]].astype(np.float64)
-        tids, idx = np.unique(tile_ids, return_inverse=True)
+    hp_cols = ["relief_a", "relief_b", "relief", "length", "width_slope"]
+    hp_opt = [c for c in ("ul_mask", "lt_uvt", "uhst", "uhrt") if c in hp.columns]
+    hp_side = hp.select(F.col("hid").alias("hillslope_id"),
+                        *[F.col(c).alias(f"_hp_{c}") for c in hp_cols + hp_opt])
+    joined = base.join(F.broadcast(hp_side), "hillslope_id", "left")
+
+    out_cols = ["hillslope_length", "hillslope_hand", "hillslope_position",
+                "hillslope_width", "hillslope_frac", "soil_depth",
+                "depth_to_bedrock", "frac"]
+
+    def pell(pdf: pd.DataFrame, name: str, default: float) -> float:
+        """Pelletier covariate with lowland-constant fallback when the
+        column is absent or carries -9999 (no Pelletier rasters supplied)."""
+        col = f"_hp_{name}"
+        if col not in pdf:
+            return default
+        v = float(pdf[col].iloc[0])
+        return default if (np.isnan(v) or v == UNDEF) else v
+
+    ordered = ["hru", "hillslope_id", "tile_id", "area", "hillslope_slope",
+               "hand_ecdf", "hand_bedges"] + out_cols
+
+    def assoc(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        for c in out_cols:
+            out[c] = np.zeros(len(out))
+        if pd.isna(pdf["_hp_relief_a"].iloc[0]):  # hillslope absent from hp
+            return out[ordered]
+        tids, idx = np.unique(pdf["tile_id"].to_numpy(np.int64), return_inverse=True)
+        areas_all = pdf["area"].to_numpy(np.float64)
         nrelief = np.linspace(0, 1, 2 * tids.size + 1)[0::2]
-        a, b = hrow["relief_a"], hrow["relief_b"]
-        length = hrow["length"] * (frelief_inv(nrelief[1:], a, b)
-                                   - frelief_inv(nrelief[:-1], a, b))
-        hand = hrow["relief"] * (nrelief[:-1] + nrelief[1:]) / 2
+        a, b = float(pdf["_hp_relief_a"].iloc[0]), float(pdf["_hp_relief_b"].iloc[0])
+        hlen, relief = float(pdf["_hp_length"].iloc[0]), float(pdf["_hp_relief"].iloc[0])
+        length = hlen * (frelief_inv(nrelief[1:], a, b)
+                         - frelief_inv(nrelief[:-1], a, b))
+        hand = relief * (nrelief[:-1] + nrelief[1:]) / 2
         pos_v = frelief_inv(nrelief, a, b)
-        p0 = hrow["width_slope"]
+        p0 = float(pdf["_hp_width_slope"].iloc[0])
         width = (fwidth(pos_v[1:], p0) + fwidth(pos_v[:-1], p0)) / 2
         frac = (width * length) / np.sum(width * length)
         positions = np.linspace(0, 1, 2 * tids.size + 1)[1::2]
-        vals[rows, cols["hillslope_length"]] = length[idx]
-        vals[rows, cols["hillslope_hand"]] = hand[idx]
-        vals[rows, cols["hillslope_position"]] = positions[idx]
-        vals[rows, cols["hillslope_width"]] = width[idx]
-        # per-tile area split of the tile fraction
+        out["hillslope_length"] = length[idx]
+        out["hillslope_hand"] = hand[idx]
+        out["hillslope_position"] = positions[idx]
+        out["hillslope_width"] = width[idx]
         tile_area_sums = np.zeros(tids.size)
         np.add.at(tile_area_sums, idx, areas_all)
         hfrac_rows = frac[idx] * areas_all / tile_area_sums[idx]
-        vals[rows, cols["hillslope_frac"]] = hfrac_rows
+        out["hillslope_frac"] = hfrac_rows
+        hid = int(pdf["hillslope_id"].iloc[0])
         hfrac = (frac_map.get(hid, 0.0) / fsum) if fsum else 0.0
-        vals[rows, cols["frac"]] = hfrac * hfrac_rows
-        # Pelletier 2016 upland/lowland rule (:1294-1307); the soil columns
-        # default to the lowland constants when the upland covariates
-        # (ul_mask, lt_uvt, uhst, uhrt) are absent from hp
-        ul = float(hrow.get("ul_mask", 2.0))
-        lt_uvt = float(hrow.get("lt_uvt", 4.0))
+        out["frac"] = hfrac * hfrac_rows
+        # Pelletier 2016 upland/lowland rule (:1294-1307)
+        ul = pell(pdf, "ul_mask", 2.0)
+        lt_uvt = pell(pdf, "lt_uvt", 4.0)
         if ul >= 1.5:  # lowland
             soil = 2.0
             sed = max(lt_uvt - soil, 0.0)
             soil_depth = soil * np.ones(tids.size)
             dtb = (soil + sed) * np.ones(tids.size)
         else:  # upland
-            soil_depth = np.linspace(2.0, float(hrow.get("uhst", 2.0)), tids.size)
-            dtb = np.linspace(lt_uvt, float(hrow.get("uhrt", 4.0)), tids.size)
-        vals[rows, cols["soil_depth"]] = soil_depth[idx]
-        vals[rows, cols["depth_to_bedrock"]] = dtb[idx]
-    base = pd.DataFrame(vals, columns=base.columns)
-    for c in ["hru", "hillslope_id", "tile_id"]:
-        base[c] = base[c].astype(np.int64)
-    for c in ["area", "hillslope_slope", "hillslope_length", "hillslope_hand",
-              "hillslope_position", "hillslope_width", "hillslope_frac",
-              "soil_depth", "depth_to_bedrock", "frac"]:
-        base[c] = base[c].astype(np.float64)
+            soil_depth = np.linspace(2.0, pell(pdf, "uhst", 2.0), tids.size)
+            dtb = np.linspace(lt_uvt, pell(pdf, "uhrt", 4.0), tids.size)
+        out["soil_depth"] = soil_depth[idx]
+        out["depth_to_bedrock"] = dtb[idx]
+        return out[ordered]
 
     out_schema = (_base_schema + ", hillslope_length double, hillslope_hand double,"
                   " hillslope_position double, hillslope_width double,"
                   " hillslope_frac double, soil_depth double,"
                   " depth_to_bedrock double, frac double")
-    return cells.sparkSession.createDataFrame(base, schema=out_schema)
+    return grouped_map(joined, ["hillslope_id"], assoc, schema=out_schema)
 
 
 # ----------------------------------------------------------------------- J6

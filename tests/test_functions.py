@@ -206,3 +206,34 @@ def test_ivf_topk_recall(spark):
         want = set(brute[brute["query_id"] == q]["vec_id"])
         assert q in got               # self-hit always found
         assert len(got & want) >= 3   # decent recall at nprobe=2/8
+
+
+def test_embedding_dups_bucketed_matches_brute(spark):
+    """VERDICT r1: the embedding near-dup query must use the bucketed path —
+    same output as the brute self-join, and no cartesian product in the
+    physical plan."""
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    vecs[100:] = vecs[:20] * 1.7           # exact-direction clones (cos=1)
+    vecs[90:95] = vecs[20:25] + rng.normal(scale=1e-3, size=(5, 16)).astype(np.float32)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(120), "embedding": [v.tolist() for v in vecs]}))
+    brute = DD.embedding_dup_pairs(emb, threshold=0.99).toPandas()
+    fast = DD.embedding_dup_pairs_bucketed(emb, dim=16, threshold=0.99,
+                                           probe_radius=2)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    a = brute.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = fast.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """DF-capped candidate generation still reports exact jaccard values and
+    keeps pairs that share any below-cap shingle."""
+    df = spark.createDataFrame(_DOCS)
+    full = DD.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    capped = DD.ngram_jaccard_pairs(df, threshold=0.5, max_df=3).toPandas()
+    a = full.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = capped.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -301,3 +301,44 @@ def test_curate_hru_properties():
     assert (out["width_top"] > out["width_bottom"]).all()  # widening uphill
     # wspec is per-HRU (4 values), split within tiles by area
     assert out["wspec"].nunique() >= 3
+
+
+def test_hillslope_bbox_means_vs_numpy(spark, zone_cells, golden32):
+    """ADVICE r1: covariate means must cover the hillslope's full BOUNDING
+    BOX (other hillslopes' cells included), masked only against -9999 —
+    terrain_tools.py:634-639."""
+    hp = Z.hillslope_properties(zone_cells, RES).toPandas()
+    hs = golden32["hillslopes"]
+    dem = golden32["filled"]
+    for _, r in hp.iterrows():
+        ii, jj = np.where(hs == r["hid"])
+        win = dem[ii.min():ii.max() + 1, jj.min():jj.max() + 1]
+        v = win[win != -9999].astype(np.float64)
+        assert abs(r["dem"] - v.mean()) < 1e-8, r["hid"]
+    # Pelletier covariates present in the schema, UNDEF when absent
+    for c in ("uhrt", "uhst", "lt_uvt", "ul_mask"):
+        assert c in hp.columns
+        assert (hp[c] == -9999.0).all()
+
+
+def test_tile_offsets_survive_noncontiguous_labels(spark):
+    """ADVICE r1: global sequential ids offset by max(label)+1 per zone (the
+    reference's icluster = np.max(hrus)+1), so a zone whose k-means emits
+    non-contiguous labels (empty cluster) cannot collide with the next
+    zone's ids."""
+    import pandas as pd
+    rows = []
+    # zone 1: two tight blobs + one far singleton duplicated -> k=3 over 2
+    # effective clusters often leaves a label gap; zone 2: distinct data
+    rng = np.random.RandomState(7)
+    for z, base in ((1, 0.0), (2, 100.0)):
+        for n in range(40):
+            rows.append({"i": len(rows), "j": 0, "basins": z,
+                         "x": base + (0.0 if n % 2 else 5.0) + rng.normal(0, .01)})
+    cells = spark.createDataFrame(pd.DataFrame(rows))
+    out = CL.create_tiles_kmeans(cells, ["x"], 3).toPandas()
+    j = out.merge(pd.DataFrame(rows), on=["i", "j"])
+    # tiles of different zones must be disjoint
+    t1 = set(j.loc[j["basins"] == 1, "tile"])
+    t2 = set(j.loc[j["basins"] == 2, "tile"])
+    assert not (t1 & t2)
