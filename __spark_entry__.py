@@ -447,10 +447,13 @@ def q_pip_join_docs(spark, sf_dir):
 
 
 def q_grads_time(spark, sf_dir):
-    """S9-adjacent datetime2gradstime ('%HZ%d%b%Y', netcdf_tools.py:10-15)."""
+    """S9-adjacent datetime2gradstime ('%HZ%d%b%Y', netcdf_tools.py:10-15)
+    plus the gradstime2datetime inverse parse (grads_tools.py:30-35) —
+    round-tripped to the hour floor of the source timestamp."""
     e = _t(spark, sf_dir, "events")
-    return e.select("event_id",
-                    UP.datetime2gradstime(F.col("ts").cast("timestamp")).alias("gtime"))
+    g = UP.datetime2gradstime(F.col("ts").cast("timestamp"))
+    rt = F.date_format(UP.gradstime2datetime(g), "yyyy-MM-dd HH:mm:ss")
+    return e.select("event_id", g.alias("gtime"), rt.alias("parsed_back"))
 
 
 def q_terrain_mfd(spark, sf_dir):
@@ -1211,7 +1214,10 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(w.attr, -9999.0) AS attr
             FROM pts LEFT JOIN w USING (doc_id)""",
         "grads_time": """
-            SELECT event_id, strftime(ts, '%HZ%d%b%Y') AS gtime FROM events""",
+            SELECT event_id, strftime(ts, '%HZ%d%b%Y') AS gtime,
+                   strftime(strptime(strftime(ts, '%HZ%d%b%Y'), '%HZ%d%b%Y'),
+                            '%Y-%m-%d %H:%M:%S') AS parsed_back
+            FROM events""",
         "knn_docs": f"""
             WITH q AS ({SY.sql_query_points()}),
             t AS (SELECT doc_id AS tid, lat AS tlat, lon AS tlon FROM ({_DOCS_XY})),

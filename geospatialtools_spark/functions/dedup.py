@@ -231,27 +231,55 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("_id"),
         shingles_pudf(k)(F.col(text_col)).alias("sh"),
     ).localCheckpoint(eager=True)  # materialize before the two-sided reuse
-    sh = arrays.select("_id", F.explode("sh").alias("shingle"))
+    sh = arrays.select("_id", F.size("sh").alias("n"),
+                       F.explode("sh").alias("shingle"))
     if max_df is not None:
         dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") <= max_df).select("shingle"))
         sh = sh.join(dfc, "shingle")
+    # intersection counts from the (capped) index — one groupBy, no arrays.
+    # Per doc: n = FULL shingle count, nc = count surviving the cap; a pair's
+    # capped common equals its full common unless one side dropped shingles.
+    sizes = sh.groupBy("_id").agg(F.first("n").alias("n"),
+                                  F.count("*").alias("nc"))
     inter = (
         sh.alias("a").join(sh.alias("b"), "shingle")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
     )
+    paired = (
+        inter
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"),
+                           (F.col("n") - F.col("nc")).alias("da")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"),
+                           (F.col("n") - F.col("nc")).alias("db")), "id_b")
+    )
+    jac = F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6)
+    if max_df is None:
+        return (paired.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    # exact already when neither side dropped a shingle (the usual case);
+    # otherwise the capped common is a lower bound — array-verify only pairs
+    # whose UPPER bound (common + min(da, db) extra matches) can reach the
+    # threshold. The verify set is tiny whenever the cap binds rarely.
+    slack = F.least(F.col("da"), F.col("db"))
+    upper = (F.col("common") + slack) / (F.col("na") + F.col("nb")
+                                         - F.col("common") - slack)
+    exact = paired.filter((F.col("da") == 0) | (F.col("db") == 0))
+    maybe = (paired.filter((F.col("da") > 0) & (F.col("db") > 0))
+             .filter(F.round(upper, 6) >= threshold))
     a_side = arrays.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
     b_side = arrays.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
-    common = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    return (
-        inter.join(a_side, "id_a").join(b_side, "id_b")
-        .withColumn("jaccard", F.round(
-            common / (F.size("sha") + F.size("shb") - common), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    full_common = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    verified = (maybe.join(a_side, "id_a").join(b_side, "id_b")
+                .withColumn("common", full_common)
+                .select("id_a", "id_b", "common", "na", "nb", "da", "db"))
+    return (exact.unionByName(verified)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",

@@ -36,3 +36,12 @@ def datetime2gradstime(ts):
     (e.g. '00Z01Jan2000') as a Catalyst expression."""
     from pyspark.sql import functions as F
     return F.date_format(ts, "HH'Z'ddMMMyyyy")
+
+
+def gradstime2datetime(s):
+    """``grads_tools.py:30-35`` / ``netcdf_tools.py:17-22`` inverse parse:
+    '%HZ%d%b%Y' -> timestamp, as a Catalyst expression (round-trips with
+    ``datetime2gradstime``; minutes/seconds zero, like the reference's
+    strptime)."""
+    from pyspark.sql import functions as F
+    return F.to_timestamp(s, "HH'Z'ddMMMyyyy")

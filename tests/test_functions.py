@@ -237,3 +237,21 @@ def test_ngram_jaccard_max_df_cap(spark):
     a = full.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     b = capped.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_gradstime_roundtrip(spark):
+    """gradstime2datetime is the exact inverse of datetime2gradstime on
+    hour-resolution timestamps (grads_tools.py:23-35 pair)."""
+    import datetime
+
+    from geospatialtools_spark.functions import upscaling as UP
+    stamps = [datetime.datetime(2003, 2, 28, h) for h in (0, 6, 12, 23)] + \
+             [datetime.datetime(2000, 12, 1, 18)]
+    df = spark.createDataFrame(pd.DataFrame({"ts": stamps}))
+    out = df.select(
+        UP.datetime2gradstime(F.col("ts")).alias("g"),
+        UP.gradstime2datetime(UP.datetime2gradstime(F.col("ts"))).alias("rt"),
+    ).toPandas()
+    for ts, g, rt in zip(stamps, out["g"], out["rt"]):
+        assert g == ts.strftime("%HZ%d%b%Y")
+        assert datetime.datetime.strptime(g, "%HZ%d%b%Y") == rt.to_pydatetime()
