@@ -256,23 +256,97 @@ def flow_accumulation(fdir_df: DataFrame, meta: GridMeta, res: float,
         return kern
 
     kern = make_kernel()
-    empty_inflow = spark.createDataFrame([], inflow_schema)
-    acc = (base_cells.groupBy("tile_i", "tile_j")
-           .cogroup(empty_inflow.groupBy("dst_ti", "dst_tj"))
-           .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=True)
-    prev = acc.agg(F.sum("acc")).collect()[0][0]
+
+    # ---- tile condensation (two full passes + an O(perimeter) iteration).
+    # Integer acc is a LINEAR function of the boundary inflows with 0/1
+    # coefficients: acc(v) = base_acc(v) + sum over inflow cells t whose
+    # in-tile path passes v of inflow(t). Phase A computes, per tile, the
+    # zero-inflow base acc at every cross-edge source u plus the transfer
+    # pairs (t -> u) [t's path exits at u]; phase B solves the boundary
+    # system on tables with O(perimeter) rows (rounds = max tile crossings
+    # of any flow path, each round tiny); phase C is one exact final pass
+    # with the converged inflows — bit-identical to iterating full passes,
+    # since integer addition is associative.
+    ny = meta.ny
+    nx = meta.nx
+    cond_schema = "kind int, a long, b long, val long"
+
+    def kern_a(key, cells_pdf: pd.DataFrame, cross_pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        ii = cells_pdf["i"].to_numpy(np.int64)
+        jj = cells_pdf["j"].to_numpy(np.int64)
+        gid = ii * ny + jj
+        n = len(gid)
+        fi = cells_pdf["fi"].to_numpy(np.int64)
+        fj = cells_pdf["fj"].to_numpy(np.int64)
+        base = (cells_pdf[base_col].to_numpy(np.int64).copy()
+                if base_col else np.ones(n, dtype=np.int64))
+        valid = (fi != IUNDEF) & (fi >= 0) & (fi < nx) & (fj >= 0) & (fj < ny)
+        same = valid & (fi // t == ti) & (fj // t == tj)
+        order = np.argsort(gid, kind="stable")
+        sgid = gid[order]
+        dst_g = fi * ny + fj
+        loc = np.clip(np.searchsorted(sgid, dst_g), 0, n - 1)
+        in_tile = same & (sgid[loc] == dst_g)
+        src_l = np.nonzero(in_tile)[0]
+        dst_l = order[loc[in_tile]]
+        acc0 = _topo_acc(n, src_l, dst_l, base)
+        is_exit = valid & ~same
+        rows = [pd.DataFrame({"kind": np.zeros(int(is_exit.sum()), np.int32),
+                              "a": gid[is_exit],
+                              "b": np.full(int(is_exit.sum()), -1, np.int64),
+                              "val": acc0[is_exit]})]
+        if len(cross_pdf):
+            succ = np.arange(n)
+            succ[src_l] = dst_l  # exits & dead ends self-loop
+            for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+                succ = succ[succ]
+            ts = np.unique(cross_pdf["dst"].to_numpy(np.int64))
+            tl = order[np.clip(np.searchsorted(sgid, ts), 0, n - 1)]
+            ok = gid[tl] == ts  # every dst should be present; guard anyway
+            term = succ[tl[ok]]
+            hits = is_exit[term]
+            nh = int(hits.sum())
+            rows.append(pd.DataFrame({"kind": np.ones(nh, np.int32),
+                                      "a": ts[ok][hits],
+                                      "b": gid[term[hits]],
+                                      "val": np.zeros(nh, np.int64)}))
+        return pd.concat(rows, ignore_index=True)
+
+    condensed = (base_cells.groupBy("tile_i", "tile_j")
+                 .cogroup(cross.groupBy("dst_ti", "dst_tj"))
+                 .applyInPandas(kern_a, schema=cond_schema)
+                 ).localCheckpoint(eager=True)
+    exits = condensed.filter(F.col("kind") == 0) \
+        .select(F.col("a").alias("u"), F.col("val").alias("base"))
+    pairs = condensed.filter(F.col("kind") == 1) \
+        .select(F.col("a").alias("pt"), F.col("b").alias("pu"))
+    cross_sd = cross.select("src", "dst")
+
+    x = exits.withColumn("x", F.col("base")).localCheckpoint(eager=True)
+    prev = None
     for _ in range(max_rounds):
-        inflows = cross.join(
-            acc.select(_cid("i", "j", meta), F.col("acc").alias("val")),
-            F.col("src") == F.col("id"),
-        ).select("dst_ti", "dst_tj", "dst", "val")
-        acc = (base_cells.groupBy("tile_i", "tile_j")
-               .cogroup(inflows.groupBy("dst_ti", "dst_tj"))
-               .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=False)
-        chk = acc.agg(F.sum("acc")).collect()[0][0]
+        chk = x.agg(F.sum("x")).collect()[0][0]
         if chk == prev:
             break
         prev = chk
+        inflow = (cross_sd.join(x.select(F.col("u").alias("src"), "x"), "src")
+                  .groupBy("dst").agg(F.sum("x").alias("inf")))
+        upd = (pairs.join(inflow, pairs.pt == F.col("dst"))
+               .groupBy("pu").agg(F.sum("inf").alias("add")))
+        x = (exits.join(upd, exits.u == F.col("pu"), "left")
+             .select("u", "base",
+                     (F.col("base") + F.coalesce(F.col("add"), F.lit(0)))
+                     .alias("x"))).localCheckpoint(eager=False)
+
+    final_inflow = (cross_sd.join(x.select(F.col("u").alias("src"), "x"), "src")
+                    .groupBy("dst").agg(F.sum("x").alias("val")))
+    inflows = (cross.select("dst_ti", "dst_tj", "dst").distinct()
+               .join(final_inflow, "dst")
+               .select("dst_ti", "dst_tj", "dst", "val"))
+    acc = (base_cells.groupBy("tile_i", "tile_j")
+           .cogroup(inflows.groupBy("dst_ti", "dst_tj"))
+           .applyInPandas(kern, schema=acc_schema)).localCheckpoint(eager=True)
 
     res2 = np.float32(res) ** 2
     out = acc.join(fdir_df.select("i", "j", "fi"), ["i", "j"])
@@ -317,12 +391,12 @@ def delineate_basins(cells: DataFrame, meta: GridMeta) -> DataFrame:
     )
     walkers = st.filter((F.col("channels") == 0) & (F.col("mask") >= 1))
     walkers = walkers.join(nxt_ch, walkers.nxt == F.col("nid"), "left") \
-        .select("id", "ok", "nxt", "n_ch", "n_mask")
+        .select("id", "i", "j", "ok", "nxt", "n_ch", "n_mask")
     # status per determine_basin_id order: fdir bounds -> own mask (>=1 here)
     # -> downstream label -> recurse. Mid-walk cells apply their own rules
     # when resolved as targets, so only the local step is encoded.
     state = walkers.select(
-        "id",
+        "id", "i", "j",
         F.when(~F.col("ok"), F.lit(True))
          .when(F.col("n_ch") > 0, F.lit(True))
          .when(F.col("n_mask") == 0, F.lit(True))
@@ -337,7 +411,7 @@ def delineate_basins(cells: DataFrame, meta: GridMeta) -> DataFrame:
     # entered (determine_basin_id:1283); add them as DONE states so pointers
     # into them terminate correctly.
     others = st.filter(~((F.col("channels") == 0) & (F.col("mask") >= 1))).select(
-        "id", F.lit(True).alias("done"), F.col("nxt").alias("ptr"),
+        "id", "i", "j", F.lit(True).alias("done"), F.col("nxt").alias("ptr"),
         F.when(F.col("channels") > 0, F.col("channels"))
          .otherwise(F.lit(0).cast("long")).alias("label"),
     )
@@ -346,7 +420,9 @@ def delineate_basins(cells: DataFrame, meta: GridMeta) -> DataFrame:
     # REFERENCE checks the target's label BEFORE entering it, so for
     # channel targets label=channel id matches; for mask-0 targets entering
     # yields 0 — also matches.
-    resolved = graph.resolve(state.unionByName(others).filter(F.col("id").isNotNull()))
+    resolved = graph.resolve_tiled(
+        state.unionByName(others).filter(F.col("id").isNotNull()), meta,
+        label_type="long")
     out = cells.select("tile_i", "tile_j", "i", "j", "channels", "mask",
                        _cid("i", "j", meta))
     resolved = resolved.withColumnRenamed("id", "rid")
@@ -383,7 +459,7 @@ def depth2channel(cells: DataFrame, meta: GridMeta, dem_col="dem") -> DataFrame:
     walkers = st.filter(is_walker)
     walkers = walkers.join(tgt, walkers.nxt == tgt.t_id, "left")
     state = walkers.select(
-        "id",
+        "id", "i", "j",
         F.when(~F.col("ok"), F.lit(True))
          .when(F.col("n_cdep") > 0, F.lit(True))
          .when(F.col("n_mask") == 0, F.lit(True))
@@ -392,10 +468,12 @@ def depth2channel(cells: DataFrame, meta: GridMeta, dem_col="dem") -> DataFrame:
         F.when(F.col("ok") & (F.col("n_cdep") > 0), F.col("n_cdep")).alias("label"),
     )
     dones = st.filter(~is_walker).select(
-        "id", F.lit(True).alias("done"), F.col("nxt").alias("ptr"),
+        "id", "i", "j", F.lit(True).alias("done"), F.col("nxt").alias("ptr"),
         F.col("cdep").alias("label"),
     )
-    resolved = graph.resolve(state.unionByName(dones)).withColumnRenamed("id", "rid")
+    resolved = graph.resolve_tiled(state.unionByName(dones), meta,
+                                   label_type="double") \
+        .withColumnRenamed("id", "rid")
     out = st.join(resolved, st.id == F.col("rid"), "left")
     cd_final = F.when(F.col("cdep") > 0, F.col("cdep")).otherwise(F.col("label"))
     hand = (F.col("dem").cast("float") - cd_final.cast("float")).cast("double")
@@ -417,16 +495,18 @@ def _seed_groups(members: DataFrame, meta: GridMeta) -> DataFrame:
     column-major) order). members: (i, j, area, fi, fj) pre-filtered.
     Returns (id, gid)."""
     in_grid, nxt = _fdir_state(members, meta)
-    st = members.select(_cid("i", "j", meta), in_grid.alias("ok"), nxt.alias("nxt"))
+    st = members.select(_cid("i", "j", meta), "i", "j",
+                        in_grid.alias("ok"), nxt.alias("nxt"))
     member_ids = members.select(_cid("i", "j", meta)).withColumnRenamed("id", "m_id")
     st = st.join(member_ids, st.nxt == member_ids.m_id, "left")
     state = st.select(
-        "id",
+        "id", "i", "j",
         (~F.col("ok") | F.col("m_id").isNull()).alias("done"),
         F.col("nxt").alias("ptr"),
         F.when(~F.col("ok") | F.col("m_id").isNull(), F.col("id")).alias("label"),
     )
-    return graph.resolve(state).withColumnRenamed("label", "gid")
+    return graph.resolve_tiled(state, meta, label_type="long") \
+        .withColumnRenamed("label", "gid")
 
 
 def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
@@ -453,8 +533,8 @@ def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
 
     out_schema = "gid long, kind int, i int, j int, v long"
 
-    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (gid,) = key
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(pdf["gid"].iloc[0])
         ii = pdf["i"].to_numpy(np.int64)
         jj = pdf["j"].to_numpy(np.int64)
         i0, j0 = ii.min() - 1, jj.min() - 1  # +1 halo so OOB probes stay cheap
@@ -470,21 +550,31 @@ def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
         seed = (int(gid) // meta.ny - i0, int(gid) % meta.ny - j0)
         labels, topo, n_ids = oracle.channels_walk_single_seed(
             area, fdir, cmask, seed, bt, init_label=0, wprop=True)
-        rows = {"gid": [], "kind": [], "i": [], "j": [], "v": []}
         lab = labels[li, lj]
-        for k in range(len(ii)):
-            rows["gid"].append(gid); rows["kind"].append(0)
-            rows["i"].append(int(ii[k])); rows["j"].append(int(jj[k]))
-            rows["v"].append(int(lab[k]))
-        rows["gid"].append(gid); rows["kind"].append(1)
-        rows["i"].append(-1); rows["j"].append(-1); rows["v"].append(int(n_ids))
-        for lc, ld in topo.items():
-            rows["gid"].append(gid); rows["kind"].append(2)
-            rows["i"].append(int(lc)); rows["j"].append(-1); rows["v"].append(int(ld))
-        return pd.DataFrame(rows)
+        n = len(ii)
+        body = pd.DataFrame({"gid": np.full(n, gid, np.int64),
+                             "kind": np.zeros(n, np.int32),
+                             "i": ii.astype(np.int32),
+                             "j": jj.astype(np.int32),
+                             "v": lab.astype(np.int64)})
+        tail = pd.DataFrame({"gid": [gid], "kind": np.array([1], np.int32),
+                             "i": np.array([-1], np.int32),
+                             "j": np.array([-1], np.int32), "v": [int(n_ids)]})
+        parts = [body, tail]
+        if topo:
+            lcs = np.fromiter(topo.keys(), np.int64, len(topo))
+            lds = np.fromiter(topo.values(), np.int64, len(topo))
+            parts.append(pd.DataFrame({
+                "gid": np.full(len(topo), gid, np.int64),
+                "kind": np.full(len(topo), 2, np.int32),
+                "i": lcs.astype(np.int32),
+                "j": np.full(len(topo), -1, np.int32), "v": lds}))
+        return pd.concat(parts, ignore_index=True)
 
-    walked = chan_g.groupBy("gid").applyInPandas(kern, schema=out_schema) \
-                   .localCheckpoint(eager=True)
+    from .grouped import grouped_map
+    walked = grouped_map(chan_g.select("gid", "i", "j", "area", "fi", "fj"),
+                         ["gid"], kern, schema=out_schema) \
+        .localCheckpoint(eager=True)
 
     # deterministic seed order -> id offsets
     seeds = chan_g.filter(F.col("id") == F.col("gid")).select(
@@ -554,8 +644,8 @@ def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
 
     out_schema = "gid long, kind int, i int, j int, v long"
 
-    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (gid,) = key
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(pdf["gid"].iloc[0])
         ii = pdf["i"].to_numpy(np.int64)
         jj = pdf["j"].to_numpy(np.int64)
         i0, j0 = ii.min() - 1, jj.min() - 1
@@ -571,18 +661,23 @@ def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
         seed = (int(gid) // meta.ny - i0, int(gid) % meta.ny - j0)
         labels, visited, n_ids = oracle.hillslopes_walk_single_seed(ch, fdir, msk, seed)
         got = labels[li, lj]
-        rows = {"gid": [], "kind": [], "i": [], "j": [], "v": []}
-        for k in range(len(ii)):
-            if got[k] > 0:
-                rows["gid"].append(gid); rows["kind"].append(0)
-                rows["i"].append(int(ii[k])); rows["j"].append(int(jj[k]))
-                rows["v"].append(int(got[k]))
-        rows["gid"].append(gid); rows["kind"].append(1)
-        rows["i"].append(-1); rows["j"].append(-1); rows["v"].append(int(n_ids))
-        return pd.DataFrame(rows)
+        sel = got > 0
+        ns = int(sel.sum())
+        body = pd.DataFrame({"gid": np.full(ns, gid, np.int64),
+                             "kind": np.zeros(ns, np.int32),
+                             "i": ii[sel].astype(np.int32),
+                             "j": jj[sel].astype(np.int32),
+                             "v": got[sel].astype(np.int64)})
+        tail = pd.DataFrame({"gid": [gid], "kind": np.array([1], np.int32),
+                             "i": np.array([-1], np.int32),
+                             "j": np.array([-1], np.int32),
+                             "v": [int(n_ids)]})
+        return pd.concat([body, tail], ignore_index=True)
 
-    walked = mem_g.groupBy("gid").applyInPandas(kern, schema=out_schema) \
-                  .localCheckpoint(eager=True)
+    from .grouped import grouped_map
+    walked = grouped_map(
+        mem_g.select("gid", "i", "j", "channels", "mask", "fi", "fj"),
+        ["gid"], kern, schema=out_schema).localCheckpoint(eager=True)
     seeds = mem_g.filter(F.col("id") == F.col("gid")).select(
         "gid", F.col("area").alias("s_area"), F.col("j").alias("s_j"), F.col("i").alias("s_i"))
     counts = walked.filter(F.col("kind") == 1).select("gid", F.col("v").alias("n_ids"))

@@ -375,11 +375,13 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
     from .grouped import grouped_map
     base = grouped_map(src, [hru_col], kern, schema=_base_schema)
 
-    # hillslope fractions of total cell count (:1184-1190) — small aggregate
-    hs_counts = (cells.filter(F.col(hillslope_col) > 0)
-                 .groupBy(hillslope_col).agg(F.count("*").alias("n"))).toPandas()
-    total = cells.count()
-    frac_map = {int(r[hillslope_col]): r["n"] / total for _, r in hs_counts.iterrows()}
+    # hillslope fractions of total cell count (:1184-1190) — ONE scan gives
+    # both the per-hillslope counts and (as their sum) the total
+    hs_all = cells.groupBy(hillslope_col).agg(F.count("*").alias("n")).toPandas()
+    total = int(hs_all["n"].sum())
+    frac_map = {int(r[hillslope_col]): r["n"] / total
+                for _, r in hs_all.iterrows()
+                if pd.notna(r[hillslope_col]) and r[hillslope_col] > 0}
     hp_ids = [int(r["hid"]) for r in hp.select("hid").collect()]
     fsum = sum(frac_map.get(h, 0.0) for h in hp_ids)
 

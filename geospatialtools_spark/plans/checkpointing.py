@@ -86,4 +86,9 @@ class StageRunner:
         os.replace(mf + ".tmp", mf)
         self.metrics.append({"stage": stage, "resumed": False,
                              "rows": n_rows, "wall_ms": wall_ms})
+        # a stage's iterative operators leave dead localCheckpoint blocks;
+        # the next stage reads the committed parquet, so free them now
+        # rather than letting them degrade the rest of the run
+        from ..session import release_blocks
+        release_blocks(self.spark)
         return self.spark.read.parquet(d)

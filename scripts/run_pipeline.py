@@ -56,6 +56,10 @@ def main() -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.ui.showConsoleProgress", "false")
+             # free dead per-round checkpoint blocks between stages — see
+             # session.py: without periodic GC the ContextCleaner never runs
+             # and late stages degrade measurably
+             .config("spark.cleaner.periodicGC.interval", "1min")
              .getOrCreate())
     meta, cells = make_inputs(spark, args.nx, args.ny, args.tile)
     out = run_terrain_pipeline(spark, cells, meta, PipelineConfig(), args.ckpt)
