@@ -628,6 +628,124 @@ def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
     return out, topology
 
 
+def _hillslopes_walk_fast(ch: np.ndarray, fdir: np.ndarray, m: np.ndarray,
+                          seed: tuple[int, int]):
+    """Exact-equal fast twin of ``oracle.hillslopes_walk_single_seed``
+    (terrain_tools.f90:1337-1575).
+
+    The channel-tree walk (move_upstream / catchment_seed, O(#channel
+    cells)) keeps the oracle's control flow verbatim — including the
+    standard-vs-clockwise position quirk — but each ``define_id`` flood
+    fill becomes a recorded (root, id, seq) EVENT instead of a per-cell
+    recursion. A cell's final label is the id of the LATEST event whose
+    root lies on the cell's downstream flow path with no masked cell in
+    between — exactly the recursion's overwrite semantics — computed by
+    numpy pointer doubling with max-seq aggregation: O(cells log cells)
+    vectorized instead of O(cells) Python recursion. Bit-equality is gated
+    by test_hillslopes / test_channels_and_topology goldens.
+    """
+    import sys
+    from ..oracle.terrain import P8, P8_CLOCK
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 10 ** 6))
+    nx, ny = ch.shape
+    state = {"hid": 0, "seq": 0}
+    ev_flat: list[int] = []
+    ev_id: list[int] = []
+
+    def flows_into(inew, jnew, i, j):
+        if not (0 <= inew < nx and 0 <= jnew < ny):
+            return False
+        return fdir[inew, jnew, 0] == i and fdir[inew, jnew, 1] == j
+
+    def define_id(i, j):
+        if m[i, j] == 0:
+            return
+        ev_flat.append(i * ny + j)
+        ev_id.append(state["hid"] + 1)
+
+    def move_upstream(i, j, iold, jold):
+        ipos_old = -1
+        for pos, (k, l) in enumerate(P8_CLOCK):
+            if i + k == iold and j + l == jold:
+                ipos_old = pos
+        channel_count = 0
+        for (k, l) in P8_CLOCK:
+            inew, jnew = i + k, j + l
+            if flows_into(inew, jnew, i, j) and ch[inew, jnew] > 0:
+                channel_count += 1
+        start = ipos_old if ipos_old >= 0 else 0
+        sweep = list(range(start, 8)) + list(range(0, max(ipos_old, 0)))
+        for pos in sweep:
+            k, l = P8_CLOCK[pos]
+            inew, jnew = i + k, j + l
+            if not flows_into(inew, jnew, i, j):
+                continue
+            if ch[inew, jnew] > 0:
+                if channel_count > 1:
+                    state["hid"] += 1
+                move_upstream(inew, jnew, i, j)
+                if channel_count > 1:
+                    state["hid"] += 1
+            else:
+                define_id(inew, jnew)
+        if channel_count == 0:
+            state["hid"] += 1
+            for (k, l) in P8_CLOCK:
+                inew, jnew = i + k, j + l
+                if flows_into(inew, jnew, i, j):
+                    define_id(inew, jnew)
+            state["hid"] += 1
+
+    def catchment_seed(i, j):
+        iold, jold = int(fdir[i, j, 0]), int(fdir[i, j, 1])
+        ipos_old = -1
+        for pos, (k, l) in enumerate(P8):
+            if i + k == iold and j + l == jold:
+                ipos_old = pos
+        start = ipos_old if ipos_old >= 0 else 0
+        sweep = list(range(start, 8)) + list(range(0, max(ipos_old, 0)))
+        for pos in sweep:
+            k, l = P8_CLOCK[pos]
+            inew, jnew = i + k, j + l
+            if not flows_into(inew, jnew, i, j):
+                continue
+            if ch[inew, jnew] > 0:
+                move_upstream(inew, jnew, i, j)
+            else:
+                define_id(inew, jnew)
+
+    catchment_seed(*seed)
+
+    n = nx * ny
+    seq_a = np.zeros(n, dtype=np.int64)
+    id_a = np.zeros(n, dtype=np.int64)
+    if ev_flat:
+        # per-cell latest own event (events are in increasing seq order)
+        seq_vals = np.arange(1, len(ev_flat) + 1, dtype=np.int64)
+        flat = np.asarray(ev_flat, dtype=np.int64)
+        ids = np.asarray(ev_id, dtype=np.int64)
+        seq_a[flat] = seq_vals          # later writes win: latest event stays
+        id_a[flat] = ids
+        # successor: downstream fdir target; terminal (self) when off-grid,
+        # from/to a masked cell, or target has undefined fdir entry
+        fi = fdir[:, :, 0].reshape(n)
+        fj = fdir[:, :, 1].reshape(n)
+        mm = (np.asarray(m).reshape(n) != 0)
+        valid = (fi >= 0) & (fi < nx) & (fj >= 0) & (fj < ny) & mm
+        tgt = np.where(valid, fi * ny + fj, np.arange(n))
+        tgt_ok = mm[np.clip(tgt, 0, n - 1)] & valid
+        f = np.where(tgt_ok, tgt, np.arange(n))
+        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+            nb_seq = seq_a[f]
+            take = nb_seq > seq_a
+            seq_a[take] = nb_seq[take]
+            id_a[take] = id_a[f][take]
+            f = f[f]
+        id_a[~mm] = 0  # masked cells are never labeled
+    labels = id_a.reshape(nx, ny)
+    return labels, None, state["hid"]
+
+
 def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
     """G10 (terrain_tools.f90:1295-1575): per-seed-group exact walks.
 
@@ -659,7 +777,7 @@ def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
         fdir[li, lj, 0] = pdf["fi"].to_numpy(np.int64) - i0
         fdir[li, lj, 1] = pdf["fj"].to_numpy(np.int64) - j0
         seed = (int(gid) // meta.ny - i0, int(gid) % meta.ny - j0)
-        labels, visited, n_ids = oracle.hillslopes_walk_single_seed(ch, fdir, msk, seed)
+        labels, _, n_ids = _hillslopes_walk_fast(ch, fdir, msk, seed)
         got = labels[li, lj]
         sel = got > 0
         ns = int(sel.sum())

@@ -120,3 +120,38 @@ def test_gap_fill_mode(golden32, grid32):
     out = T.gap_fill_hrus(hrus, ch)
     real = (ch > 0) & (ch < 999999)
     assert np.array_equal(out[~real], hrus[~real])
+
+
+def test_hillslopes_walk_fast_equals_oracle():
+    """The vectorized event-aggregation walk (operators/terrain.py:
+    _hillslopes_walk_fast) must reproduce the sequential recursion
+    bit-for-bit on every seed of a non-trivial grid."""
+    import numpy as np
+
+    from geospatialtools_spark import fixtures
+    from geospatialtools_spark.operators.terrain import _hillslopes_walk_fast
+    from geospatialtools_spark.oracle import terrain as OT
+
+    for nx in (64, 96):
+        meta, dem, mask = fixtures.make_dem(nx=nx, ny=nx, tile=nx // 2)
+        res = 30.0
+        filled = OT.planchon_fill(dem, res)
+        area, fdir = OT.d8_acc(filled, mask, res)
+        ch, _wob, _topo = OT.calculate_channels_wocean_wprop(
+            area, res * res * 20, res * res * 5, fdir, mask)
+        chp = np.where(ch > 0, ch, 0)
+        a = area.astype(np.float32).copy()
+        a[(mask <= 0) | (chp > 0)] = np.float32(-9999.0)
+        n_seeds = 0
+        while True:
+            if a.max() == np.float32(-9999.0) or n_seeds >= 8:
+                break
+            seed = OT._argmax2d_fortran(a)
+            lab_o, vis, n_o = OT.hillslopes_walk_single_seed(chp, fdir, mask, seed)
+            lab_f, _, n_f = _hillslopes_walk_fast(chp, fdir, mask, seed)
+            assert n_o == n_f, (nx, seed)
+            assert np.array_equal(lab_o, lab_f), (nx, seed)
+            a[vis] = np.float32(-9999.0)
+            a[seed] = np.float32(-9999.0)
+            n_seeds += 1
+        assert n_seeds > 0
