@@ -45,3 +45,9 @@ def gradstime2datetime(s):
     strptime)."""
     from pyspark.sql import functions as F
     return F.to_timestamp(s, "HH'Z'ddMMMyyyy")
+
+
+def _gradstime_py(date) -> str:
+    """Driver-side twin of ``datetime2gradstime`` ('%HZ%d%b%Y',
+    grads_tools.py:23-28) for sidecar writers."""
+    return date.strftime("%HZ%d%b%Y")

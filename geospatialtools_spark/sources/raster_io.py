@@ -82,3 +82,42 @@ def write_zone_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_zone_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def update_control_file(kind: str, idate, nt: int, tstep: str,
+                        file_template: str, ctl_file: str) -> None:
+    """S9 GrADS ctl sidecar for a netCDF template
+    (``netcdf_tools.py:133-141 Update_Control_File``) — byte-identical text
+    (same format strings); ``idate`` is a datetime."""
+    if kind == "nc":
+        from ..functions.upscaling import _gradstime_py
+        with open(ctl_file, "w") as fp:
+            fp.write("dset %s\n" % file_template)
+            fp.write("options template\n")
+            fp.write("dtype netcdf\n")
+            fp.write("tdef t %d linear %s %s\n"
+                     % (nt, _gradstime_py(idate), tstep))
+
+
+def update_control_file_binary(kind: str, idate, dims: dict, nt: int,
+                               tstep: str, file_template: str,
+                               ctl_file: str, variables: list[str]) -> None:
+    """S9 GrADS ctl sidecar for flat binary output
+    (``netcdf_tools.py:143-160 Update_Control_File_Binary``)."""
+    if kind == "bin_all":
+        from ..functions.upscaling import _gradstime_py
+        with open(ctl_file, "w") as fp:
+            fp.write("dset %s\n" % file_template)
+            fp.write("title %s\n" % file_template)
+            fp.write("undef %f\n" % dims["undef"])
+            fp.write("xdef %d linear %f %f\n"
+                     % (dims["nlon"], dims["minlon"], dims["res"]))
+            fp.write("ydef %d linear %f %f\n"
+                     % (dims["nlat"], dims["minlat"], dims["res"]))
+            fp.write("zdef 1 levels 0\n")
+            fp.write("tdef %d linear %s %s\n"
+                     % (nt, _gradstime_py(idate), tstep))
+            fp.write("vars %d\n" % len(variables))
+            for var in variables:
+                fp.write("%s 0 99 %s\n" % (var, var))
+            fp.write("endvars\n")

@@ -71,3 +71,29 @@ def test_zone_table_roundtrip(spark, tmp_path):
     RIO.write_zone_table(df, path)
     back = RIO.read_zone_table(spark, path).orderBy("zone").collect()
     assert [(r["zone"], r["prop"]) for r in back] == [(1, 2.5), (2, 3.5)]
+
+
+def test_ctl_writers(tmp_path):
+    """S9: ctl sidecars byte-match the reference's format strings
+    (netcdf_tools.py:133-160)."""
+    import datetime
+
+    from geospatialtools_spark.sources import raster_io as R
+    idate = datetime.datetime(2004, 3, 1, 6)
+    p1 = str(tmp_path / "a.ctl")
+    R.update_control_file("nc", idate, 24, "1hr", "out_%y4%m2.nc", p1)
+    want = ("dset out_%y4%m2.nc\noptions template\ndtype netcdf\n"
+            "tdef t 24 linear 06Z01Mar2004 1hr\n")
+    assert open(p1).read() == want
+
+    p2 = str(tmp_path / "b.ctl")
+    dims = {"undef": -9999.0, "nlon": 10, "minlon": -30.0,
+            "nlat": 8, "minlat": 10.0, "res": 0.25}
+    R.update_control_file_binary("bin_all", idate, dims, 4, "1dy",
+                                 "out.bin", p2, ["tas", "prec"])
+    body = open(p2).read()
+    assert body.startswith("dset out.bin\ntitle out.bin\nundef -9999.000000\n")
+    assert "xdef 10 linear -30.000000 0.250000\n" in body
+    assert "ydef 8 linear 10.000000 0.250000\n" in body
+    assert "tdef 4 linear 06Z01Mar2004 1dy\n" in body
+    assert body.endswith("vars 2\ntas 0 99 tas\nprec 0 99 prec\nendvars\n")
