@@ -135,3 +135,33 @@ def test_time_average_block_mean(nt_out, seed):
     dt = nt_in // nt_out
     for b in range(nt_out):
         assert abs(out[b] - series[b * dt:(b + 1) * dt].sum() / dt) < 1e-12
+
+
+def test_knn_ring_equals_broadcast(spark):
+    """The two kNN engines (expanding cell-ring index search with guard
+    radius vs broadcast scan) must return identical exact results —
+    including under anisotropic cells at high latitude, where the guard
+    phase is load-bearing."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatialtools_spark.operators.points import knn_broadcast, knn_join
+
+    rng = np.random.RandomState(17)
+    t = pd.DataFrame({
+        "target_id": np.arange(4000),
+        "lat": 55.0 + rng.uniform(-4, 4, 4000),    # high latitude: lon cells
+        "lon": 10.0 + rng.uniform(-8, 8, 4000),    # are ~0.57x as wide in m
+    })
+    q = pd.DataFrame({
+        "query_id": np.arange(25),
+        "lat": 55.0 + rng.uniform(-3.5, 3.5, 25),
+        "lon": 10.0 + rng.uniform(-7, 7, 25),
+    })
+    targets = spark.createDataFrame(t)
+    queries = spark.createDataFrame(q)
+    a = knn_join(queries, targets, k=5, res=10).toPandas()
+    b = knn_broadcast(queries, targets, k=5).toPandas()
+    a = a.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
