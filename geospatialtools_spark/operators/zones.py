@@ -349,31 +349,55 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
     At continental scale (10^6+ hillslopes) nothing here collects to the
     driver.
     """
-    src = cells.filter(F.col(hru_col) > 0)
-
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        hand = pdf[hand_col].to_numpy(np.float64).copy()
-        ok = hand != UNDEF
-        hand[~ok] = np.mean(hand[ok]) if ok.any() else 0.0
-        hist, bedges = np.histogram(hand, bins=10)
-        ecdf = np.cumsum(hist).astype(np.float64)
-        ecdf = ecdf / ecdf[-1]
-        ecdf = np.append(np.zeros(1), ecdf)
-        return pd.DataFrame([{
-            "hru": int(pdf[hru_col].iloc[0]),
-            "hillslope_id": int(np.mean(pdf[hillslope_col])),
-            "tile_id": int(np.mean(pdf[tile_col])),
-            "area": float(res ** 2 * len(pdf)),
-            "hillslope_slope": float(np.mean(pdf[slope_col])),
-            "hand_ecdf": ecdf.tolist(),
-            "hand_bedges": bedges.tolist(),
-        }])
+    # callers typically pass an unmaterialized multi-way join; it is scanned
+    # three times below (per-HRU stage, hillslope counts, base join) —
+    # materialize once (maps to reading the committed table at production)
+    cells = cells.localCheckpoint(eager=True)
+    src = cells.filter(F.col(hru_col) > 0).select(
+        hru_col, hillslope_col, tile_col, hand_col, slope_col)
 
     _base_schema = ("hru long, hillslope_id long, tile_id long, area double, "
                     "hillslope_slope double, hand_ecdf array<double>, "
                     "hand_bedges array<double>")
-    from .grouped import grouped_map
-    base = grouped_map(src, [hru_col], kern, schema=_base_schema)
+
+    # stage 1 runs as ONE numpy pass per partition (sort by hru, slice per
+    # group): with 10^5+ HRUs, per-group pandas machinery (groupby slices +
+    # one-row DataFrames) costs 10x the actual numerics
+    def stage1(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(pdf):
+            return
+        order = np.argsort(pdf[hru_col].to_numpy(), kind="stable")
+        hru = pdf[hru_col].to_numpy(np.int64)[order]
+        hand = pdf[hand_col].to_numpy(np.float64)[order]
+        slope = pdf[slope_col].to_numpy(np.float64)[order]
+        hsv = pdf[hillslope_col].to_numpy(np.float64)[order]
+        tlv = pdf[tile_col].to_numpy(np.float64)[order]
+        uh, starts = np.unique(hru, return_index=True)
+        ends = np.append(starts[1:], hru.size)
+        out = {"hru": [], "hillslope_id": [], "tile_id": [], "area": [],
+               "hillslope_slope": [], "hand_ecdf": [], "hand_bedges": []}
+        for g in range(uh.size):
+            s, e = starts[g], ends[g]
+            h = hand[s:e].copy()
+            ok = h != UNDEF
+            h[~ok] = np.mean(h[ok]) if ok.any() else 0.0
+            hist, bedges = np.histogram(h, bins=10)
+            ecdf = np.cumsum(hist).astype(np.float64)
+            ecdf = ecdf / ecdf[-1]
+            out["hru"].append(int(uh[g]))
+            out["hillslope_id"].append(int(np.mean(hsv[s:e])))
+            out["tile_id"].append(int(np.mean(tlv[s:e])))
+            out["area"].append(float(res ** 2 * (e - s)))
+            out["hillslope_slope"].append(float(np.mean(slope[s:e])))
+            out["hand_ecdf"].append(np.append(np.zeros(1), ecdf).tolist())
+            out["hand_bedges"].append(bedges.tolist())
+        yield pd.DataFrame(out)
+
+    base = src.repartition(hru_col).mapInPandas(stage1, schema=_base_schema)
 
     # hillslope fractions of total cell count (:1184-1190) — ONE scan gives
     # both the per-hillslope counts and (as their sum) the total
@@ -456,6 +480,7 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
                   " hillslope_position double, hillslope_width double,"
                   " hillslope_frac double, soil_depth double,"
                   " depth_to_bedrock double, frac double")
+    from .grouped import grouped_map
     return grouped_map(joined, ["hillslope_id"], assoc, schema=out_schema)
 
 
