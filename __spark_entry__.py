@@ -1264,6 +1264,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
             FROM events GROUP BY 1""",
+        # Morton quad-cell encode, bit-for-bit vs cellindex.encode (res=14):
+        # interleaved x/y bits + [1 guard][res] header — validates the
+        # engine's spatial index itself cross-engine
+        "doc_cell_ids": f"""
+            WITH pts AS (SELECT doc_id, {SY.SQL_DOC_LAT} AS lat,
+                                {SY.SQL_DOC_LON} AS lon FROM documents),
+            xy AS (SELECT doc_id,
+                    least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT), 0), 16383) AS x,
+                    least(greatest(CAST(floor((lat + 90.0) / 180.0 * 16384) AS BIGINT), 0), 16383) AS y
+                   FROM pts)
+            SELECT doc_id,
+                   ((CAST(1 AS BIGINT) << 62) | (CAST(14 AS BIGINT) << 56) |
+                    {" | ".join(f"(((x >> {k}) & 1) << {2 * k}) | (((y >> {k}) & 1) << {2 * k + 1})" for k in range(14))}
+                   ) AS cell_id
+            FROM xy""",
     }
 
 
