@@ -201,6 +201,45 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return out
 
 
+def simhash_pudf(bits: int = 16):
+    """Arrow-vectorized SimHash — the hot path; bit-identical to the
+    pure-Catalyst ``simhash`` expression (which stays as the DuckDB oracle
+    twin; parity asserted in tests/test_functions.py).
+
+    The Catalyst form runs ``bits`` interpreted higher-order F.aggregate
+    passes over the token array per row (~80us per lambda step); here each
+    Arrow batch hashes each token once and resolves all bit votes in one
+    numpy broadcast — same md5-prefix token hashing, NON-distinct tokens
+    (repeated tokens vote repeatedly), empty text hashes the empty token,
+    mirroring the expression exactly.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql import types as TY
+
+    ws = re.compile(r"\s+", re.ASCII)
+    nonal = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf(TY.LongType())
+    def sh(text):
+        import pandas as pd
+        out = []
+        for t in text:
+            norm = ws.sub(" ", nonal.sub(" ", (t or "").lower())).strip()
+            hs = np.fromiter(
+                (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                 for tok in norm.split(" ")),
+                dtype=np.int64)
+            votes = (2 * ((hs[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — via binary string of the long (bit_count is
     available in Spark; DuckDB side uses bit_count too)."""

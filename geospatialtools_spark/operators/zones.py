@@ -344,10 +344,11 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
     relief segments via frelief_inv, per-segment length/hand/width,
     hillslope & overall fractions, and the Pelletier-2016 upland/lowland
     soil-depth rule (:1294-1307) — as a grouped map over hillslope keys with
-    the (small) hillslope property table broadcast-joined in; the driver
-    touches only the global hillslope cell-count fractions (one tiny agg).
-    At continental scale (10^6+ hillslopes) nothing here collects to the
-    driver.
+    the (small) hillslope property table broadcast-joined in; cell-count
+    fractions stay a DataFrame (count agg -> broadcast join), and the driver
+    touches exactly one scalar (fsum, the fraction mass covered by hp). At
+    continental scale (10^6+ hillslopes) nothing per-hillslope collects to
+    the driver.
     """
     # callers typically pass an unmaterialized multi-way join; it is scanned
     # three times below (per-HRU stage, hillslope counts, base join) —
@@ -399,21 +400,27 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
 
     base = src.repartition(hru_col).mapInPandas(stage1, schema=_base_schema)
 
-    # hillslope fractions of total cell count (:1184-1190) — ONE scan gives
-    # both the per-hillslope counts and (as their sum) the total
-    hs_all = cells.groupBy(hillslope_col).agg(F.count("*").alias("n")).toPandas()
-    total = int(hs_all["n"].sum())
-    frac_map = {int(r[hillslope_col]): r["n"] / total
-                for _, r in hs_all.iterrows()
-                if pd.notna(r[hillslope_col]) and r[hillslope_col] > 0}
-    hp_ids = [int(r["hid"]) for r in hp.select("hid").collect()]
-    fsum = sum(frac_map.get(h, 0.0) for h in hp_ids)
+    # hillslope fractions of total cell count (:1184-1190) — stays a
+    # DataFrame end-to-end (one count agg / total-scalar crossJoin /
+    # broadcast join); 10^6+ hillslopes never pass through the driver. The
+    # ONLY driver-side value is fsum, a single scalar.
+    hs_counts = cells.groupBy(F.col(hillslope_col).alias("hillslope_id")) \
+                     .agg(F.count("*").alias("_n"))
+    tot = hs_counts.agg(F.sum("_n").alias("_tot"))
+    hs_frac = (hs_counts.filter(F.col("hillslope_id") > 0)
+               .crossJoin(F.broadcast(tot))
+               .select("hillslope_id",
+                       (F.col("_n") / F.col("_tot")).alias("_hp_cellfrac")))
+    fsum = (hs_frac.join(hp.select(F.col("hid").alias("hillslope_id")),
+                         "hillslope_id", "left_semi")
+            .agg(F.sum("_hp_cellfrac")).first()[0]) or 0.0
 
     hp_cols = ["relief_a", "relief_b", "relief", "length", "width_slope"]
     hp_opt = [c for c in ("ul_mask", "lt_uvt", "uhst", "uhrt") if c in hp.columns]
     hp_side = hp.select(F.col("hid").alias("hillslope_id"),
                         *[F.col(c).alias(f"_hp_{c}") for c in hp_cols + hp_opt])
-    joined = base.join(F.broadcast(hp_side), "hillslope_id", "left")
+    joined = (base.join(F.broadcast(hp_side), "hillslope_id", "left")
+              .join(F.broadcast(hs_frac), "hillslope_id", "left"))
 
     out_cols = ["hillslope_length", "hillslope_hand", "hillslope_position",
                 "hillslope_width", "hillslope_frac", "soil_depth",
@@ -458,8 +465,9 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
         np.add.at(tile_area_sums, idx, areas_all)
         hfrac_rows = frac[idx] * areas_all / tile_area_sums[idx]
         out["hillslope_frac"] = hfrac_rows
-        hid = int(pdf["hillslope_id"].iloc[0])
-        hfrac = (frac_map.get(hid, 0.0) / fsum) if fsum else 0.0
+        cf = pdf["_hp_cellfrac"].iloc[0]
+        cf = 0.0 if pd.isna(cf) else float(cf)
+        hfrac = (cf / fsum) if fsum else 0.0
         out["frac"] = hfrac * hfrac_rows
         # Pelletier 2016 upland/lowland rule (:1294-1307)
         ul = pell(pdf, "ul_mask", 2.0)

@@ -143,6 +143,21 @@ def test_simhash_near_dups_close(spark):
     assert ham_near < ham_far
 
 
+def test_simhash_pudf_bit_parity(spark):
+    """The Arrow hot path must emit the exact fingerprints of the Catalyst
+    expression (the cross-engine oracle twin) — incl. empty/punct-only text
+    (normalize -> '' -> the empty token is hashed, not skipped) and repeated
+    tokens (non-distinct votes)."""
+    rows = (list(zip(_DOCS["doc_id"], _DOCS["text"]))
+            + [(90, ""), (91, "!!! ???"), (92, "dup dup dup dup one"),
+               (93, "Tab\tand\nnewline  spaced")])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        DD.simhash(F.col("text")).alias("expr"),
+        DD.simhash_pudf(16)(F.col("text")).alias("pudf")).toPandas()
+    assert (out["expr"] == out["pudf"]).all()
+
+
 def test_cosine_topk_vs_numpy(spark):
     rng = np.random.RandomState(11)
     vecs = rng.normal(size=(60, 8)).astype(np.float32)
