@@ -667,8 +667,8 @@ def q_hillslope_props(spark, sf_dir):
     per-hillslope covariate means, bin geometry, width line + relief curve
     fits — numpy kernel per zone via applyInPandas."""
     from geospatialtools_spark.operators.zones import hillslope_properties
-    _, cells = _terrain_zone_cells(spark)
-    hp = hillslope_properties(cells, 30.0)
+    meta, cells = _terrain_zone_cells(spark)
+    hp = hillslope_properties(cells, 30.0, tile=meta.tile)
     return hp.select("hid", "dem", "slope_mean", "width_slope",
                      "relief_a", "relief_b",
                      F.round("length", 4).alias("length"),
@@ -681,12 +681,12 @@ def q_hru_props(spark, sf_dir):
     per-HRU area/slope/ECDF + hillslope association + Pelletier soil rule."""
     from geospatialtools_spark.operators.clustering import create_hrus, create_tiles_kmeans
     from geospatialtools_spark.operators.zones import hillslope_properties, hru_properties
-    _, cells = _terrain_zone_cells(spark)
+    meta, cells = _terrain_zone_cells(spark)
     tiles = create_tiles_kmeans(cells, ["tas", "prec", "hand"], 2)
     with_tiles = cells.join(tiles, ["i", "j"])
     hrus = create_hrus(with_tiles, ["tas", "prec"], {}, 2)
     full = with_tiles.join(hrus, ["i", "j"])
-    hp = hillslope_properties(cells, 30.0)
+    hp = hillslope_properties(cells, 30.0, tile=meta.tile)
     out = hru_properties(full, hp, 30.0)
     return out.select("hru", "hillslope_id", "tile_id", "area",
                       F.round("hillslope_slope", 6).alias("hillslope_slope"),

@@ -261,10 +261,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     ``max_df`` caps the document frequency of shingles used for CANDIDATE
     GENERATION (a stopword shingle shared by 1e5 docs would emit 1e10 join
     rows); candidate pairs are then verified on their FULL shingle sets, so
-    reported jaccard values are exact. The only approximation: a pair whose
-    every common shingle exceeds max_df is never generated — at threshold
-    0.5 such pairs are overwhelmingly stopword-only boilerplate; pick
-    max_df >> the corpus' near-dup cluster size.
+    reported jaccard values are exact. Every doc also always indexes its
+    lowest-df shingle regardless of the cap (see below), so identical and
+    near-identical boilerplate docs still meet; the residual approximation
+    is a pair whose only common shingles are >max_df AND whose lowest-df
+    shingles differ — pick max_df >> the corpus' near-dup cluster size.
     """
     arrays = docs.select(
         F.col(id_col).alias("_id"),
@@ -273,9 +274,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sh = arrays.select("_id", F.size("sh").alias("n"),
                        F.explode("sh").alias("shingle"))
     if max_df is not None:
-        dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-               .filter(F.col("_df") <= max_df).select("shingle"))
-        sh = sh.join(dfc, "shingle")
+        from pyspark.sql import Window
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        # recall fallback: every doc's lowest-df shingle indexes even when
+        # above the cap (deterministic tie-break on the shingle text), so a
+        # doc whose EVERY shingle is boilerplate still generates candidates
+        # — in particular two docs with identical shingle sets always meet
+        # on the same fallback shingle. Without this, a >=threshold pair
+        # sharing only >max_df shingles would silently never be emitted.
+        w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
+                                              F.col("shingle").asc())
+        sh = (sh.join(dfc, "shingle")
+              .withColumn("_rk", F.row_number().over(w))
+              .filter((F.col("_df") <= max_df) | (F.col("_rk") == 1))
+              .drop("_df", "_rk"))
     # intersection counts from the (capped) index — one groupBy, no arrays.
     # Per doc: n = FULL shingle count, nc = count surviving the cap; a pair's
     # capped common equals its full common unless one side dropped shingles.

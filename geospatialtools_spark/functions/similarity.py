@@ -135,7 +135,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
     from ..operators.clustering import kmeans_pp_centers
 
-    sample_pdf = (corpus.orderBy(id_col).limit(train_sample)
+    # deterministic hash-sample: reads ~train_sample rows via a pushed-down
+    # filter instead of a global TakeOrdered rank over the corpus (which at
+    # 10^12 rows would sort-scan everything just to pick a codebook sample).
+    # xxhash64 is stable across runs/partitionings; the orderBy inside the
+    # TINY sampled set pins the k-means++ input order.
+    n_corpus = corpus.count()
+    mod = max(1, n_corpus // train_sample)
+    sample_pdf = (corpus
+                  .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+                  .orderBy(id_col).limit(train_sample)
                   .select(vec_col).toPandas())
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
     centroids = kmeans_pp_centers(X, min(n_centroids, len(X)), seed=35799)

@@ -119,10 +119,16 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, res: int,
 
     # initial ring radius from target density: aim for ~3k candidates in the
     # first gather so most queries finish in ONE round (each extra round is
-    # a full explode+join+checkpoint pass — the dominant cost)
+    # a full explode+join+checkpoint pass — the dominant cost). The density
+    # is a SIZING HEURISTIC only (a wrong estimate costs an extra round,
+    # never correctness — the guard-radius re-check is exact), so estimate
+    # both numbers in ONE partial-agg scan with approx_count_distinct
+    # instead of an exact distinct shuffle over the full target table.
     import math
-    n_t = t.count()
-    n_cells = t.select("tcell").distinct().count()
+    est = t.agg(F.count("*").alias("n"),
+                F.approx_count_distinct("tcell").alias("nc")).first()
+    n_t = est["n"]
+    n_cells = est["nc"]
     density = n_t / max(n_cells, 1)
     r_est = max(1, min(8, math.ceil(0.5 * (math.sqrt(3.0 * k / max(density, 1e-9)) - 1))))
 

@@ -32,24 +32,37 @@ F32_UNDEF = float(np.float32(UNDEF))
 
 
 def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
-    """(polygon_id, attr, wkb) -> one row per covered tile."""
+    """(polygon_id, attr, wkb) -> one row per covered tile, with the WKB
+    parsed ONCE here (before the tile explode) into flat ring-coordinate
+    arrays. A polygon covering T tiles is replicated T times, so parsing
+    after the explode would re-decode every polygon once per covered tile
+    and Python-loop per row; downstream kernels instead reslice the parsed
+    float64 coords (same bytes as the WKB payload — no extra shuffle
+    volume, identical coordinate values)."""
     t = meta.tile
 
-    def bbox_udf(it):
+    def parse_udf(it):
         for pdf in it:
-            boxes = np.array([rings_bbox(wkb_to_rings(w)) for w in pdf["wkb"]])
-            out = pdf[["polygon_id", "attr", "wkb"]].copy()
-            if len(pdf):
-                out["x0"], out["y0"], out["x1"], out["y1"] = (
-                    boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
-            else:
-                out["x0"] = out["y0"] = out["x1"] = out["y1"] = []
+            coords, roffs, boxes = [], [], []
+            for w in pdf["wkb"]:
+                rings = wkb_to_rings(w)
+                boxes.append(rings_bbox(rings))
+                off = np.zeros(len(rings) + 1, dtype=np.int32)
+                np.cumsum([len(r) for r in rings], out=off[1:])
+                roffs.append(off)
+                coords.append(np.concatenate([r.ravel() for r in rings]))
+            out = pdf[["polygon_id", "attr"]].copy()
+            out["coords"] = coords
+            out["roff"] = roffs
+            b = np.array(boxes) if boxes else np.zeros((0, 4))
+            out["x0"], out["y0"], out["x1"], out["y1"] = (
+                b[:, 0], b[:, 1], b[:, 2], b[:, 3])
             yield out
 
     with_box = polygons.mapInPandas(
-        bbox_udf,
-        schema="polygon_id long, attr double, wkb binary, "
-               "x0 double, y0 double, x1 double, y1 double",
+        parse_udf,
+        schema="polygon_id long, attr double, coords array<double>, "
+               "roff array<int>, x0 double, y0 double, x1 double, y1 double",
     )
     # bbox -> covered tile index ranges (cell centers only: a polygon can only
     # burn a cell whose center lies within its bbox)
@@ -64,8 +77,31 @@ def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
         .withColumn("tile_i", F.explode(F.sequence(ti0, ti1)))
         .withColumn("tile_j", F.explode(F.sequence(tj0, tj1)))
         .filter((F.col("tile_i") >= 0) & (F.col("tile_j") >= 0))
-        .select("tile_i", "tile_j", "polygon_id", "attr", "wkb")
+        .select("tile_i", "tile_j", "polygon_id", "attr", "coords", "roff",
+                "x0", "y0", "x1", "y1")
     )
+
+
+def _iter_parsed(poly_pdf: pd.DataFrame, xmin, xmax, ymin, ymax):
+    """Yield (row_idx, rings) in ascending polygon_id for the polygons whose
+    bbox intersects [xmin,xmax]x[ymin,ymax] — one vectorized precheck across
+    the whole batch, ring arrays resliced from the pre-parsed flat coords
+    (no WKB decode, no pandas iterrows)."""
+    order = np.argsort(poly_pdf["polygon_id"].to_numpy(), kind="stable")
+    x0s = poly_pdf["x0"].to_numpy(np.float64)[order]
+    y0s = poly_pdf["y0"].to_numpy(np.float64)[order]
+    x1s = poly_pdf["x1"].to_numpy(np.float64)[order]
+    y1s = poly_pdf["y1"].to_numpy(np.float64)[order]
+    hit = (x0s <= xmax) & (x1s >= xmin) & (y0s <= ymax) & (y1s >= ymin)
+    coords_col = poly_pdf["coords"].to_numpy()
+    roff_col = poly_pdf["roff"].to_numpy()
+    for k in np.flatnonzero(hit):
+        idx = order[k]
+        c = np.asarray(coords_col[idx], dtype=np.float64)
+        off = np.asarray(roff_col[idx], dtype=np.int64)
+        rings = [c[2 * a:2 * b].reshape(-1, 2)
+                 for a, b in zip(off[:-1], off[1:])]
+        yield idx, rings, (x0s[k], y0s[k], x1s[k], y1s[k])
 
 
 def rasterize(cells: DataFrame, polygons: DataFrame, meta: GridMeta,
@@ -85,17 +121,18 @@ def rasterize(cells: DataFrame, polygons: DataFrame, meta: GridMeta,
         cx = meta.minx + (jj + 0.5) * meta.resx
         cy = meta.miny + (ii + 0.5) * meta.resy
         burned = np.full(len(ii), UNDEF, dtype=np.float64)
-        if len(poly_pdf):
-            poly_pdf = poly_pdf.sort_values("polygon_id")  # burn order: last wins
-            for _, row in poly_pdf.iterrows():
-                rings = wkb_to_rings(row["wkb"])
-                x0, y0, x1, y1 = rings_bbox(rings)
+        if len(poly_pdf) and len(ii):
+            attrs = poly_pdf["attr"].to_numpy(np.float64)
+            # _iter_parsed: ascending polygon_id (burn order: last wins),
+            # vectorized bbox precheck, pre-parsed rings — no WKB re-decode
+            for idx, rings, (x0, y0, x1, y1) in _iter_parsed(
+                    poly_pdf, cx.min(), cx.max(), cy.min(), cy.max()):
                 cand = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
                 if not cand.any():
                     continue
                 inside = points_in_rings(cx[cand], cy[cand], rings)
                 sel = np.where(cand)[0][inside]
-                burned[sel] = np.float32(row["attr"])
+                burned[sel] = np.float32(attrs[idx])
         return pd.DataFrame({
             "tile_i": np.full(len(ii), ti, np.int32),
             "tile_j": np.full(len(ii), tj, np.int32),
@@ -134,17 +171,18 @@ def pip_join(points: DataFrame, polygons: DataFrame, meta: GridMeta,
         py = pts_pdf[lat_col].to_numpy(np.float64)
         pid = np.full(len(px), -1, dtype=np.int64)
         attr = np.full(len(px), np.nan)
-        if len(poly_pdf):
-            for _, row in poly_pdf.sort_values("polygon_id").iterrows():
-                rings = wkb_to_rings(row["wkb"])
-                x0, y0, x1, y1 = rings_bbox(rings)
+        if len(poly_pdf) and len(px):
+            pids = poly_pdf["polygon_id"].to_numpy(np.int64)
+            attrs = poly_pdf["attr"].to_numpy(np.float64)
+            for idx, rings, (x0, y0, x1, y1) in _iter_parsed(
+                    poly_pdf, px.min(), px.max(), py.min(), py.max()):
                 cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
                 if not cand.any():
                     continue
                 inside = points_in_rings(px[cand], py[cand], rings)
                 sel = np.where(cand)[0][inside]
-                pid[sel] = row["polygon_id"]
-                attr[sel] = row["attr"]
+                pid[sel] = pids[idx]
+                attr[sel] = attrs[idx]
         out = pts_pdf[in_cols].copy()
         out["polygon_id"] = pid
         out["attr"] = attr

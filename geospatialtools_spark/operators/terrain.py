@@ -943,8 +943,29 @@ def gap_fill_hrus(cells: DataFrame, meta: GridMeta) -> DataFrame:
 # for the iterative MFD kernels. dem is static across fixpoint rounds, so the
 # wavefront decomposition is computed once per (kernel, tile) per worker and
 # reused every round. Module-global => survives task boundaries under
-# spark.python.worker.reuse (the default); bounded by tiles-per-worker.
+# spark.python.worker.reuse (the default). Bounded (a long-lived reused
+# worker running many grids would otherwise hold multi-MB plans forever)
+# and collision-proof: the crc32 in the key is only a fast filter — on hit
+# the stored input arrays are compared byte-for-byte before reuse, so a
+# 32-bit collision can never replay a wrong wavefront plan.
 _MFD_PLAN_CACHE: dict = {}
+_MFD_PLAN_CACHE_MAX = 128
+
+
+def _plan_cache_get(key, arrays):
+    ent = _MFD_PLAN_CACHE.get(key)
+    if ent is not None:
+        stored, plan = ent
+        if len(stored) == len(arrays) and all(
+                np.array_equal(a, b, equal_nan=True) for a, b in zip(stored, arrays)):
+            return plan
+    return None
+
+
+def _plan_cache_put(key, arrays, plan):
+    if len(_MFD_PLAN_CACHE) >= _MFD_PLAN_CACHE_MAX:
+        _MFD_PLAN_CACHE.clear()
+    _MFD_PLAN_CACHE[key] = ([np.array(a, copy=True) for a in arrays], plan)
 
 
 def _shift_read(arr: np.ndarray, k: int, l: int, fill) -> np.ndarray:
@@ -1056,9 +1077,10 @@ def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
             prev = blocks["catch"].astype(np.float32)
             h, w = dem.shape
             key = ("mfd", i0, j0, h, w, core, zlib.crc32(dem.tobytes()))
-            plan = _MFD_PLAN_CACHE.get(key)
+            plan = _plan_cache_get(key, (dem,))
             if plan is None:
-                plan = _MFD_PLAN_CACHE[key] = _plan(dem, core)
+                plan = _plan(dem, core)
+                _plan_cache_put(key, (dem,), plan)
             levels, fracts, noffs = plan
             # level sweep: every donor (strictly higher) of a level-L cell is
             # final (lower level => updated, halo/nan => fixed estimate);
@@ -1069,8 +1091,15 @@ def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
             for idxs in levels:
                 acc = np.ones(idxs.size, dtype=np.float32)
                 for pos in range(8):
+                    f = fracts[pos][idxs]
                     nb = catch[np.clip(idxs + noffs[pos], 0, size - 1)]
-                    acc = (acc + fracts[pos][idxs] * nb).astype(np.float32)
+                    # mask like the d2c kernel: a neighbor absent from the
+                    # input table reads NaN and 0*NaN would poison the sum;
+                    # adding an explicit 0.0 where fract == 0 is the same
+                    # bit-exact no-op the zero-fract argument relies on
+                    contrib = np.where(f != 0.0, (f * nb).astype(np.float32),
+                                       np.float32(0.0))
+                    acc = (acc + contrib).astype(np.float32)
                 catch[idxs] = acc
             return {"dem": dem.astype(np.float64),
                     "catch": catch.reshape(h, w).astype(np.float64)}
@@ -1186,9 +1215,10 @@ def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
             key = ("d2c", i0, j0, h, w, core,
                    zlib.crc32(dem.tobytes()), zlib.crc32(mask.tobytes()),
                    zlib.crc32(chan.tobytes()))
-            plan = _MFD_PLAN_CACHE.get(key)
+            plan = _plan_cache_get(key, (dem, mask, chan))
             if plan is None:
-                plan = _MFD_PLAN_CACHE[key] = _plan(dem, mask, chan, core)
+                plan = _plan(dem, mask, chan, core)
+                _plan_cache_put(key, (dem, mask, chan), plan)
             levels, fracts, valids, noffs = plan
             # ascending-dem level sweep; the acc == undef VALUE check (not a
             # flag) is preserved from the sequential kernel so a partial sum

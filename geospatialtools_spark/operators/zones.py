@@ -123,7 +123,7 @@ _HP_PELLETIER = ["uhrt", "uhst", "lt_uvt", "ul_mask"]
 
 
 def _bbox_window_means(cells: DataFrame, src: DataFrame, hillslope_col: str,
-                       mean_cols: list[str]) -> DataFrame:
+                       mean_cols: list[str], tile: int | None = None) -> DataFrame:
     """Per-hillslope covariate means over the hillslope's full BOUNDING-BOX
     window — including other hillslopes' and unlabeled cells — masked only
     against -9999, exactly like the reference's
@@ -133,24 +133,39 @@ def _bbox_window_means(cells: DataFrame, src: DataFrame, hillslope_col: str,
     -9999 mask (:398-400): undef-aspect cells leak sin(-9999)/cos(-9999)
     into the means, because the mask tests the TRIG value against -9999.
 
-    Join strategy: when the cell table carries (tile_i, tile_j), each bbox
-    explodes to its covered tiles and the join is a tile equi-join + exact
-    range filter (replication ~ bbox tile count — scales); otherwise a
-    broadcast range join over the (small) bbox table.
+    Join strategy: when ``tile`` is known (pass meta.tile — authoritative)
+    or the cell table carries (tile_i, tile_j) from which it can be
+    VALIDATED, each bbox explodes to its covered tiles and the join is a
+    tile equi-join + exact range filter (replication ~ bbox tile count —
+    scales); otherwise a broadcast range join over the (small) bbox table.
+    An inferred tile size is only trusted after checking every cell row
+    satisfies tile_i == i//tile and tile_j == j//tile (a filtered or
+    non-dense cell table would otherwise silently drop in-bbox cells before
+    the range filter); on mismatch we fall back to the range join.
     """
     bbox = (src.groupBy(F.col(hillslope_col).alias("hid"))
             .agg(F.min("i").alias("i0"), F.max("i").alias("i1"),
                  F.min("j").alias("j0"), F.max("j").alias("j1")))
     in_box = ((F.col("i") >= F.col("i0")) & (F.col("i") <= F.col("i1"))
               & (F.col("j") >= F.col("j0")) & (F.col("j") <= F.col("j1")))
-    want = ["i", "j"] + [c for c in mean_cols if c in cells.columns]
-    tile = None
-    if "tile_i" in cells.columns and "tile_j" in cells.columns:
-        # tile side = first-row i of tile_i=1 minus that of tile_i=0
+    # aspect is needed even when not a requested mean (x/y_aspect aggs)
+    want = ["i", "j"] + [c for c in dict.fromkeys([*mean_cols, "aspect"])
+                         if c in cells.columns]
+    if tile is None and "tile_i" in cells.columns and "tile_j" in cells.columns:
+        # tile side = first-row i of tile_i=1 minus that of tile_i=0 ...
         tdf = (cells.groupBy("tile_i").agg(F.min("i").alias("mi"))
                .orderBy("tile_i").limit(2).collect())
         if len(tdf) > 1:
-            tile = int(tdf[1]["mi"] - tdf[0]["mi"])
+            cand = int(tdf[1]["mi"] - tdf[0]["mi"])
+            # ... validated against EVERY row before use (one scan, only on
+            # the inference path — explicit-tile callers skip it)
+            if cand > 0 and cells.filter(
+                    (F.floor(F.col("i") / cand) != F.col("tile_i"))
+                    | (F.floor(F.col("j") / cand) != F.col("tile_j"))
+            ).limit(1).count() == 0:
+                tile = cand
+    if tile and not ("tile_i" in cells.columns and "tile_j" in cells.columns):
+        tile = None
     if tile:
         covered = bbox.withColumn(
             "tile_i", F.explode(F.sequence((F.col("i0") / tile).cast("int"),
@@ -185,7 +200,8 @@ def _bbox_window_means(cells: DataFrame, src: DataFrame, hillslope_col: str,
 
 def hillslope_properties(cells: DataFrame, res: float,
                          hillslope_col: str = "hillslopes",
-                         covariates: list[str] | None = None) -> DataFrame:
+                         covariates: list[str] | None = None,
+                         tile: int | None = None) -> DataFrame:
     """A2 ``calculate_hillslope_properties_updated``
     (terrain_tools.py:394-668) as a grouped-map kernel — the reference's
     biggest function, run verbatim-in-semantics per hillslope:
@@ -315,7 +331,8 @@ def hillslope_properties(cells: DataFrame, res: float,
     mean_cols = list(dict.fromkeys(
         [*_HP_MEAN_COLS, *[c for c in covariates if c in cells.columns]]))
     means = _bbox_window_means(
-        cells, cells.filter(F.col(hillslope_col) > 0), hillslope_col, mean_cols)
+        cells, cells.filter(F.col(hillslope_col) > 0), hillslope_col,
+        mean_cols, tile=tile)
     out = geo.join(means, "hid", "left")
     # hillslopes filtered out of `means` (none, normally) keep UNDEF
     fill_cols = (["slope_mean" if c == "slope" else c for c in mean_cols]

@@ -126,7 +126,8 @@ def run_terrain_pipeline(spark: SparkSession, cells: DataFrame, meta: GridMeta,
         "basin_props", lambda: Z.basin_properties(
             zone_cells, covariate_cols=["dem", "hand", "slope"]))
     hp = runner.run_stage(
-        "hillslope_props", lambda: Z.hillslope_properties(zone_cells, res))
+        "hillslope_props",
+        lambda: Z.hillslope_properties(zone_cells, res, tile=meta.tile))
     out["hillslope_props"] = hp
     out["hru_props"] = runner.run_stage(
         "hru_props", lambda: Z.hru_properties(

@@ -133,6 +133,21 @@ def test_ngram_jaccard_exact(spark):
     assert (2, 4) not in rows
 
 
+def test_ngram_capped_keeps_boilerplate_dups(spark):
+    """ADVICE r2: with max_df=1 every shared shingle is over the cap, yet
+    identical boilerplate docs must still pair via the lowest-df-shingle
+    fallback, and reported jaccard stays exact."""
+    rows = [(i, "terms of service apply to all users here") for i in range(4)]
+    rows += [(10, "completely unrelated text about spark physical plans")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = DD.ngram_jaccard_pairs(df, threshold=0.5, max_df=1).toPandas()
+    pairs = {(a, b): j for a, b, j in out.to_numpy()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert pairs[(a, b)] == 1.0, (a, b)
+    assert all(10 not in p for p in pairs)
+
+
 def test_simhash_near_dups_close(spark):
     df = spark.createDataFrame(_DOCS)
     out = df.select("doc_id", DD.simhash(F.col("text")).alias("sh")).toPandas()

@@ -321,6 +321,25 @@ def test_hillslope_bbox_means_vs_numpy(spark, zone_cells, golden32):
         assert (hp[c] == -9999.0).all()
 
 
+def test_bbox_means_nondense_falls_back_to_range_join(spark, zone_cells):
+    """ADVICE r2: a filtered (non-dense) cell table must not fool the tile
+    inference into an equi-join that silently drops in-bbox cells. Dropping
+    the first rows of tile row 0 makes the inferred tile side wrong; the
+    validation must reject it and the range-join fallback must produce the
+    same means as the dense explicit-tile path restricted to surviving
+    cells."""
+    sparse = zone_cells.filter(F.col("i") >= 3)  # inferred side = 13, wrong
+    got = Z._bbox_window_means(
+        sparse, sparse.filter(F.col("hillslopes") > 0), "hillslopes",
+        ["dem"]).toPandas().sort_values("hid").reset_index(drop=True)
+    # ground truth: same table, tile columns stripped -> pure range join
+    bare = sparse.drop("tile_i", "tile_j")
+    want = Z._bbox_window_means(
+        bare, bare.filter(F.col("hillslopes") > 0), "hillslopes",
+        ["dem"]).toPandas().sort_values("hid").reset_index(drop=True)
+    assert np.allclose(got["dem"], want["dem"], atol=1e-12)
+
+
 def test_tile_offsets_survive_noncontiguous_labels(spark):
     """ADVICE r1: global sequential ids offset by max(label)+1 per zone (the
     reference's icluster = np.max(hrus)+1), so a zone whose k-means emits
