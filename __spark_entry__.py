@@ -519,6 +519,37 @@ def _terrain_distributed(spark):
     return out
 
 
+def q_hillslope_bbox_means(spark, sf_dir):
+    """A2's covariate-mean half (terrain_tools.py:634-639) as a FULL value
+    oracle: the real _bbox_window_means operator (tile-explode equi-join
+    path, explicit tile size) over a dense 30x30 grid derived
+    deterministically from the events table — per-zone means over the
+    zone's full bounding box, -9999-masked, exactly the bbox-window rule
+    the zone fixture's rows-only hillslope_props exercises end-to-end.
+    The global row_number is gate-scale scaffolding (900 rows), not the
+    operator's scale path."""
+    from geospatialtools_spark.operators.zones import _bbox_window_means
+    side, tile = 30, 6
+    e = _t(spark, sf_dir, "events")
+    base = (e.select("event_id", "value")
+            .withColumn("rn", F.row_number().over(Window.orderBy("event_id")) - 1)
+            .filter(F.col("rn") < side * side))
+    i = (F.col("rn") / side).cast("int")
+    j = (F.col("rn") % side).cast("int")
+    cells = base.select(
+        i.alias("i"), j.alias("j"),
+        (i / tile).cast("int").alias("tile_i"),
+        (j / tile).cast("int").alias("tile_j"),
+        F.when(F.col("event_id") % 37 == 0, F.lit(-9999.0))
+         .otherwise(F.col("value")).alias("v"),
+        F.when((i + j) % 7 == 0, F.lit(0))
+         .otherwise(1 + (i * 31 + j) % 5).alias("hillslopes"))
+    out = _bbox_window_means(cells, cells.filter(F.col("hillslopes") > 0),
+                             "hillslopes", ["v"], tile=tile)
+    return out.select("hid", F.round("v", 6).alias("v_mean"),
+                      "x_aspect", "y_aspect")
+
+
 def q_terrain_fill_acc(spark, sf_dir):
     """G1+G3+G4 stage view of the distributed chain: accumulation-area
     decade histogram + total fill lift (rows-only; bit-parity in tests)."""
@@ -913,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "doc_cell_ids": q_doc_cell_ids,
+        "hillslope_bbox_means": q_hillslope_bbox_means,
         "tiles_kmeans": q_tiles_kmeans,
         "hillslope_props": q_hillslope_props,
         "hru_props": q_hru_props,
@@ -1352,6 +1384,54 @@ def oracle_sql() -> dict[str, str]:
                     {" | ".join(f"(((x >> {k}) & 1) << {2 * k}) | (((y >> {k}) & 1) << {2 * k + 1})" for k in range(14))}
                    ) AS cell_id
             FROM xy""",
+        # multimodal fake-decode twins: payload = sha256 keystream of the
+        # media_ref (8 digests = 256 bytes); width/height/frame hashes are
+        # taken over the payload's HEX encoding precisely so a VARCHAR-only
+        # hash engine can reproduce them (media.py:_fake_decode)
+        "media_decode": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+                   'image' AS kind,
+                   'blob://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   16 + (('0x' || substr(h, 1, 2))::INT % 240) AS width,
+                   16 + (('0x' || substr(h, 3, 2))::INT % 240) AS height
+            FROM (SELECT doc_id, sha256(concat(
+                    {", ".join(f"sha256('blob://doc/' || CAST(doc_id AS VARCHAR) || '#{c}')" for c in range(8))}
+                  )) AS h
+                  FROM documents WHERE doc_id % 3 = 0)""",
+        "frame_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+                   'blob://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(fi AS INT) AS frame_idx,
+                   sha256(concat(
+                     sha256('blob://doc/' || CAST(doc_id AS VARCHAR) || '#' || CAST(2 * fi AS VARCHAR)),
+                     sha256('blob://doc/' || CAST(doc_id AS VARCHAR) || '#' || CAST(2 * fi + 1 AS VARCHAR))
+                   )) AS frame_hash
+            FROM documents CROSS JOIN range(4) t(fi)
+            WHERE doc_id % 3 = 0""",
+        # A2 bbox-window covariate means (terrain_tools.py:634-639): the
+        # mean covers the zone's full bounding box incl. other zones' and
+        # unlabeled cells, masked only against -9999
+        "hillslope_bbox_means": """
+            WITH base AS (
+              SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn,
+                     event_id, value
+              FROM events QUALIFY rn < 900
+            ), cells AS (
+              SELECT CAST(rn // 30 AS INT) AS i, CAST(rn % 30 AS INT) AS j,
+                     CASE WHEN event_id % 37 = 0 THEN -9999.0 ELSE value END AS v,
+                     CASE WHEN (CAST(rn // 30 AS INT) + CAST(rn % 30 AS INT)) % 7 = 0 THEN 0
+                          ELSE 1 + (CAST(rn // 30 AS INT) * 31 + CAST(rn % 30 AS INT)) % 5 END AS hid
+              FROM base
+            ), bbox AS (
+              SELECT hid, min(i) AS i0, max(i) AS i1, min(j) AS j0, max(j) AS j1
+              FROM cells WHERE hid > 0 GROUP BY hid
+            )
+            SELECT b.hid,
+                   round(coalesce(avg(CASE WHEN c.v != -9999.0 THEN c.v END), -9999.0), 6) AS v_mean,
+                   -9999.0 AS x_aspect, -9999.0 AS y_aspect
+            FROM cells c JOIN bbox b
+              ON c.i BETWEEN b.i0 AND b.i1 AND c.j BETWEEN b.j0 AND b.j1
+            GROUP BY b.hid""",
     }
 
 

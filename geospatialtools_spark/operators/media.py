@@ -75,8 +75,13 @@ def fetch_payloads(media: DataFrame, n_bytes: int = 256) -> DataFrame:
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for a codec: derives (width, height, feature
     vector) purely from the payload bytes. Replaced by a real decoder in
-    production; keeps every downstream shape/type contract honest."""
-    h = hashlib.sha256(payload).digest()
+    production; keeps every downstream shape/type contract honest.
+
+    width/height hash the payload's lowercase-hex encoding (not the raw
+    bytes) so the fake is reproducible by engines whose hash functions are
+    VARCHAR-only — this is what makes the media_decode driver query a full
+    VALUE oracle against DuckDB rather than a rows-only check."""
+    h = hashlib.sha256(payload.hex().encode()).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
@@ -134,8 +139,10 @@ def frame_sample(media_with_payload: DataFrame, every_n_bytes: int = 64,
                 b = bytes(payload)
                 for fi, off in enumerate(range(0, len(b), every_n_bytes)):
                     chunk = b[off:off + every_n_bytes]
+                    # hex-encoded hash input: cross-engine reproducible
+                    # (VARCHAR-only hash engines), see _fake_decode note
                     rows.append((doc_id, int(span_idx), ref, fi,
-                                 hashlib.sha256(chunk).hexdigest()))
+                                 hashlib.sha256(chunk.hex().encode()).hexdigest()))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "span_idx", "media_ref", "frame_idx", "frame_hash"])
 
