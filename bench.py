@@ -138,6 +138,11 @@ def main_bench():
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "flagship doc->tile attach + headline queries wall time",
+        # methodology v2 (since round 2 / commit 80c63e9): value = measured
+        # component sum AFTER a small-SF warm-up, warm-up wall reported
+        # separately; v1 (round 1) had no warm-up pass. Tagged so
+        # cross-round comparisons can detect the semantics change.
+        "methodology": "v2-warmed-component-sum",
         "value": measured,
         "unit": "sec",
         "queries": {**qtimes, "flagship_attach": fl["t_attach_s"],
@@ -190,6 +195,7 @@ def main_scaling():
     r_4n = results[4 * n]["flagship"]["docs_per_sec"]
     print(json.dumps({
         "metric": "scaling efficiency (docs/sec, local[N] vs local[4N])",
+        "methodology": "v2-best-of-%d-reps" % reps,
         "n_cores": n, "docs_per_sec_N": r_n,
         "4n_cores": 4 * n, "docs_per_sec_4N": r_4n,
         "speedup": round(r_4n / r_n, 3),
