@@ -82,6 +82,27 @@ def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
     )
 
 
+def _parse_polygons_pdf(polygons: DataFrame) -> pd.DataFrame:
+    """Driver-side parse of a SMALL polygon table into the same columns the
+    distributed parse_udf emits (broadcast path — the polygon side is the
+    dimension, exactly like choosing a broadcast join over a shuffle join)."""
+    pdf = polygons.select("polygon_id", "attr", "wkb").toPandas()
+    coords, roffs, boxes = [], [], []
+    for w in pdf["wkb"]:
+        rings = wkb_to_rings(bytes(w))
+        boxes.append(rings_bbox(rings))
+        off = np.zeros(len(rings) + 1, dtype=np.int32)
+        np.cumsum([len(r) for r in rings], out=off[1:])
+        roffs.append(off)
+        coords.append(np.concatenate([r.ravel() for r in rings]))
+    out = pdf[["polygon_id", "attr"]].copy()
+    out["coords"] = coords
+    out["roff"] = roffs
+    b = np.array(boxes) if boxes else np.zeros((0, 4))
+    out["x0"], out["y0"], out["x1"], out["y1"] = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return out
+
+
 def _iter_parsed(poly_pdf: pd.DataFrame, xmin, xmax, ymin, ymax):
     """Yield (row_idx, rings) in ascending polygon_id for the polygons whose
     bbox intersects [xmin,xmax]x[ymin,ymax] — one vectorized precheck across
@@ -104,40 +125,73 @@ def _iter_parsed(poly_pdf: pd.DataFrame, xmin, xmax, ymin, ymax):
         yield idx, rings, (x0s[k], y0s[k], x1s[k], y1s[k])
 
 
+def _burn_batch(poly_pdf: pd.DataFrame, cell_pdf: pd.DataFrame,
+                meta: GridMeta) -> np.ndarray:
+    """Burn a polygon batch onto one cell batch (cell-center rule, ascending
+    polygon_id = last wins): vectorized bbox precheck, pre-parsed rings."""
+    ii = cell_pdf["i"].to_numpy(np.int64)
+    jj = cell_pdf["j"].to_numpy(np.int64)
+    cx = meta.minx + (jj + 0.5) * meta.resx
+    cy = meta.miny + (ii + 0.5) * meta.resy
+    burned = np.full(len(ii), UNDEF, dtype=np.float64)
+    if len(poly_pdf) and len(ii):
+        attrs = poly_pdf["attr"].to_numpy(np.float64)
+        for idx, rings, (x0, y0, x1, y1) in _iter_parsed(
+                poly_pdf, cx.min(), cx.max(), cy.min(), cy.max()):
+            cand = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
+            if not cand.any():
+                continue
+            inside = points_in_rings(cx[cand], cy[cand], rings)
+            sel = np.where(cand)[0][inside]
+            burned[sel] = np.float32(attrs[idx])
+    return burned
+
+
 def rasterize(cells: DataFrame, polygons: DataFrame, meta: GridMeta,
-              attr_name: str = "attr") -> DataFrame:
+              attr_name: str = "attr",
+              max_broadcast_polys: int = 10000) -> DataFrame:
     """Burn polygon attrs onto the cell table (cell-center rule, last wins).
 
     Returns (tile_i, tile_j, i, j, attr) for every cell; uncovered cells get
     -9999 (``gdal_rasterize -init -9999``, gdal_tools.py:189).
+
+    Strategy (the broadcast-vs-shuffle join choice): when the polygon side
+    is small (<= max_broadcast_polys), it is parsed driver-side and closed
+    over a mapInPandas — the CELL TABLE NEVER SHUFFLES (zero-exchange plan,
+    like a broadcast join; at 10^12 cells this is the only sane plan for a
+    dimension-sized polygon set). Larger polygon sets take the tile-cogroup
+    path: polygons replicate once per covered tile (that replication IS the
+    salting) and cells still only shuffle by their own tile key. Both paths
+    are bit-identical (same kernel; equality asserted in tests).
     """
-    ptiles = polygons_to_tiles(polygons, meta)
     schema = f"tile_i int, tile_j int, i int, j int, {attr_name} double"
+
+    if max_broadcast_polys and polygons.count() <= max_broadcast_polys:
+        parsed = _parse_polygons_pdf(polygons)
+
+        def kern_b(batches):
+            for cell_pdf in batches:
+                yield pd.DataFrame({
+                    "tile_i": cell_pdf["tile_i"].to_numpy(np.int32),
+                    "tile_j": cell_pdf["tile_j"].to_numpy(np.int32),
+                    "i": cell_pdf["i"].to_numpy(np.int32),
+                    "j": cell_pdf["j"].to_numpy(np.int32),
+                    attr_name: _burn_batch(parsed, cell_pdf, meta),
+                })
+
+        return cells.select("tile_i", "tile_j", "i", "j") \
+            .mapInPandas(kern_b, schema=schema)
+
+    ptiles = polygons_to_tiles(polygons, meta)
 
     def kern(key, cell_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = key
-        ii = cell_pdf["i"].to_numpy(np.int64)
-        jj = cell_pdf["j"].to_numpy(np.int64)
-        cx = meta.minx + (jj + 0.5) * meta.resx
-        cy = meta.miny + (ii + 0.5) * meta.resy
-        burned = np.full(len(ii), UNDEF, dtype=np.float64)
-        if len(poly_pdf) and len(ii):
-            attrs = poly_pdf["attr"].to_numpy(np.float64)
-            # _iter_parsed: ascending polygon_id (burn order: last wins),
-            # vectorized bbox precheck, pre-parsed rings — no WKB re-decode
-            for idx, rings, (x0, y0, x1, y1) in _iter_parsed(
-                    poly_pdf, cx.min(), cx.max(), cy.min(), cy.max()):
-                cand = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
-                if not cand.any():
-                    continue
-                inside = points_in_rings(cx[cand], cy[cand], rings)
-                sel = np.where(cand)[0][inside]
-                burned[sel] = np.float32(attrs[idx])
         return pd.DataFrame({
-            "tile_i": np.full(len(ii), ti, np.int32),
-            "tile_j": np.full(len(ii), tj, np.int32),
-            "i": ii.astype(np.int32), "j": jj.astype(np.int32),
-            attr_name: burned,
+            "tile_i": np.full(len(cell_pdf), ti, np.int32),
+            "tile_j": np.full(len(cell_pdf), tj, np.int32),
+            "i": cell_pdf["i"].to_numpy(np.int32),
+            "j": cell_pdf["j"].to_numpy(np.int32),
+            attr_name: _burn_batch(poly_pdf, cell_pdf, meta),
         })
 
     return (
@@ -147,50 +201,77 @@ def rasterize(cells: DataFrame, polygons: DataFrame, meta: GridMeta,
     )
 
 
+def _pip_batch(poly_pdf: pd.DataFrame, px: np.ndarray, py: np.ndarray):
+    """Winning (polygon_id, attr) per point — ascending polygon_id (last
+    wins), vectorized bbox precheck, pre-parsed rings."""
+    pid = np.full(len(px), -1, dtype=np.int64)
+    attr = np.full(len(px), np.nan)
+    if len(poly_pdf) and len(px):
+        pids = poly_pdf["polygon_id"].to_numpy(np.int64)
+        attrs = poly_pdf["attr"].to_numpy(np.float64)
+        for idx, rings, (x0, y0, x1, y1) in _iter_parsed(
+                poly_pdf, px.min(), px.max(), py.min(), py.max()):
+            cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            if not cand.any():
+                continue
+            inside = points_in_rings(px[cand], py[cand], rings)
+            sel = np.where(cand)[0][inside]
+            pid[sel] = pids[idx]
+            attr[sel] = attrs[idx]
+    return pid, attr
+
+
 def pip_join(points: DataFrame, polygons: DataFrame, meta: GridMeta,
-             lat_col="lat", lon_col="lon", how: str = "left") -> DataFrame:
+             lat_col="lat", lon_col="lon", how: str = "left",
+             max_broadcast_polys: int = 10000) -> DataFrame:
     """J2 at point granularity: attach the winning polygon to each point.
 
-    Points are bucketed by the same (tile_i, tile_j) grid keys and cogrouped
-    with the tile-covered polygon table; exact even-odd PIP on the point
-    coordinates; last polygon (max polygon_id) wins, like the raster burn.
+    Small polygon sets (<= max_broadcast_polys) are parsed driver-side and
+    closed over a mapInPandas — the POINT TABLE NEVER SHUFFLES (broadcast
+    join analog). Larger sets: points bucketed by the (tile_i, tile_j) grid
+    keys and cogrouped with the tile-covered polygon table. Both paths run
+    the same exact even-odd PIP kernel; last polygon (max polygon_id) wins,
+    like the raster burn.
     """
-    t = meta.tile
-    pts = points.withColumn(
-        "tile_i", F.floor((F.col(lat_col) - meta.miny) / meta.resy / t).cast("int")
-    ).withColumn(
-        "tile_j", F.floor((F.col(lon_col) - meta.minx) / meta.resx / t).cast("int")
-    )
-    ptiles = polygons_to_tiles(polygons, meta)
     in_cols = [f for f in points.columns]
     schema = ", ".join(f"{f} {points.schema[f].dataType.simpleString()}" for f in in_cols)
     schema += ", polygon_id long, attr double"
 
-    def kern(key, pts_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
-        px = pts_pdf[lon_col].to_numpy(np.float64)
-        py = pts_pdf[lat_col].to_numpy(np.float64)
-        pid = np.full(len(px), -1, dtype=np.int64)
-        attr = np.full(len(px), np.nan)
-        if len(poly_pdf) and len(px):
-            pids = poly_pdf["polygon_id"].to_numpy(np.int64)
-            attrs = poly_pdf["attr"].to_numpy(np.float64)
-            for idx, rings, (x0, y0, x1, y1) in _iter_parsed(
-                    poly_pdf, px.min(), px.max(), py.min(), py.max()):
-                cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
-                if not cand.any():
-                    continue
-                inside = points_in_rings(px[cand], py[cand], rings)
-                sel = np.where(cand)[0][inside]
-                pid[sel] = pids[idx]
-                attr[sel] = attrs[idx]
-        out = pts_pdf[in_cols].copy()
-        out["polygon_id"] = pid
-        out["attr"] = attr
-        return out
+    if max_broadcast_polys and polygons.count() <= max_broadcast_polys:
+        parsed = _parse_polygons_pdf(polygons)
 
-    joined = (pts.groupBy("tile_i", "tile_j")
-              .cogroup(ptiles.groupBy("tile_i", "tile_j"))
-              .applyInPandas(kern, schema=schema))
+        def kern_b(batches):
+            for pts_pdf in batches:
+                pid, attr = _pip_batch(parsed,
+                                       pts_pdf[lon_col].to_numpy(np.float64),
+                                       pts_pdf[lat_col].to_numpy(np.float64))
+                out = pts_pdf[in_cols].copy()
+                out["polygon_id"] = pid
+                out["attr"] = attr
+                yield out
+
+        joined = points.mapInPandas(kern_b, schema=schema)
+    else:
+        t = meta.tile
+        pts = points.withColumn(
+            "tile_i", F.floor((F.col(lat_col) - meta.miny) / meta.resy / t).cast("int")
+        ).withColumn(
+            "tile_j", F.floor((F.col(lon_col) - meta.minx) / meta.resx / t).cast("int")
+        )
+        ptiles = polygons_to_tiles(polygons, meta)
+
+        def kern(key, pts_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+            pid, attr = _pip_batch(poly_pdf,
+                                   pts_pdf[lon_col].to_numpy(np.float64),
+                                   pts_pdf[lat_col].to_numpy(np.float64))
+            out = pts_pdf[in_cols].copy()
+            out["polygon_id"] = pid
+            out["attr"] = attr
+            return out
+
+        joined = (pts.groupBy("tile_i", "tile_j")
+                  .cogroup(ptiles.groupBy("tile_i", "tile_j"))
+                  .applyInPandas(kern, schema=schema))
     out = joined.withColumn("polygon_id",
                             F.when(F.col("polygon_id") < 0, F.lit(None)).otherwise(F.col("polygon_id")))
     if how == "inner":

@@ -109,6 +109,35 @@ def test_hillslopes(with_channels, grid32, golden32):
     assert np.array_equal(got, golden32["hillslopes"])
 
 
+def test_rasterize_paths_match_oracle(spark, grid32):
+    """S11/J2 flagship burn: BOTH strategies (broadcast mapInPandas and
+    tile-cogroup) bit-equal to the numpy rasterize oracle, and pip_join's
+    two paths agree row-for-row."""
+    from geospatialtools_spark import fixtures
+    from geospatialtools_spark.operators import rasterize as OR
+    from geospatialtools_spark.oracle import rasterize as R
+    meta, dem, mask = grid32
+    polys_pdf = fixtures.make_polygons(meta)
+    want = R.rasterize(meta, polys_pdf).astype(np.float64)
+    cells = cells_df(spark, meta, dem=dem.astype(np.float64))
+    polys = spark.createDataFrame(polys_pdf)
+    for mbp in (10000, 0):  # broadcast path / cogroup path
+        out = OR.rasterize(cells, polys, meta, max_broadcast_polys=mbp)
+        got = collect_dense(meta, out, "attr", fill=-9999, dtype=np.float64)
+        assert np.array_equal(got, want), f"max_broadcast_polys={mbp}"
+    # pip_join path equality on cell-center points
+    import pandas as pd
+    ii, jj = np.meshgrid(np.arange(meta.nx), np.arange(meta.ny), indexing="ij")
+    cx, cy = meta.cell_center_xy(ii.ravel(), jj.ravel())
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pt_id": np.arange(cx.size), "lat": cy, "lon": cx}))
+    a = (OR.pip_join(pts, polys, meta).toPandas()
+         .sort_values("pt_id").reset_index(drop=True))
+    b = (OR.pip_join(pts, polys, meta, max_broadcast_polys=0).toPandas()
+         .sort_values("pt_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_polygonize(spark, grid32):
     from geospatialtools_spark import fixtures
     from geospatialtools_spark.oracle import rasterize as R
