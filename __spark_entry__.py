@@ -693,13 +693,26 @@ def q_tiles_kmeans(spark, sf_dir):
     return tiles.groupBy("tile").agg(F.count("*").alias("n_cells"))
 
 
+_HP_MEMO: dict = {}
+
+
+def _zone_hillslope_props(spark):
+    """hillslope_properties over the zone fixture — memoized per app (the
+    hillslope_props and hru_props gate entries both consume it)."""
+    key = spark.sparkContext.applicationId
+    if key not in _HP_MEMO:
+        from geospatialtools_spark.operators.zones import hillslope_properties
+        meta, cells = _terrain_zone_cells(spark)
+        _HP_MEMO[key] = hillslope_properties(
+            cells, 30.0, tile=meta.tile).localCheckpoint(eager=True)
+    return _HP_MEMO[key]
+
+
 def q_hillslope_props(spark, sf_dir):
     """A2 calculate_hillslope_properties_updated (terrain_tools.py:394-668):
     per-hillslope covariate means, bin geometry, width line + relief curve
     fits — numpy kernel per zone via applyInPandas."""
-    from geospatialtools_spark.operators.zones import hillslope_properties
-    meta, cells = _terrain_zone_cells(spark)
-    hp = hillslope_properties(cells, 30.0, tile=meta.tile)
+    hp = _zone_hillslope_props(spark)
     return hp.select("hid", "dem", "slope_mean", "width_slope",
                      "relief_a", "relief_b",
                      F.round("length", 4).alias("length"),
@@ -711,13 +724,13 @@ def q_hru_props(spark, sf_dir):
     """A3 calculate_hru_properties_updated (terrain_tools.py:1181-1313):
     per-HRU area/slope/ECDF + hillslope association + Pelletier soil rule."""
     from geospatialtools_spark.operators.clustering import create_hrus, create_tiles_kmeans
-    from geospatialtools_spark.operators.zones import hillslope_properties, hru_properties
+    from geospatialtools_spark.operators.zones import hru_properties
     meta, cells = _terrain_zone_cells(spark)
     tiles = create_tiles_kmeans(cells, ["tas", "prec", "hand"], 2)
     with_tiles = cells.join(tiles, ["i", "j"])
     hrus = create_hrus(with_tiles, ["tas", "prec"], {}, 2)
     full = with_tiles.join(hrus, ["i", "j"])
-    hp = hillslope_properties(cells, 30.0, tile=meta.tile)
+    hp = _zone_hillslope_props(spark)
     out = hru_properties(full, hp, 30.0)
     return out.select("hru", "hillslope_id", "tile_id", "area",
                       F.round("hillslope_slope", 6).alias("hillslope_slope"),
