@@ -610,6 +610,16 @@ def q_events_hourly(spark, sf_dir):
                  F.sum(_micros(F.col("value"))).alias("sum_micros")))
 
 
+def q_events_sessions(spark, sf_dir):
+    """§2.11 per-user sessionization (30-min gap), batch gaps-and-islands
+    twin of the applyInPandasWithState stateful operator
+    (streaming/ingest.py:sessionize_stream; boundary parity asserted in
+    tests/test_pipeline.py)."""
+    from geospatialtools_spark.streaming.ingest import sessionize_batch
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_minutes=30)
+
+
 def q_polygon_adjacency(spark, sf_dir):
     """J6 compute_polygon_info (terrain_tools.f90:1804-1857): 4-neighbor
     contact pairs + centroids of the rect-burned polygon map."""
@@ -951,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grads_time": q_grads_time,
         "knn_docs": q_knn_docs,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "polygon_adjacency": q_polygon_adjacency,
         "cluster_rmse": q_cluster_rmse,
         "span_invariant": q_span_invariant,
@@ -1382,6 +1393,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
             FROM events GROUP BY 1""",
+        # gaps-and-islands sessionization (30-min gap), twin of the
+        # applyInPandasWithState stateful operator's batch form
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), s AS (
+              SELECT user_id, ep,
+                     CAST(sum(CASE WHEN prev IS NULL OR ep - prev > 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ep
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM e
+            )
+            SELECT user_id, session_idx,
+                   CAST(min(ep) AS BIGINT) AS session_start,
+                   CAST(max(ep) AS BIGINT) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_idx""",
         # Morton quad-cell encode, bit-for-bit vs cellindex.encode (res=14):
         # interleaved x/y bits + [1 guard][res] header — validates the
         # engine's spatial index itself cross-engine

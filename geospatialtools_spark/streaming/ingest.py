@@ -89,3 +89,104 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# --------------------------------------------------------------- sessions
+
+def sessionize_batch(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Per-user activity sessions, batch form (gaps-and-islands): a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Pure window expressions — this is the SQL-oracled twin
+    of ``sessionize_stream`` (identical session boundaries; parity asserted
+    in tests/test_pipeline.py).
+
+    Output: (user_id, session_idx 1-based per user, session_start/
+    session_end epoch seconds, n_events).
+    """
+    from pyspark.sql import Window
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ep"))
+    w = Window.partitionBy("user_id").orderBy("_ep")
+    prev = F.lag("_ep").over(w)
+    new_sess = (prev.isNull()
+                | ((F.col("_ep") - prev) > gap_minutes * 60)).cast("int")
+    sid = F.sum(new_sess).over(w).cast("long")  # running count of starts
+    return (base
+            .withColumn("session_idx", sid)
+            .groupBy("user_id", "session_idx")
+            .agg(F.min("_ep").alias("session_start"),
+                 F.max("_ep").alias("session_end"),
+                 F.count("*").alias("n_events")))
+
+
+def sessionize_stream(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", gap_minutes: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessions closed after ``gap_minutes`` of event-time inactivity.
+
+    State per user = the open session (start, last, n). Each trigger merges
+    its (sorted) events into the open session, EMITS every session that
+    closed inside the batch (a later event arrived past the gap), and arms
+    an event-time timeout at last + gap for the still-open one — when the
+    watermark passes it, the timeout fires and the final session is
+    emitted with bounded state (the scale requirement: state size is
+    O(active users), independent of stream length).
+
+    Session boundaries are identical to ``sessionize_batch`` for in-order
+    input; out-of-order input within the watermark is sorted per trigger.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": uid, "session_start": start,
+                                 "session_end": last, "n_events": n}])
+            return
+        eps = []
+        for pdf in pdfs:
+            eps.append(pdf["_ep"])
+        ts = pd.concat(eps).sort_values().to_numpy()
+        if ts.size == 0:
+            if state.exists:
+                state.setTimeoutTimestamp((state.get[1] + gap_s) * 1000)
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = int(ts[0]), int(ts[0]) - 1, 0
+            # fresh state: first event below opens the session
+        closed = []
+        for t in ts:
+            t = int(t)
+            if n and t - last > gap_s:
+                closed.append({"user_id": uid, "session_start": start,
+                               "session_end": last, "n_events": n})
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        # event-time timeout: fires when the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    events = _ts_utc(events, ts_col).withWatermark(ts_col, watermark)
+    prepped = events.select(F.col(user_col).alias("user_id"), ts_col,
+                            F.col(ts_col).cast("long").alias("_ep"))
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start long, "
+                         "session_end long, n_events long",
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

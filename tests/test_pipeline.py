@@ -157,6 +157,31 @@ def test_streaming_dedup(spark, tmp_path):
     assert n == got.select("event_id").distinct().count()
 
 
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the gaps-and-islands batch
+    twin: every emitted session is bit-identical to a batch session, and at
+    minimum every NON-FINAL session per user must have been emitted
+    in-batch (final sessions may wait on an event-time timeout that
+    availableNow is not guaranteed to fire before terminating)."""
+    sf_dir = "/root/testdata/sf0.001"
+    stream = ST.read_events_stream(spark, sf_dir)
+    sess = ST.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(sess, str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir).toPandas()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expect = ST.sessionize_batch(batch, gap_minutes=30).toPandas()
+    merged = got.merge(expect, on=["user_id", "session_start"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got)  # every emission matches a batch session
+    assert (merged["session_end_s"] == merged["session_end_b"]).all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    nonfinal = expect[expect.groupby("user_id")["session_idx"]
+                      .transform("max") != expect["session_idx"]]
+    assert len(got) >= len(nonfinal) > 0
+
+
 def test_full_pipeline_resume(spark, tmp_path):
     """SURVEY §3.1 lifecycle end-to-end + kill-resume at pipeline level:
     second run resumes every stage; outputs identical."""
