@@ -477,9 +477,9 @@ def _terrain_distributed(spark):
     checkpointed stages, so no single gate entry can blow the driver's time
     budget (the round-1/round-2 failure mode). Golden multi-tile bit-parity
     for every stage lives in tests/test_spark_terrain.py."""
-    key = spark.sparkContext.applicationId
-    if key in _TDIST_MEMO:
-        return _TDIST_MEMO[key]
+    hit = _memo_get(_TDIST_MEMO, spark)
+    if hit is not None:
+        return hit
     import numpy as np
 
     from geospatialtools_spark.fixtures import make_dem
@@ -515,8 +515,7 @@ def _terrain_distributed(spark):
     out = {"meta": meta, "cells": cells, "base": base, "fdir": fdir,
            "full": full, "channels": with_ch, "basins": basins,
            "hand": hand, "mfd": mfd, "hand_mfd": hand_mfd}
-    _TDIST_MEMO[key] = out
-    return out
+    return _memo_put(_TDIST_MEMO, spark, out)
 
 
 def q_hillslope_bbox_means(spark, sf_dir):
@@ -653,16 +652,33 @@ def q_cluster_rmse(spark, sf_dir):
 
 # --------------------------------------------- rows-only (non-SQL operators)
 
+# Single-entry per-app memos (keyed on applicationId, latest app only): a
+# host process that runs the gate against several successive SparkSessions
+# must not retain checkpointed DataFrames of stopped JVMs.
 _TZONE_MEMO: dict = {}
+
+
+def _memo_get(memo, spark):
+    key = spark.sparkContext.applicationId
+    if memo.get("key") == key:
+        return memo["val"]
+    return None
+
+
+def _memo_put(memo, spark, val):
+    memo.clear()
+    memo["key"] = spark.sparkContext.applicationId
+    memo["val"] = val
+    return val
 
 
 def _terrain_zone_cells(spark):
     """Shared fixture frame for the zone/clustering rows-only queries —
     memoized per Spark app (5 gate queries reuse it; the numpy chain +
     checkpoint job is paid once)."""
-    key = spark.sparkContext.applicationId
-    if key in _TZONE_MEMO:
-        return _TZONE_MEMO[key]
+    hit = _memo_get(_TZONE_MEMO, spark)
+    if hit is not None:
+        return hit
     import numpy as np
 
     from geospatialtools_spark import fixtures
@@ -689,9 +705,7 @@ def _terrain_zone_cells(spark):
                      channels=ch.astype(np.int64),
                      tas=cov["tas"].astype(np.float64),
                      prec=cov["prec"].astype(np.float64))
-    out = (meta, cells.localCheckpoint(eager=True))
-    _TZONE_MEMO[key] = out
-    return out
+    return _memo_put(_TZONE_MEMO, spark, (meta, cells.localCheckpoint(eager=True)))
 
 
 def q_tiles_kmeans(spark, sf_dir):
@@ -709,13 +723,13 @@ _HP_MEMO: dict = {}
 def _zone_hillslope_props(spark):
     """hillslope_properties over the zone fixture — memoized per app (the
     hillslope_props and hru_props gate entries both consume it)."""
-    key = spark.sparkContext.applicationId
-    if key not in _HP_MEMO:
+    hit = _memo_get(_HP_MEMO, spark)
+    if hit is None:
         from geospatialtools_spark.operators.zones import hillslope_properties
         meta, cells = _terrain_zone_cells(spark)
-        _HP_MEMO[key] = hillslope_properties(
-            cells, 30.0, tile=meta.tile).localCheckpoint(eager=True)
-    return _HP_MEMO[key]
+        hit = _memo_put(_HP_MEMO, spark, hillslope_properties(
+            cells, 30.0, tile=meta.tile).localCheckpoint(eager=True))
+    return hit
 
 
 def q_hillslope_props(spark, sf_dir):

@@ -228,7 +228,12 @@ def simhash_pudf(bits: int = 16):
         import pandas as pd
         out = []
         for t in text:
-            norm = ws.sub(" ", nonal.sub(" ", (t or "").lower())).strip()
+            if t is None:
+                # Catalyst twin: split(NULL) propagates null through every
+                # vote, each when() falls to otherwise(0) -> fingerprint 0
+                out.append(0)
+                continue
+            norm = ws.sub(" ", nonal.sub(" ", t.lower())).strip()
             hs = np.fromiter(
                 (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                  for tok in norm.split(" ")),

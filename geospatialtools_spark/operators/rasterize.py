@@ -31,6 +31,28 @@ from ..grid import UNDEF, GridMeta
 F32_UNDEF = float(np.float32(UNDEF))
 
 
+def _parse_wkb_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(polygon_id, attr, wkb, ...) batch -> parsed flat ring-coordinate
+    frame (coords, roff, bbox). SINGLE source of the parse used by both the
+    distributed (tile-cogroup) and driver-side (broadcast) paths — the two
+    kernels are asserted bit-equal in tests, so they must share this."""
+    coords, roffs, boxes = [], [], []
+    for w in pdf["wkb"]:
+        rings = wkb_to_rings(bytes(w))
+        boxes.append(rings_bbox(rings))
+        off = np.zeros(len(rings) + 1, dtype=np.int32)
+        np.cumsum([len(r) for r in rings], out=off[1:])
+        roffs.append(off)
+        coords.append(np.concatenate([r.ravel() for r in rings]))
+    out = pdf[["polygon_id", "attr"]].copy()
+    out["coords"] = coords
+    out["roff"] = roffs
+    b = np.array(boxes) if boxes else np.zeros((0, 4))
+    out["x0"], out["y0"], out["x1"], out["y1"] = (
+        b[:, 0], b[:, 1], b[:, 2], b[:, 3])
+    return out
+
+
 def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
     """(polygon_id, attr, wkb) -> one row per covered tile, with the WKB
     parsed ONCE here (before the tile explode) into flat ring-coordinate
@@ -43,21 +65,7 @@ def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
 
     def parse_udf(it):
         for pdf in it:
-            coords, roffs, boxes = [], [], []
-            for w in pdf["wkb"]:
-                rings = wkb_to_rings(w)
-                boxes.append(rings_bbox(rings))
-                off = np.zeros(len(rings) + 1, dtype=np.int32)
-                np.cumsum([len(r) for r in rings], out=off[1:])
-                roffs.append(off)
-                coords.append(np.concatenate([r.ravel() for r in rings]))
-            out = pdf[["polygon_id", "attr"]].copy()
-            out["coords"] = coords
-            out["roff"] = roffs
-            b = np.array(boxes) if boxes else np.zeros((0, 4))
-            out["x0"], out["y0"], out["x1"], out["y1"] = (
-                b[:, 0], b[:, 1], b[:, 2], b[:, 3])
-            yield out
+            yield _parse_wkb_pdf(pdf)
 
     with_box = polygons.mapInPandas(
         parse_udf,
@@ -82,25 +90,27 @@ def polygons_to_tiles(polygons: DataFrame, meta: GridMeta) -> DataFrame:
     )
 
 
+MAX_BROADCAST_POLY_BYTES = 64 << 20  # WKB payload cap for the broadcast path
+
+
+def _broadcastable(polygons: DataFrame, max_polys: int) -> bool:
+    """ONE agg action deciding the strategy: the polygon side broadcasts
+    only when BOTH its row count and its total WKB payload are small — a
+    few continent-sized multipolygons can carry GBs of vertices, which must
+    take the distributed tile-cogroup path even at tiny row counts."""
+    if not max_polys:
+        return False
+    est = polygons.agg(F.count("*").alias("n"),
+                       F.sum(F.length("wkb")).alias("b")).first()
+    return (est["n"] or 0) <= max_polys and (est["b"] or 0) <= MAX_BROADCAST_POLY_BYTES
+
+
 def _parse_polygons_pdf(polygons: DataFrame) -> pd.DataFrame:
-    """Driver-side parse of a SMALL polygon table into the same columns the
-    distributed parse_udf emits (broadcast path — the polygon side is the
-    dimension, exactly like choosing a broadcast join over a shuffle join)."""
-    pdf = polygons.select("polygon_id", "attr", "wkb").toPandas()
-    coords, roffs, boxes = [], [], []
-    for w in pdf["wkb"]:
-        rings = wkb_to_rings(bytes(w))
-        boxes.append(rings_bbox(rings))
-        off = np.zeros(len(rings) + 1, dtype=np.int32)
-        np.cumsum([len(r) for r in rings], out=off[1:])
-        roffs.append(off)
-        coords.append(np.concatenate([r.ravel() for r in rings]))
-    out = pdf[["polygon_id", "attr"]].copy()
-    out["coords"] = coords
-    out["roff"] = roffs
-    b = np.array(boxes) if boxes else np.zeros((0, 4))
-    out["x0"], out["y0"], out["x1"], out["y1"] = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    return out
+    """Driver-side parse of a SMALL polygon table (guarded by
+    _broadcastable) into the same columns the distributed parse_udf emits
+    (broadcast path — the polygon side is the dimension, exactly like
+    choosing a broadcast join over a shuffle join)."""
+    return _parse_wkb_pdf(polygons.select("polygon_id", "attr", "wkb").toPandas())
 
 
 def _iter_parsed(poly_pdf: pd.DataFrame, xmin, xmax, ymin, ymax):
@@ -166,7 +176,7 @@ def rasterize(cells: DataFrame, polygons: DataFrame, meta: GridMeta,
     """
     schema = f"tile_i int, tile_j int, i int, j int, {attr_name} double"
 
-    if max_broadcast_polys and polygons.count() <= max_broadcast_polys:
+    if _broadcastable(polygons, max_broadcast_polys):
         parsed = _parse_polygons_pdf(polygons)
 
         def kern_b(batches):
@@ -237,7 +247,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, meta: GridMeta,
     schema = ", ".join(f"{f} {points.schema[f].dataType.simpleString()}" for f in in_cols)
     schema += ", polygon_id long, attr double"
 
-    if max_broadcast_polys and polygons.count() <= max_broadcast_polys:
+    if _broadcastable(polygons, max_broadcast_polys):
         parsed = _parse_polygons_pdf(polygons)
 
         def kern_b(batches):

@@ -943,29 +943,32 @@ def gap_fill_hrus(cells: DataFrame, meta: GridMeta) -> DataFrame:
 # for the iterative MFD kernels. dem is static across fixpoint rounds, so the
 # wavefront decomposition is computed once per (kernel, tile) per worker and
 # reused every round. Module-global => survives task boundaries under
-# spark.python.worker.reuse (the default). Bounded (a long-lived reused
-# worker running many grids would otherwise hold multi-MB plans forever)
-# and collision-proof: the crc32 in the key is only a fast filter — on hit
-# the stored input arrays are compared byte-for-byte before reuse, so a
-# 32-bit collision can never replay a wrong wavefront plan.
+# spark.python.worker.reuse (the default). Bounded with oldest-first
+# eviction (a long-lived reused worker running many grids would otherwise
+# hold multi-MB plans forever; digests are ~32 B, never array copies), and
+# keyed on a sha256 of the input bytes — one hash pass per round (same
+# pass the old crc32 key made), with collision odds (2^-128) that can
+# never replay a wrong wavefront plan the way a 32-bit crc could.
 _MFD_PLAN_CACHE: dict = {}
 _MFD_PLAN_CACHE_MAX = 128
 
 
-def _plan_cache_get(key, arrays):
-    ent = _MFD_PLAN_CACHE.get(key)
-    if ent is not None:
-        stored, plan = ent
-        if len(stored) == len(arrays) and all(
-                np.array_equal(a, b, equal_nan=True) for a, b in zip(stored, arrays)):
-            return plan
-    return None
+def _plan_key(kind, i0, j0, shape, core, arrays):
+    import hashlib
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a).tobytes())
+    return (kind, i0, j0, shape, core, h.digest())
 
 
-def _plan_cache_put(key, arrays, plan):
-    if len(_MFD_PLAN_CACHE) >= _MFD_PLAN_CACHE_MAX:
-        _MFD_PLAN_CACHE.clear()
-    _MFD_PLAN_CACHE[key] = ([np.array(a, copy=True) for a in arrays], plan)
+def _plan_cache_get(key):
+    return _MFD_PLAN_CACHE.get(key)
+
+
+def _plan_cache_put(key, plan):
+    while len(_MFD_PLAN_CACHE) >= _MFD_PLAN_CACHE_MAX:
+        _MFD_PLAN_CACHE.pop(next(iter(_MFD_PLAN_CACHE)))
+    _MFD_PLAN_CACHE[key] = plan
 
 
 def _shift_read(arr: np.ndarray, k: int, l: int, fill) -> np.ndarray:
@@ -1072,15 +1075,14 @@ def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
 
     def make_kernel():
         def kern(blocks, i0, j0, m, core):
-            import zlib
             dem = blocks["dem"].astype(np.float32)
             prev = blocks["catch"].astype(np.float32)
             h, w = dem.shape
-            key = ("mfd", i0, j0, h, w, core, zlib.crc32(dem.tobytes()))
-            plan = _plan_cache_get(key, (dem,))
+            key = _plan_key("mfd", i0, j0, (h, w), core, (dem,))
+            plan = _plan_cache_get(key)
             if plan is None:
                 plan = _plan(dem, core)
-                _plan_cache_put(key, (dem,), plan)
+                _plan_cache_put(key, plan)
             levels, fracts, noffs = plan
             # level sweep: every donor (strictly higher) of a level-L cell is
             # final (lower level => updated, halo/nan => fixed estimate);
@@ -1206,19 +1208,16 @@ def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
 
     def make_kernel():
         def kern(blocks, i0, j0, m, core):
-            import zlib
             dem = blocks["dem"].astype(np.float32)
             mask = np.nan_to_num(blocks["mask"], nan=0.0)
             chan = np.nan_to_num(blocks["chan"], nan=0.0)
             cd = np.nan_to_num(blocks["cd"], nan=float(UNDEF)).astype(np.float32)
             h, w = dem.shape
-            key = ("d2c", i0, j0, h, w, core,
-                   zlib.crc32(dem.tobytes()), zlib.crc32(mask.tobytes()),
-                   zlib.crc32(chan.tobytes()))
-            plan = _plan_cache_get(key, (dem, mask, chan))
+            key = _plan_key("d2c", i0, j0, (h, w), core, (dem, mask, chan))
+            plan = _plan_cache_get(key)
             if plan is None:
                 plan = _plan(dem, mask, chan, core)
-                _plan_cache_put(key, (dem, mask, chan), plan)
+                _plan_cache_put(key, plan)
             levels, fracts, valids, noffs = plan
             # ascending-dem level sweep; the acc == undef VALUE check (not a
             # flag) is preserved from the sequential kernel so a partial sum

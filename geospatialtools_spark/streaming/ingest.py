@@ -182,9 +182,11 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
     events = _ts_utc(events, ts_col).withWatermark(ts_col, watermark)
     prepped = events.select(F.col(user_col).alias("user_id"), ts_col,
                             F.col(ts_col).cast("long").alias("_ep"))
+    # output key type follows the input key type (like sessionize_batch)
+    utype = dict(prepped.dtypes)["user_id"]
     return prepped.groupBy("user_id").applyInPandasWithState(
         fn,
-        outputStructType="user_id long, session_start long, "
+        outputStructType=f"user_id {utype}, session_start long, "
                          "session_end long, n_events long",
         stateStructType="start long, last long, n long",
         outputMode="append",

@@ -163,10 +163,10 @@ def test_simhash_pudf_bit_parity(spark):
     expression (the cross-engine oracle twin) — incl. empty/punct-only text
     (normalize -> '' -> the empty token is hashed, not skipped) and repeated
     tokens (non-distinct votes)."""
-    rows = (list(zip(_DOCS["doc_id"], _DOCS["text"]))
+    rows = (list(zip(_DOCS["doc_id"].tolist(), _DOCS["text"].tolist()))
             + [(90, ""), (91, "!!! ???"), (92, "dup dup dup dup one"),
-               (93, "Tab\tand\nnewline  spaced")])
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+               (93, "Tab\tand\nnewline  spaced"), (94, None)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     out = df.select(
         DD.simhash(F.col("text")).alias("expr"),
         DD.simhash_pudf(16)(F.col("text")).alias("pudf")).toPandas()
