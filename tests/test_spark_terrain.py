@@ -125,6 +125,11 @@ def test_rasterize_paths_match_oracle(spark, grid32):
         out = OR.rasterize(cells, polys, meta, max_broadcast_polys=mbp)
         got = collect_dense(meta, out, "attr", fill=-9999, dtype=np.float64)
         assert np.array_equal(got, want), f"max_broadcast_polys={mbp}"
+        if mbp:  # broadcast path adds ZERO exchanges over its input plan
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            base = (cells.select("tile_i", "tile_j", "i", "j")
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert plan.count("Exchange") == base.count("Exchange"), plan
     # pip_join path equality on cell-center points
     import pandas as pd
     ii, jj = np.meshgrid(np.arange(meta.nx), np.arange(meta.ny), indexing="ij")
