@@ -165,3 +165,41 @@ def test_knn_ring_equals_broadcast(spark):
     a = a.sort_values(["qid", "rank"]).reset_index(drop=True)
     b = b.sort_values(["qid", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------- sessionization
+
+def _sessions_ref(pairs, gap_s):
+    """Pure-python sessionization reference: sorted per-user walk."""
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, t in pairs:
+        by_user[u].append(t)
+    out = []
+    for u, ts in by_user.items():
+        ts.sort()
+        start, last, n, idx = ts[0], ts[0], 1, 1
+        for t in ts[1:]:
+            if t - last > gap_s:
+                out.append((u, idx, start, last, n))
+                start, n, idx = t, 0, idx + 1
+            last, n = t, n + 1
+        out.append((u, idx, start, last, n))
+    return sorted(out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4),
+                          st.integers(0, 20000)), min_size=1, max_size=120),
+       st.integers(1, 60))
+def test_sessionize_batch_matches_reference(spark, pairs, gap_minutes):
+    """Gaps-and-islands sessionize_batch == the obvious per-user walk, over
+    random (user, epoch) sets incl. duplicate timestamps and gap edges."""
+    pdf = pd.DataFrame(pairs, columns=["user_id", "ep"])
+    df = spark.createDataFrame(pdf).select(
+        "user_id", F.col("ep").cast("timestamp").alias("ts"))
+    from geospatialtools_spark.streaming.ingest import sessionize_batch
+    got = sessionize_batch(df, gap_minutes=gap_minutes).toPandas()
+    got_t = sorted(map(tuple, got[["user_id", "session_idx", "session_start",
+                                   "session_end", "n_events"]].to_numpy()))
+    assert got_t == _sessions_ref(pairs, gap_minutes * 60)
