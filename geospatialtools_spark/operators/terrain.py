@@ -121,11 +121,13 @@ def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
         w = z.copy()
         w[(z != undef) & interior] = wmax
         # emit z alongside w: the relax loop then needs no re-join per round
-        # (one applyInPandas shuffle per round is the whole round)
-        return {"z": z.astype(np.float64), "w": w.astype(np.float64)}
+        # (one applyInPandas shuffle per round is the whole round). float32
+        # transfer: the kernel arithmetic IS float32, so exchanging doubles
+        # would ship 2x the bytes for identical values
+        return {"z": z, "w": w}
 
     state = stencil.apply_stencil(cells, meta, [dem_col], init_kernel,
-                                  [("z", "double"), ("w", "double")], halo=1)
+                                  [("z", "float"), ("w", "float")], halo=1)
 
     def relax_kernel(blocks, i0, j0, m):
         z = np.nan_to_num(blocks["z"], nan=UNDEF).astype(np.float32)
@@ -146,14 +148,14 @@ def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
             if not changed.any():
                 break
             w[changed] = neww[changed]
-        return {"z": z.astype(np.float64), "w": w.astype(np.float64)}
+        return {"z": z, "w": w}
 
     prev = None
     for _ in range(max_rounds):
         # lazy checkpoint: the checksum action below materializes it, so each
         # round is ONE job (truncated lineage + convergence test together)
         state = stencil.apply_stencil(state, meta, ["z", "w"], relax_kernel,
-                                      [("z", "double"), ("w", "double")],
+                                      [("z", "float"), ("w", "float")],
                                       halo=1).localCheckpoint(eager=False)
         chk = state.agg(F.sum(F.col("w").cast("double")).alias("s")).collect()[0]["s"]
         if prev is not None and chk == prev:
@@ -1103,8 +1105,7 @@ def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
                                        np.float32(0.0))
                     acc = (acc + contrib).astype(np.float32)
                 catch[idxs] = acc
-            return {"dem": dem.astype(np.float64),
-                    "catch": catch.reshape(h, w).astype(np.float64)}
+            return {"dem": dem, "catch": catch.reshape(h, w)}
         kern.needs_core = True
         return kern
 
@@ -1112,7 +1113,7 @@ def mfd_accumulation(cells: DataFrame, meta: GridMeta, res: float,
     prev_sum = None
     for _ in range(max_rounds):
         state = stencil.apply_stencil(state, meta, ["dem", "catch"], kern,
-                                      [("dem", "double"), ("catch", "double")],
+                                      [("dem", "float"), ("catch", "float")],
                                       halo=2).localCheckpoint(eager=False)
         chk = state.select(
             F.sum(F.crc32(F.col("catch").cast("float").cast("string")).cast("long"))
@@ -1234,8 +1235,11 @@ def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
                     acc = np.where(v & (acc == undef32), zero32, acc)
                     acc = (acc + np.where(v, contrib, zero32)).astype(np.float32)
                 cdf[idxs] = acc
-            return {"dem": dem.astype(np.float64), "mask": mask,
-                    "chan": chan, "cd": cdf.reshape(h, w).astype(np.float64)}
+            # dem/cd exchange as float32 (kernel arithmetic is float32);
+            # mask/chan stay double — segment ids can exceed float32's
+            # 2^24 exact-integer range at continental scale
+            return {"dem": dem, "mask": mask,
+                    "chan": chan, "cd": cdf.reshape(h, w)}
         kern.needs_core = True
         return kern
 
@@ -1244,8 +1248,8 @@ def depth2channel_mfd(cells: DataFrame, meta: GridMeta, res: float,
     for _ in range(max_rounds):
         state = stencil.apply_stencil(
             state, meta, ["dem", "mask", "chan", "cd"], kern,
-            [("dem", "double"), ("mask", "double"), ("chan", "double"),
-             ("cd", "double")], halo=1).localCheckpoint(eager=False)
+            [("dem", "float"), ("mask", "double"), ("chan", "double"),
+             ("cd", "float")], halo=1).localCheckpoint(eager=False)
         chk = state.select(
             F.sum(F.crc32(F.col("cd").cast("float").cast("string")).cast("long"))
         ).collect()[0][0]
