@@ -27,6 +27,24 @@ LSH_BANDS = 4            # bands of 4 rows each -> catches J >~ 0.5 pairs
 ROWS_PER_BAND = N_MINHASH // LSH_BANDS
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the session's cores before an Arrow UDF.
+
+    A small parquet table arrives as 1-few partitions, so the signature /
+    shingle hashing (the CPU-heavy Arrow stage) would run on one thread
+    while 31 idle. Round-robin repartition of a small input costs ~nothing;
+    a production-scale table already has >= defaultParallelism partitions
+    and passes through untouched (no shuffle added at 10^12 rows).
+    """
+    try:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            return df.repartition(p)
+    except Exception:
+        pass
+    return df
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of the normalized text (array<string>).
 
@@ -146,7 +164,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     (id_a, id_b), id_a < id_b.
     """
     r = n_hashes // bands
-    sig = docs.select(
+    sig = _widen(docs).select(
         F.col(id_col).alias("_id"),
         minhash_signature_pudf(k, n_hashes)(F.col(text_col)).alias("sig"),
     )
@@ -272,7 +290,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     is a pair whose only common shingles are >max_df AND whose lowest-df
     shingles differ — pick max_df >> the corpus' near-dup cluster size.
     """
-    arrays = docs.select(
+    arrays = _widen(docs).select(
         F.col(id_col).alias("_id"),
         shingles_pudf(k)(F.col(text_col)).alias("sh"),
     ).localCheckpoint(eager=True)  # materialize before the two-sided reuse
