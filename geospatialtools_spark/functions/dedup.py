@@ -22,27 +22,11 @@ from pyspark.sql import functions as F
 
 from .textstats import normalize_text
 
+from .util import widen_to_parallelism as _widen
+
 N_MINHASH = 16           # signature length
 LSH_BANDS = 4            # bands of 4 rows each -> catches J >~ 0.5 pairs
 ROWS_PER_BAND = N_MINHASH // LSH_BANDS
-
-
-def _widen(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the session's cores before an Arrow UDF.
-
-    A small parquet table arrives as 1-few partitions, so the signature /
-    shingle hashing (the CPU-heavy Arrow stage) would run on one thread
-    while 31 idle. Round-robin repartition of a small input costs ~nothing;
-    a production-scale table already has >= defaultParallelism partitions
-    and passes through untouched (no shuffle added at 10^12 rows).
-    """
-    try:
-        p = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < p:
-            return df.repartition(p)
-    except Exception:
-        pass
-    return df
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -311,6 +295,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
               .withColumn("_rk", F.row_number().over(w))
               .filter((F.col("_df") <= max_df) | (F.col("_rk") == 1))
               .drop("_df", "_rk"))
+        # the capped index feeds THREE consumers (per-doc sizes + both sides
+        # of the intersection self-join); materialize once or the df-count
+        # join + window chain evaluates three times
+        sh = sh.localCheckpoint(eager=True)
     # intersection counts from the (capped) index — one groupBy, no arrays.
     # Per doc: n = FULL shingle count, nc = count surviving the cap; a pair's
     # capped common equals its full common unless one side dropped shingles.
@@ -396,8 +384,8 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
     Reported cosine values are exact (verified per candidate).
     """
     from .similarity import cosine_expr, lsh_buckets
-    v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                   lsh_buckets(F.col(vec_col), dim, n_planes).alias("_b"))
+    v = _widen(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                           lsh_buckets(F.col(vec_col), dim, n_planes).alias("_b"))
     v = v.localCheckpoint(eager=True)  # both join sides reuse the buckets
     probes = [F.col("_b")]
     if probe_radius >= 1:

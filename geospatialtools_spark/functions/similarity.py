@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import widen_to_parallelism as _widen
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ a_i*b_i via zip_with + aggregate — JVM-side, no UDF."""
@@ -49,7 +51,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Ties broken by corpus id ascending (deterministic). Returns
     (query_id, rank, vec_id, cosine).
     """
-    joined = corpus.crossJoin(F.broadcast(queries))
+    joined = _widen(corpus).crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
@@ -100,7 +102,7 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     The join is a bucket equi-join (shuffle on bucket id, or broadcast of the
     tiny query side); candidate count ~ N/2^n_planes per query instead of N.
     """
-    c = corpus.withColumn("_bucket", lsh_buckets(F.col(vec_col), dim, n_planes))
+    c = _widen(corpus).withColumn("_bucket", lsh_buckets(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("_bucket", lsh_buckets(F.col(q_vec_col), dim, n_planes))
     scored = c.join(F.broadcast(q), "_bucket").select(
         F.col(q_id_col), F.col(id_col),
@@ -162,7 +164,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    c = corpus.withColumn("_list", assign(F.col(vec_col)))
+    c = _widen(corpus).withColumn("_list", assign(F.col(vec_col)))
     q = queries.withColumn("_list", F.explode(probes(F.col(q_vec_col))))
     scored = c.join(F.broadcast(q), "_list").select(
         F.col(q_id_col), F.col(id_col),
