@@ -1490,7 +1490,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c JOIN bbox b
               ON c.i BETWEEN b.i0 AND b.i1 AND c.j BETWEEN b.j0 AND b.j1
             GROUP BY b.hid""",
+        # terrain chain twins: VALUES computed by the independent numpy
+        # reference oracle on the same 48x48 fixture (see
+        # oracle/gate_twins.py) — Spark's distributed tile-iterative chain
+        # vs the reference's sequential recursion, value-hashed per row.
+        **_terrain_twins(),
     }
+
+
+def _terrain_twins() -> dict[str, str]:
+    from geospatialtools_spark.oracle.gate_twins import terrain_twin_sql
+    return terrain_twin_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:
