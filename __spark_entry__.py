@@ -737,8 +737,12 @@ def q_hillslope_props(spark, sf_dir):
     per-hillslope covariate means, bin geometry, width line + relief curve
     fits — numpy kernel per zone via applyInPandas."""
     hp = _zone_hillslope_props(spark)
-    return hp.select("hid", "dem", "slope_mean", "width_slope",
-                     "relief_a", "relief_b",
+    return hp.select("hid",
+                     F.round("dem", 6).alias("dem"),
+                     F.round("slope_mean", 6).alias("slope_mean"),
+                     F.round("width_slope", 6).alias("width_slope"),
+                     F.round("relief_a", 6).alias("relief_a"),
+                     F.round("relief_b", 6).alias("relief_b"),
                      F.round("length", 4).alias("length"),
                      F.round("area", 4).alias("area"),
                      F.round("relief", 4).alias("relief"))
@@ -1342,6 +1346,41 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             LEFT JOIN burned b ON b.i = CAST(floor(pts.lat * {SY.G}) AS BIGINT)
                               AND b.j = CAST(floor(pts.lon * {SY.G}) AS BIGINT)""",
+        # span fingerprint twin: rebuilds Spark's to_json(array<struct>)
+        # byte-for-byte (null fields omitted, same minimal JSON escaping via
+        # DuckDB's to_json on the string values) and sha256-hashes it, so
+        # fp_after is independently recomputed — proving the attach pipeline
+        # left the ordered span sequence untouched AND the fingerprint
+        # matches a from-scratch construction.
+        "span_invariant": f"""
+            WITH pts AS ({_DOCS_XY}),
+            {_SQL_RECT_WINNER},
+            sp AS (
+              SELECT doc_id, lat, lon, text,
+                     CAST(floor(length(text) / 2) AS INT) AS h,
+                     greatest(CAST(floor(length(text) / 2) AS INT), 1) AS g
+              FROM pts
+            ), fp AS (
+              SELECT doc_id, lat, lon,
+                sha256('[' ||
+                  '{{"kind":"text","text":' || to_json(substr(text, 1, g))
+                    || ',"offset":0}}' ||
+                  (CASE WHEN doc_id % 3 = 0 THEN
+                     ',{{"kind":"image","media_ref":'
+                       || to_json('blob://doc/' || CAST(doc_id AS VARCHAR))
+                       || ',"offset":' || CAST(h AS VARCHAR) || '}}'
+                   ELSE '' END) ||
+                  ',{{"kind":"text","text":' || to_json(substr(text, g + 1))
+                    || ',"offset":' || CAST(h + 1 AS VARCHAR) || '}}' ||
+                ']') AS fp_after
+              FROM sp
+            )
+            SELECT fp.doc_id,
+                   (CASE WHEN b.attr = -9999.0 THEN NULL ELSE b.attr END) AS tile_id,
+                   fp.fp_after, TRUE AS invariant_ok
+            FROM fp
+            LEFT JOIN burned b ON b.i = CAST(floor(fp.lat * {SY.G}) AS BIGINT)
+                              AND b.j = CAST(floor(fp.lon * {SY.G}) AS BIGINT)""",
         "pip_join_docs": f"""
             WITH pts AS ({_DOCS_XY}),
             rects AS ({SY.sql_rects()}),
@@ -1499,8 +1538,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _terrain_twins() -> dict[str, str]:
-    from geospatialtools_spark.oracle.gate_twins import terrain_twin_sql
-    return terrain_twin_sql()
+    from geospatialtools_spark.oracle.gate_twins import (terrain_twin_sql,
+                                                         zone_twin_sql)
+    return {**terrain_twin_sql(), **zone_twin_sql()}
 
 
 def entry(spark: SparkSession) -> DataFrame:

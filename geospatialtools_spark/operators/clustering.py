@@ -146,6 +146,11 @@ def create_tiles_kmeans(cells: DataFrame, covariate_cols: list[str],
     src = cells.filter(F.col(zone_col) > 0)
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        # row-major (i, j) order = the reference's boolean-mask scan order
+        # (terrain_tools.py:749) — makes the float reductions inside the
+        # k-means fit independent of Arrow arrival order (bit-deterministic
+        # across runs AND vs the serial golden twin in oracle/gate_twins.py)
+        pdf = pdf.sort_values(["i", "j"], kind="stable")
         X = pdf[covariate_cols].to_numpy(np.float64)
         for c in range(X.shape[1]):
             lo, hi = X[:, c].min(), X[:, c].max()
@@ -220,6 +225,8 @@ def create_hrus(cells: DataFrame, covariate_cols: list[str],
               for c in covariate_cols}
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (i, j) scan order, same rationale as create_tiles_kmeans
+        pdf = pdf.sort_values(["i", "j"], kind="stable")
         X = pdf[covariate_cols].to_numpy(np.float64)
         for c, name in enumerate(covariate_cols):
             col = X[:, c]

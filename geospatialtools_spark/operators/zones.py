@@ -198,6 +198,112 @@ def _bbox_window_means(cells: DataFrame, src: DataFrame, hillslope_col: str,
     return joined.groupBy("hid").agg(*aggs)
 
 
+def hillslope_geo_kernel(pdf: pd.DataFrame, res: float,
+                         hillslope_col: str = "hillslopes") -> pd.DataFrame:
+    """One hillslope's bin geometry + width/relief fits
+    (terrain_tools.py:437-617) — the shared numpy kernel: the distributed
+    operator runs it per group via grouped_map, and the serial golden twin
+    (oracle/gate_twins.py) runs it per hillslope on the driver. Rows are
+    sorted to (i, j) scan order first — the reference's boolean-mask order
+    — so every float reduction is bit-deterministic regardless of Arrow
+    arrival order."""
+    pdf = pdf.sort_values(["i", "j"], kind="stable")
+    uh = int(pdf[hillslope_col].iloc[0])
+    sd2c = pdf["hand"].to_numpy(np.float64)
+    sslope = pdf["slope"].to_numpy(np.float64)
+    m = np.ones(len(pdf), dtype=bool)
+
+    nc = min(25, int(np.ceil(m.sum() * res ** 2 / 8100.0)))
+    nc = min(nc, np.unique(sd2c[m]).size)
+    if nc > 1:
+        tmp_sorted = np.sort(sd2c[m])
+        stride = int(np.ceil(float(tmp_sorted.size) / (nc + 1)))
+        bin_edges = tmp_sorted[np.arange(0, tmp_sorted.size, stride)]
+        cls = np.digitize(sd2c[m], bin_edges)
+    else:
+        cls = np.ones(m.sum(), dtype=np.int64)
+
+    slope_b, d2c_b, area_b = [], [], []
+    for cl in np.unique(cls):
+        m1 = cls == cl
+        if not m1.any():
+            continue
+        slope_b.append(np.mean(sslope[m1]))
+        d2c_b.append(np.mean(sd2c[m1]))
+        area_b.append(res ** 2 * np.sum(m1))
+    order = np.argsort(d2c_b, kind="stable")
+    s = np.array(slope_b)[order]
+    d2c = np.array(d2c_b)[order]
+    area = np.array(area_b)[order]
+    s[s == 0] = 1e-4
+
+    length, slopes, hand, position = [], [], [], []
+    r = pos = 0.0
+    for k in range(d2c.size):
+        if k == 0:
+            l = d2c[k] / s[k]
+            slp = s[k]
+            hand.append(l * slp / 2)
+            r = l * slp
+            pos = l / 2
+        else:
+            slp = (s[k] + s[k - 1]) / 2
+            l = (d2c[k] - r) / slp
+            hand.append(r + l * slp / 2)
+            r = r + l * slp
+            pos = pos + l / 2
+        slopes.append(slp)
+        position.append(pos)
+        length.append(l)
+    length = np.array(length)
+    slopes = np.array(slopes)
+    position = np.array(position)
+    hand = np.array(hand)
+    if (np.min(length) == 0.0) or (np.max(hand) == 0.0):
+        hand = np.array([0.5, 1.5])
+        length = np.array([10.0, 10.0])
+        slopes = np.array([0.1, 0.1])
+        position = np.array([5.0, 15.0])
+        area = np.array([900.0, 900.0])
+
+    width = area / length
+    position_e = np.array([0.0, *position, length[-1] / 2])
+    w = np.array([width[0], *width, width[-1]])
+    d2c_e = np.array([0.0, *hand, hand[-1]])
+    relief = d2c_e[-1]
+    position_e = position_e / np.sum(length)
+    d2c_n = d2c_e / relief
+
+    if d2c_n.size == 3:
+        fw = [0.0, 1.0]
+        fr = (1.0, 1.0)
+    else:
+        weights = np.cos(np.linspace(-np.pi / 4, np.pi / 4, position_e.size - 2))
+        weights = weights / np.sum(weights)
+        tmp = w / np.max(w)
+        w[tmp > 100] = 100 * tmp[tmp > 100]
+        z = np.polyfit(position_e[1:-1], w[1:-1], 1, w=weights)
+        fw = [z[0] / z[1], 1.0]
+        fw[0] = min(fw[0], 99.0)
+        fw[0] = max(fw[0], -0.99)
+        if d2c_n[1:-1].size > 10:
+            fr = fit_frelief(position_e[1:-1], d2c_n[1:-1])
+        else:
+            fr = (1.0, 1.0)
+
+    return pd.DataFrame([{
+        "hid": uh,
+        "width_intercept": fw[1], "width_slope": fw[0],
+        "relief_a": fr[0], "relief_b": fr[1],
+        "length": float(np.sum(length)), "area": float(np.sum(area)),
+        "relief": float(relief),
+        "position_array": position_e.tolist(),
+        "d2c_array": d2c_n.tolist(),
+        "width_array": w.tolist(),
+    }])
+
+
+
 def hillslope_properties(cells: DataFrame, res: float,
                          hillslope_col: str = "hillslopes",
                          covariates: list[str] | None = None,
@@ -232,100 +338,7 @@ def hillslope_properties(cells: DataFrame, res: float,
                        & (F.col("slope") != UNDEF)).select(*need)
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        uh = int(pdf[hillslope_col].iloc[0])
-        sd2c = pdf["hand"].to_numpy(np.float64)
-        sslope = pdf["slope"].to_numpy(np.float64)
-        m = np.ones(len(pdf), dtype=bool)
-
-        nc = min(25, int(np.ceil(m.sum() * res ** 2 / 8100.0)))
-        nc = min(nc, np.unique(sd2c[m]).size)
-        if nc > 1:
-            tmp_sorted = np.sort(sd2c[m])
-            stride = int(np.ceil(float(tmp_sorted.size) / (nc + 1)))
-            bin_edges = tmp_sorted[np.arange(0, tmp_sorted.size, stride)]
-            cls = np.digitize(sd2c[m], bin_edges)
-        else:
-            cls = np.ones(m.sum(), dtype=np.int64)
-
-        slope_b, d2c_b, area_b = [], [], []
-        for cl in np.unique(cls):
-            m1 = cls == cl
-            if not m1.any():
-                continue
-            slope_b.append(np.mean(sslope[m1]))
-            d2c_b.append(np.mean(sd2c[m1]))
-            area_b.append(res ** 2 * np.sum(m1))
-        order = np.argsort(d2c_b, kind="stable")
-        s = np.array(slope_b)[order]
-        d2c = np.array(d2c_b)[order]
-        area = np.array(area_b)[order]
-        s[s == 0] = 1e-4
-
-        length, slopes, hand, position = [], [], [], []
-        r = pos = 0.0
-        for k in range(d2c.size):
-            if k == 0:
-                l = d2c[k] / s[k]
-                slp = s[k]
-                hand.append(l * slp / 2)
-                r = l * slp
-                pos = l / 2
-            else:
-                slp = (s[k] + s[k - 1]) / 2
-                l = (d2c[k] - r) / slp
-                hand.append(r + l * slp / 2)
-                r = r + l * slp
-                pos = pos + l / 2
-            slopes.append(slp)
-            position.append(pos)
-            length.append(l)
-        length = np.array(length)
-        slopes = np.array(slopes)
-        position = np.array(position)
-        hand = np.array(hand)
-        if (np.min(length) == 0.0) or (np.max(hand) == 0.0):
-            hand = np.array([0.5, 1.5])
-            length = np.array([10.0, 10.0])
-            slopes = np.array([0.1, 0.1])
-            position = np.array([5.0, 15.0])
-            area = np.array([900.0, 900.0])
-
-        width = area / length
-        position_e = np.array([0.0, *position, length[-1] / 2])
-        w = np.array([width[0], *width, width[-1]])
-        d2c_e = np.array([0.0, *hand, hand[-1]])
-        relief = d2c_e[-1]
-        position_e = position_e / np.sum(length)
-        d2c_n = d2c_e / relief
-
-        if d2c_n.size == 3:
-            fw = [0.0, 1.0]
-            fr = (1.0, 1.0)
-        else:
-            weights = np.cos(np.linspace(-np.pi / 4, np.pi / 4, position_e.size - 2))
-            weights = weights / np.sum(weights)
-            tmp = w / np.max(w)
-            w[tmp > 100] = 100 * tmp[tmp > 100]
-            z = np.polyfit(position_e[1:-1], w[1:-1], 1, w=weights)
-            fw = [z[0] / z[1], 1.0]
-            fw[0] = min(fw[0], 99.0)
-            fw[0] = max(fw[0], -0.99)
-            if d2c_n[1:-1].size > 10:
-                fr = fit_frelief(position_e[1:-1], d2c_n[1:-1])
-            else:
-                fr = (1.0, 1.0)
-
-        return pd.DataFrame([{
-            "hid": uh,
-            "width_intercept": fw[1], "width_slope": fw[0],
-            "relief_a": fr[0], "relief_b": fr[1],
-            "length": float(np.sum(length)), "area": float(np.sum(area)),
-            "relief": float(relief),
-            "position_array": position_e.tolist(),
-            "d2c_array": d2c_n.tolist(),
-            "width_array": w.tolist(),
-        }])
-
+        return hillslope_geo_kernel(pdf, res, hillslope_col)
     from .grouped import grouped_map
     geo = grouped_map(src, [hillslope_col], kern, schema=_HP_GEO_SCHEMA)
     mean_cols = list(dict.fromkeys(
@@ -372,7 +385,7 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
     # materialize once (maps to reading the committed table at production)
     cells = cells.localCheckpoint(eager=True)
     src = cells.filter(F.col(hru_col) > 0).select(
-        hru_col, hillslope_col, tile_col, hand_col, slope_col)
+        "i", "j", hru_col, hillslope_col, tile_col, hand_col, slope_col)
 
     _base_schema = ("hru long, hillslope_id long, tile_id long, area double, "
                     "hillslope_slope double, hand_ecdf array<double>, "
@@ -388,7 +401,11 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         if not len(pdf):
             return
-        order = np.argsort(pdf[hru_col].to_numpy(), kind="stable")
+        # (hru, i, j) scan order: per-group float means become
+        # bit-deterministic regardless of Arrow arrival order (and match
+        # the serial golden twin in oracle/gate_twins.py)
+        order = np.lexsort((pdf["j"].to_numpy(), pdf["i"].to_numpy(),
+                            pdf[hru_col].to_numpy()))
         hru = pdf[hru_col].to_numpy(np.int64)[order]
         hand = pdf[hand_col].to_numpy(np.float64)[order]
         slope = pdf[slope_col].to_numpy(np.float64)[order]
