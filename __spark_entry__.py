@@ -520,8 +520,8 @@ def _terrain_distributed(spark):
 
 def q_hillslope_bbox_means(spark, sf_dir):
     """A2's covariate-mean half (terrain_tools.py:634-639) as a FULL value
-    oracle: the real _bbox_window_means operator (tile-explode equi-join
-    path, explicit tile size) over a dense 30x30 grid derived
+    oracle: the real _bbox_window_means operator (bucket-grid equi-join,
+    buckets derived from (i, j)) over a dense 30x30 grid derived
     deterministically from the events table — per-zone means over the
     zone's full bounding box, -9999-masked, exactly the bbox-window rule
     the zone fixture's rows-only hillslope_props exercises end-to-end.

@@ -437,8 +437,17 @@ def channels_walk_single_seed(area, fdir, cmask, seed, basin_threshold,
     engine's per-group ``applyInPandas`` kernel: group ids assigned by
     pointer doubling + deterministic seed ordering make the distributed
     composition bit-identical to the sequential loop.
+
+    The traversal runs on an EXPLICIT stack (no Python recursion): a
+    10^6-cell channel network would blow any recursion limit, and frame
+    objects are far cheaper than interpreter frames. Each stack entry is
+    one suspended loop of the Fortran recursion (terrain_tools.f90:
+    1172-1241): ``cid`` is passed by reference in the Fortran and
+    ``cid_org`` is a local COPY (:1182) that nested confluences (:1224-
+    1225) mutate when :1233 passes it down — one-slot lists model each
+    variable slot, preserved across suspension, and every cmask test
+    re-evaluates on resume exactly where the recursive loop would.
     """
-    sys.setrecursionlimit(max(sys.getrecursionlimit(), 10 ** 6))
     nx, ny = area.shape
     channels = np.full((nx, ny), init_label, dtype=np.int64)
     topo = {}
@@ -455,37 +464,43 @@ def channels_walk_single_seed(area, fdir, cmask, seed, basin_threshold,
                 out.append((inew, jnew))
         return out
 
-    def walk(i, j, cid_box):
-        # cid is passed by reference in the Fortran (terrain_tools.f90:1172);
-        # cid_org is a local COPY (:1182) — but when :1233 passes cid_org to
-        # the recursion, nested confluences (:1224-1225) mutate it. A one-slot
-        # list models each variable slot.
-        cid_org_box = [cid_box[0]]
+    def frame(i, j, cid_box):
+        # [i, j, cid_box, cid_org_box, nbrs, next_idx, single_branch]
+        nbrs = upstream(i, j)
         count = 0
-        for (inew, jnew) in upstream(i, j):
-            if cmask[inew, jnew] == 1 and area[inew, jnew] >= bt:
+        for (a, b) in nbrs:
+            if cmask[a, b] == 1 and area[a, b] >= bt:
                 count += 1
-        if count <= 1:
-            for (inew, jnew) in upstream(i, j):
-                if cmask[inew, jnew] == 1:
-                    cmask[inew, jnew] = 0
-                    channels[inew, jnew] = channels[i, j]
-                    walk(inew, jnew, cid_box)
-        else:
-            for (inew, jnew) in upstream(i, j):
-                if cmask[inew, jnew] == 1:
-                    if area[inew, jnew] >= bt:
-                        state["hcid"] += 1
-                        cid_box[0] = state["hcid"]
-                        cmask[inew, jnew] = 0
-                        channels[inew, jnew] = cid_box[0]
-                        if wprop:
-                            topo[cid_box[0]] = cid_org_box[0]
-                        walk(inew, jnew, cid_box)
-                    else:
-                        cmask[inew, jnew] = 0
-                        channels[inew, jnew] = cid_org_box[0]
-                        walk(inew, jnew, cid_org_box)
+        return [i, j, cid_box, [cid_box[0]], nbrs, 0, count <= 1]
+
+    def walk(i, j, cid_box):
+        stack = [frame(i, j, cid_box)]
+        while stack:
+            fr = stack[-1]
+            fi_, fj_, cbox, corg, nbrs, idx, single = fr
+            if idx >= len(nbrs):
+                stack.pop()
+                continue
+            fr[5] = idx + 1
+            inew, jnew = nbrs[idx]
+            if cmask[inew, jnew] != 1:
+                continue
+            if single:
+                cmask[inew, jnew] = 0
+                channels[inew, jnew] = channels[fi_, fj_]
+                stack.append(frame(inew, jnew, cbox))
+            elif area[inew, jnew] >= bt:
+                state["hcid"] += 1
+                cbox[0] = state["hcid"]
+                cmask[inew, jnew] = 0
+                channels[inew, jnew] = cbox[0]
+                if wprop:
+                    topo[cbox[0]] = corg[0]
+                stack.append(frame(inew, jnew, cbox))
+            else:
+                cmask[inew, jnew] = 0
+                channels[inew, jnew] = corg[0]
+                stack.append(frame(inew, jnew, corg))
 
     state["hcid"] += 1
     cid = state["hcid"]

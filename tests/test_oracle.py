@@ -155,3 +155,100 @@ def test_hillslopes_walk_fast_equals_oracle():
             a[seed] = np.float32(-9999.0)
             n_seeds += 1
         assert n_seeds > 0
+
+
+def test_channels_walk_iterative_equals_recursive():
+    """The engine's channel walk runs on an explicit stack (a 10^6-cell
+    network would blow any recursion limit). Parity proof: a test-local
+    copy of the original recursive walk (the Fortran transcription,
+    terrain_tools.f90:1172-1241) must produce identical labels, topology,
+    and id counts on random DEM-derived networks — including the by-ref
+    cid / locally-copied cid_org mutation quirks."""
+    import sys
+
+    from geospatialtools_spark import fixtures
+    from geospatialtools_spark.oracle import terrain as OT
+
+    def walk_recursive(area, fdir, cmask, seed, basin_threshold,
+                       init_label=0, wprop=False):
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), 10 ** 6))
+        nx, ny = area.shape
+        channels = np.full((nx, ny), init_label, dtype=np.int64)
+        topo = {}
+        state = {"hcid": 0}
+        bt = np.float32(basin_threshold)
+
+        def upstream(i, j):
+            out = []
+            for (k, l) in OT.P8:
+                inew, jnew = i + k, j + l
+                if not (0 <= inew < nx and 0 <= jnew < ny):
+                    continue
+                if fdir[inew, jnew, 0] == i and fdir[inew, jnew, 1] == j:
+                    out.append((inew, jnew))
+            return out
+
+        def walk(i, j, cid_box):
+            cid_org_box = [cid_box[0]]
+            count = 0
+            for (inew, jnew) in upstream(i, j):
+                if cmask[inew, jnew] == 1 and area[inew, jnew] >= bt:
+                    count += 1
+            if count <= 1:
+                for (inew, jnew) in upstream(i, j):
+                    if cmask[inew, jnew] == 1:
+                        cmask[inew, jnew] = 0
+                        channels[inew, jnew] = channels[i, j]
+                        walk(inew, jnew, cid_box)
+            else:
+                for (inew, jnew) in upstream(i, j):
+                    if cmask[inew, jnew] == 1:
+                        if area[inew, jnew] >= bt:
+                            state["hcid"] += 1
+                            cid_box[0] = state["hcid"]
+                            cmask[inew, jnew] = 0
+                            channels[inew, jnew] = cid_box[0]
+                            if wprop:
+                                topo[cid_box[0]] = cid_org_box[0]
+                            walk(inew, jnew, cid_box)
+                        else:
+                            cmask[inew, jnew] = 0
+                            channels[inew, jnew] = cid_org_box[0]
+                            walk(inew, jnew, cid_org_box)
+
+        state["hcid"] += 1
+        cid = state["hcid"]
+        i, j = seed
+        if cmask[i, j] == 1 and area[i, j] >= bt:
+            channels[i, j] = cid
+            if wprop:
+                topo[cid] = -1
+        cmask[i, j] = 0
+        walk(i, j, [cid])
+        return channels, topo, state["hcid"]
+
+    res = 30.0
+    for nx, seed_cap in ((64, 6), (96, 6)):
+        meta, dem, mask = fixtures.make_dem(nx=nx, ny=nx, tile=nx // 2)
+        filled = OT.planchon_fill(dem, res)
+        area, fdir = OT.d8_acc(filled, mask, res)
+        a = area.astype(np.float32).copy()
+        cm_i = (a > np.float32(res * res * 20)).astype(np.int32)
+        n = 0
+        while cm_i.max() > 0 and n < seed_cap:
+            am = np.where(cm_i == 1, a, np.float32(0.0))
+            seed = OT._argmax2d_fortran(am)
+            cm_r = cm_i.copy()
+            for wprop in (True, False):
+                got = OT.channels_walk_single_seed(
+                    area, fdir, cm_i.copy() if wprop else cm_i, seed,
+                    res * res * 5, init_label=0, wprop=wprop)
+                want = walk_recursive(
+                    area, fdir, cm_r.copy() if wprop else cm_r, seed,
+                    res * res * 5, init_label=0, wprop=wprop)
+                assert np.array_equal(got[0], want[0]), (nx, seed, wprop)
+                assert got[1] == want[1], (nx, seed, wprop)
+                assert got[2] == want[2], (nx, seed, wprop)
+            assert np.array_equal(cm_i, cm_r)  # same consumption
+            n += 1
+        assert n > 0

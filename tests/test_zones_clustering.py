@@ -321,23 +321,28 @@ def test_hillslope_bbox_means_vs_numpy(spark, zone_cells, golden32):
         assert (hp[c] == -9999.0).all()
 
 
-def test_bbox_means_nondense_falls_back_to_range_join(spark, zone_cells):
-    """ADVICE r2: a filtered (non-dense) cell table must not fool the tile
-    inference into an equi-join that silently drops in-bbox cells. Dropping
-    the first rows of tile row 0 makes the inferred tile side wrong; the
-    validation must reject it and the range-join fallback must produce the
-    same means as the dense explicit-tile path restricted to surviving
-    cells."""
-    sparse = zone_cells.filter(F.col("i") >= 3)  # inferred side = 13, wrong
-    got = Z._bbox_window_means(
-        sparse, sparse.filter(F.col("hillslopes") > 0), "hillslopes",
-        ["dem"]).toPandas().sort_values("hid").reset_index(drop=True)
-    # ground truth: same table, tile columns stripped -> pure range join
-    bare = sparse.drop("tile_i", "tile_j")
-    want = Z._bbox_window_means(
-        bare, bare.filter(F.col("hillslopes") > 0), "hillslopes",
-        ["dem"]).toPandas().sort_values("hid").reset_index(drop=True)
-    assert np.allclose(got["dem"], want["dem"], atol=1e-12)
+def test_bbox_means_bucket_join_matches_range_join(spark, zone_cells):
+    """The bucket-grid equi-join (buckets derived from (i, j), independent
+    of the storage tile) must equal a plain broadcast range join — on a
+    FILTERED (non-dense) cell table too, the ADVICE-r2 trap that killed the
+    old tile-inference path. Runs both a dense and a sparse variant."""
+    for cells in (zone_cells, zone_cells.filter(F.col("i") >= 3)):
+        src = cells.filter(F.col("hillslopes") > 0)
+        got = Z._bbox_window_means(
+            cells, src, "hillslopes",
+            ["dem"]).toPandas().sort_values("hid").reset_index(drop=True)
+        # ground truth: pure range join, no buckets
+        bbox = (src.groupBy(F.col("hillslopes").alias("hid"))
+                .agg(F.min("i").alias("i0"), F.max("i").alias("i1"),
+                     F.min("j").alias("j0"), F.max("j").alias("j1")))
+        in_box = ((F.col("i") >= F.col("i0")) & (F.col("i") <= F.col("i1"))
+                  & (F.col("j") >= F.col("j0")) & (F.col("j") <= F.col("j1")))
+        want = (cells.select("i", "j", "dem").join(F.broadcast(bbox), in_box)
+                .groupBy("hid")
+                .agg(F.avg(F.when(F.col("dem") != -9999, F.col("dem")))
+                     .alias("dem"))
+                .toPandas().sort_values("hid").reset_index(drop=True))
+        assert np.allclose(got["dem"], want["dem"], atol=1e-9)
 
 
 def test_tile_offsets_survive_noncontiguous_labels(spark):
