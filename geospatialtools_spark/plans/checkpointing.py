@@ -15,6 +15,12 @@ production each commit is an Iceberg snapshot and resume reads
 renamed, manifest written last — a kill at any point leaves either no commit
 or a complete one.
 
+Snapshot semantics (Iceberg API surface, emulated): every commit appends to
+an append-only ``_snapshot_log.jsonl`` and archives the replaced state under
+``_history/``; ``read_snapshot`` is time travel, ``rollback`` promotes an
+old snapshot as a NEW logged snapshot, ``expire_snapshots`` is the explicit
+retention knob. See the "snapshot log" section below.
+
 The per-partition lineage table (stage, partition_id, rows, wall_ms) is
 appended under ``<root>/_lineage`` at every commit (plans/lineage.py).
 """
@@ -75,7 +81,7 @@ class StageRunner:
         wall_ms = int((time.time() - t0) * 1000)
 
         if os.path.exists(d):
-            shutil.rmtree(d)
+            self._archive_current(stage)
         os.rename(tmp, d)
         self.spark.createDataFrame(lin_pdf).withColumn(
             "committed_stage", F.lit(stage)).write.mode("append").parquet(lin_dir)
@@ -84,6 +90,7 @@ class StageRunner:
                        "rows": n_rows, "wall_ms": wall_ms,
                        "partitions": len(lin_pdf)}, f)
         os.replace(mf + ".tmp", mf)
+        self._log_snapshot(stage, "commit", rows=n_rows, wall_ms=wall_ms)
         self.metrics.append({"stage": stage, "resumed": False,
                              "rows": n_rows, "wall_ms": wall_ms})
         # a stage's iterative operators leave dead localCheckpoint blocks;
@@ -92,3 +99,102 @@ class StageRunner:
         from ..session import release_blocks
         release_blocks(self.spark)
         return self.spark.read.parquet(d)
+
+    # ------------------------------------------------------- snapshot log
+    # Iceberg-semantics emulation over plain parquet: every commit appends
+    # an entry to an append-only snapshot log and ARCHIVES (never deletes)
+    # the stage's previous current directory, so any earlier committed state
+    # stays readable by snapshot id (time travel) and can be promoted back
+    # to current (rollback — itself a new logged snapshot, exactly like
+    # Iceberg's rollback-creates-a-snapshot). Retention is explicit via
+    # expire_snapshots; nothing is dropped implicitly. Single-writer (the
+    # driver) — no concurrent-commit protocol needed here; in production
+    # these calls map 1:1 onto Iceberg snapshot/rollback/expire APIs.
+
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_snapshot_log.jsonl")
+
+    def _history_dir(self, stage: str, snap_id: int) -> str:
+        return os.path.join(self.root, "_history", f"{stage}.s{snap_id}")
+
+    def snapshots(self, stage: str | None = None) -> list[dict]:
+        """The snapshot log, oldest first (optionally one stage's)."""
+        p = self._log_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+        return [e for e in entries if stage is None or e["stage"] == stage]
+
+    def _log_snapshot(self, stage: str, action: str, **extra) -> int:
+        entries = self.snapshots()
+        snap_id = (max((e["snapshot_id"] for e in entries), default=0)) + 1
+        parents = [e["snapshot_id"] for e in entries if e["stage"] == stage]
+        rec = {"snapshot_id": snap_id, "stage": stage, "action": action,
+               "parent_snapshot_id": parents[-1] if parents else None,
+               "config_fp": self.config_fp, "ts": time.time(), **extra}
+        with open(self._log_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return snap_id
+
+    def _archive_current(self, stage: str) -> None:
+        """Move the stage's current dir+manifest into _history under the
+        snapshot id that committed them (the stage's latest log entry)."""
+        d, _, mf = self._paths(stage)
+        prior = self.snapshots(stage)
+        if not prior:               # pre-snapshot-log commit: no id to file
+            shutil.rmtree(d)        # it under — legacy behavior
+            return
+        hist = self._history_dir(stage, prior[-1]["snapshot_id"])
+        os.makedirs(os.path.dirname(hist), exist_ok=True)
+        if os.path.exists(hist):
+            shutil.rmtree(hist)
+        os.rename(d, hist)
+        if os.path.exists(mf):
+            shutil.copy(mf, hist + ".manifest.json")
+
+    def _snapshot_data_dir(self, stage: str, snap_id: int) -> str:
+        entries = [e for e in self.snapshots(stage)
+                   if e["snapshot_id"] == snap_id]
+        if not entries:
+            raise KeyError(f"no snapshot {snap_id} for stage {stage!r}")
+        cur = self.snapshots(stage)[-1]["snapshot_id"]
+        d = self._paths(stage)[0] if snap_id == cur \
+            else self._history_dir(stage, snap_id)
+        if not os.path.exists(d):
+            raise FileNotFoundError(
+                f"snapshot {snap_id} of {stage!r} was expired")
+        return d
+
+    def read_snapshot(self, stage: str, snapshot_id: int) -> DataFrame:
+        """Time travel: read the stage's table as of a committed snapshot."""
+        return self.spark.read.parquet(
+            self._snapshot_data_dir(stage, snapshot_id))
+
+    def rollback(self, stage: str, snapshot_id: int) -> DataFrame:
+        """Promote an earlier snapshot back to current. The rollback is a
+        NEW snapshot whose data is the old state (audit trail preserved)."""
+        src = self._snapshot_data_dir(stage, snapshot_id)
+        d, _, mf = self._paths(stage)
+        if os.path.normpath(src) != os.path.normpath(d):
+            self._archive_current(stage)
+            shutil.copytree(src, d)
+            src_mf = src + ".manifest.json"
+            if os.path.exists(src_mf):
+                shutil.copy(src_mf, mf)
+        self._log_snapshot(stage, "rollback", rolled_back_to=snapshot_id)
+        return self.spark.read.parquet(d)
+
+    def expire_snapshots(self, stage: str, keep_last: int = 2) -> list[int]:
+        """Drop archived data dirs beyond the newest ``keep_last`` snapshots
+        (the log itself is never rewritten — expired ids stay auditable)."""
+        ids = [e["snapshot_id"] for e in self.snapshots(stage)]
+        expired = []
+        for sid in ids[:-keep_last] if keep_last > 0 else ids[:-1]:
+            hist = self._history_dir(stage, sid)
+            if os.path.exists(hist):
+                shutil.rmtree(hist)
+                if os.path.exists(hist + ".manifest.json"):
+                    os.remove(hist + ".manifest.json")
+                expired.append(sid)
+        return expired

@@ -113,6 +113,54 @@ def test_checkpoint_resume(spark, tmp_path):
     assert set(lin["stage"]) == {"a", "b"}
 
 
+def test_snapshot_time_travel_and_rollback(spark, tmp_path):
+    """Iceberg-semantics snapshot log: every commit is a snapshot, old
+    states stay readable by id (time travel), rollback promotes an old
+    snapshot as a new logged one, expiry is explicit."""
+    root = str(tmp_path / "snap")
+
+    r1 = StageRunner(spark, root, {"cfg": 1})
+    r1.run_stage("a", lambda: spark.range(10).withColumn("v", F.lit("one")))
+    r2 = StageRunner(spark, root, {"cfg": 2})   # config change -> recommit
+    r2.run_stage("a", lambda: spark.range(20).withColumn("v", F.lit("two")))
+    r3 = StageRunner(spark, root, {"cfg": 3})
+    r3.run_stage("a", lambda: spark.range(30).withColumn("v", F.lit("three")))
+
+    log = r3.snapshots("a")
+    assert [e["action"] for e in log] == ["commit"] * 3
+    assert [e["rows"] for e in log] == [10, 20, 30]
+    ids = [e["snapshot_id"] for e in log]
+    assert ids == sorted(ids)
+    assert log[1]["parent_snapshot_id"] == ids[0]
+
+    # time travel: each snapshot readable with its committed contents
+    assert r3.read_snapshot("a", ids[0]).count() == 10
+    assert r3.read_snapshot("a", ids[1]).count() == 20
+    assert r3.read_snapshot("a", ids[2]).count() == 30
+    assert r3.read_snapshot("a", ids[1]).select("v").first()["v"] == "two"
+
+    # resume still reads CURRENT (snapshot 3) and skips recompute
+    assert r3.run_stage("a", lambda: 1 / 0).count() == 30
+
+    # rollback to snapshot 2: current data is the old state, the log gains
+    # a rollback entry, and snapshot 3 remains time-travel readable
+    rolled = r3.rollback("a", ids[1])
+    assert rolled.count() == 20
+    log2 = r3.snapshots("a")
+    assert log2[-1]["action"] == "rollback"
+    assert log2[-1]["rolled_back_to"] == ids[1]
+    assert r3.read_snapshot("a", ids[2]).count() == 30
+    assert spark.read.parquet(os.path.join(root, "a")).count() == 20
+
+    # explicit retention: expire everything but the 2 newest; expired ids
+    # raise on read, the log itself keeps their audit entries
+    expired = r3.expire_snapshots("a", keep_last=2)
+    assert ids[0] in expired
+    with pytest.raises(FileNotFoundError):
+        r3.read_snapshot("a", ids[0])
+    assert len(r3.snapshots("a")) == 4
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     """availableNow drain of the windowed-ingest plan == the batch twin."""
     sf_dir = "/root/testdata/sf0.001"
