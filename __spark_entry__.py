@@ -717,6 +717,22 @@ def q_tiles_kmeans(spark, sf_dir):
     return tiles.groupBy("tile").agg(F.count("*").alias("n_cells"))
 
 
+def q_nd_hist_hrus(spark, sf_dir):
+    """A7 create_nd_histogram (terrain_tools.py:789-859), OPERATOR form
+    (the relational expression pattern is nd_histogram): per-hillslope
+    np.histogramdd bins — tas percentile-transformed per hillslope, prec
+    raw — assigned global cluster ids in (ascending hillslope, C-order
+    flat bin) scan order over the 32x32 zone fixture. Full per-cell value
+    oracle: the numpy reference twin emits every labeled cell."""
+    from geospatialtools_spark.operators.zones import create_nd_histogram
+    _, cells = _terrain_zone_cells(spark)
+    out = create_nd_histogram(cells,
+                              [{"col": "tas", "nbins": 3, "type": "p"},
+                               {"col": "prec", "nbins": 2, "type": "n"}],
+                              hillslope_col="hillslopes")
+    return out.select("i", "j", F.col("hru").cast("long").alias("hru"))
+
+
 _HP_MEMO: dict = {}
 
 
@@ -988,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cell_ids": q_doc_cell_ids,
         "hillslope_bbox_means": q_hillslope_bbox_means,
         "tiles_kmeans": q_tiles_kmeans,
+        "nd_hist_hrus": q_nd_hist_hrus,
         "hillslope_props": q_hillslope_props,
         "hru_props": q_hru_props,
         "reduce_basins": q_reduce_basins,

@@ -524,6 +524,81 @@ def hru_properties(cells: DataFrame, hp: DataFrame, res: float,
     return grouped_map(joined, ["hillslope_id"], assoc, schema=out_schema)
 
 
+# ----------------------------------------------------------------------- A7
+
+def create_nd_histogram(cells: DataFrame, covs: list[dict],
+                        hillslope_col: str = "hillslope") -> DataFrame:
+    """A7 N-D histogram HRU builder, operator form (terrain_tools.py:
+    789-859; the trailing ``cleanup_hillslopes`` dense relabel,
+    terrain_tools.f90:1604-1650, nets to identity on the already-dense
+    global ids, and the reference's +1/-1 pair cancels).
+
+    ``cells``: (i, j, <hillslope_col>, covariate columns). ``covs``:
+    ORDERED list of ``{"col", "nbins", "type"}`` — the reference iterates a
+    py2 dict; covariate order is made explicit here. 'p'-type covariates
+    are percentile-transformed per hillslope (``tmp[argsort] =
+    linspace(0,1,n)``) before binning, exactly like the reference.
+
+    Returns (hillslope, i, j, hru) for valid cells (hillslope and every
+    covariate != -9999): global hru ids 1..K assigned to NON-EMPTY bins in
+    (ascending hillslope, C-order flat bin) order — the reference's global
+    ``icluster`` scan. Exact-edge cells resolve to the upper bin, which is
+    both np.histogramdd's count bin and the reference's
+    last-matching-bounds overwrite winner.
+
+    Plan shape: hillslopes are independent (per-hillslope percentiles and
+    min/max), so the cell pass is ONE grouped map keyed by hillslope (the
+    same applyInPandas shape as A2/A3); the kernel re-sorts its group by
+    (i, j) so the value sequence — and therefore np.argsort's permutation,
+    even under ties — matches the reference's C-order ``data[mask]``
+    extraction bit-for-bit. The global id table is one window over the
+    DISTINCT (hillslope, bin) rows (#hillslopes x prod(nbins) at most, tiny
+    next to the cell table) broadcast-joined back, so cells shuffle exactly
+    once, on the hillslope key the semantics force."""
+    from pyspark.sql.window import Window
+
+    names = [c["col"] for c in covs]
+    nbins = [int(c["nbins"]) for c in covs]
+    kinds = [c["type"] for c in covs]
+    valid = cells.filter(F.col(hillslope_col) != UNDEF)
+    for n in names:
+        valid = valid.filter(F.col(n) != UNDEF)
+    hty = dict(cells.dtypes)[hillslope_col]
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["i", "j"], kind="stable")
+        flat = np.zeros(len(pdf), dtype=np.int64)
+        for n, nb, kind in zip(names, nbins, kinds):
+            x = pdf[n].to_numpy(np.float64).copy()
+            if kind == "p":
+                order = np.argsort(x)
+                x[order] = np.linspace(0, 1, x.size)
+            smin, smax = float(np.min(x)), float(np.max(x))
+            if smin == smax:        # histogramdd's degenerate-range rule
+                smin, smax = smin - 0.5, smax + 0.5
+            edges = np.linspace(smin, smax, nb + 1)
+            k = np.searchsorted(edges, x, side="right") - 1
+            k[x == edges[-1]] = nb - 1   # rightmost bin closed
+            flat = flat * nb + k
+        return pd.DataFrame({
+            hillslope_col: pdf[hillslope_col].to_numpy(),
+            "i": pdf["i"].to_numpy(np.int64),
+            "j": pdf["j"].to_numpy(np.int64),
+            "bin": flat})
+
+    binned = (valid.select(hillslope_col, "i", "j", *names)
+              .groupBy(hillslope_col)
+              .applyInPandas(kern, schema=f"{hillslope_col} {hty}, "
+                                          "i long, j long, bin long"))
+    # single-partition window is fine: the distinct bin table is bounded by
+    # #hillslopes x prod(nbins), not by cell count
+    ids = (binned.select(hillslope_col, "bin").distinct()
+           .withColumn("hru", F.row_number().over(
+               Window.orderBy(hillslope_col, "bin"))))
+    return (binned.join(F.broadcast(ids), [hillslope_col, "bin"], "inner")
+            .drop("bin"))
+
+
 # ----------------------------------------------------------------------- J6
 
 def polygon_adjacency(cells: DataFrame, polygon_col: str = "polygon",

@@ -389,8 +389,27 @@ def _hru_props_table() -> pd.DataFrame:
                 "hillslope_slope", "soil_depth", "frac"]]
 
 
+def _nd_hist_table() -> pd.DataFrame:
+    """A7 create_nd_histogram (terrain_tools.py:789-859) on the zone
+    fixture, full per-cell expected labels from the numpy reference oracle.
+    Covariate arrays are COPIED: the oracle's 'p'-type percentile transform
+    mutates them in place (reference quirk) and _zone_arrays is shared by
+    the other zone twins."""
+    from . import terrain as T
+    z = _zone_arrays()
+    covs = [{"name": "tas", "data": z["tas"].copy(), "nbins": 3, "type": "p"},
+            {"name": "prec", "data": z["prec"].copy(), "nbins": 2, "type": "n"}]
+    hrus = T.create_nd_histogram(z["hillslopes"].astype(np.float64), covs)
+    ii, jj = np.nonzero(hrus != T.IUNDEF)
+    return pd.DataFrame({"i": ii.astype(np.int64), "j": jj.astype(np.int64),
+                         "hru": hrus[ii, jj].astype(np.int64)})
+
+
 def zone_twin_sql() -> dict[str, str]:
     return {
+        "nd_hist_hrus": _values_sql(
+            _nd_hist_table(),
+            {"i": "BIGINT", "j": "BIGINT", "hru": "BIGINT"}),
         "tiles_kmeans": _values_sql(
             _tiles_kmeans_table(),
             {"tile": "BIGINT", "n_cells": "BIGINT"}),

@@ -980,3 +980,70 @@ def depth2channel_mfd(channels: np.ndarray, mask: np.ndarray, dem: np.ndarray,
     d2c[d2c < 0] = undef
     d2c[mask <= 0] = undef
     return d2c
+
+
+def create_nd_histogram(hillslopes: np.ndarray, covariates: list) -> np.ndarray:
+    """N-D histogram HRU builder (terrain_tools.py:789-859, verbatim
+    semantics with the covariate ORDER made explicit).
+
+    ``covariates`` is an ordered list of dicts ``{name, data, nbins, type}``
+    (the reference iterates a py2 dict; order here is the list order). Per
+    ascending hillslope id: 'p'-type covariates are percentile-transformed
+    IN PLACE over the hillslope's valid cells (``tmp[argsort] =
+    np.linspace(0, 1, n)``), an ``np.histogramdd`` over (nbins per var) is
+    taken, and every NON-EMPTY bin gets the next GLOBAL cluster id in
+    C-order flat scan of the histogram. Cells are mapped back through the
+    inclusive bin bounds with ascending-id overwrite — which resolves
+    exact-edge cells to the upper bin, i.e. their own histogramdd bin.
+    Finally ``cleanup_hillslopes`` (dense relabel, identity when ids are
+    already dense) and the reference's +1 yield ids 1..K, -9999 elsewhere.
+    """
+    undef = UNDEF
+    m = hillslopes != undef
+    for cov in covariates:
+        m = m & (cov["data"] != undef)
+
+    icluster = -1
+    hrus = np.empty(covariates[0]["data"].shape, dtype=np.float32)
+    hrus[:] = IUNDEF
+
+    uh = np.unique(hillslopes)
+    uh = uh[uh != undef]
+    for ih in uh:
+        mask = (hillslopes == ih) & m
+
+        bins, data = [], []
+        for cov in covariates:
+            bins.append(cov["nbins"])
+            if cov["type"] == "p":
+                tmp = np.copy(cov["data"][mask])
+                argsort = np.argsort(tmp)
+                tmp[argsort] = np.linspace(0, 1, tmp.size)
+                cov["data"][mask] = tmp
+            else:
+                tmp = np.copy(cov["data"][mask])
+            data.append(tmp)
+        H, edges = np.histogramdd(np.array(data).T, bins=np.array(bins))
+        H = H / np.sum(H)
+
+        clusters = {}
+        it = np.nditer(H, flags=["multi_index"], order="C")
+        for val in it:
+            coords = it.multi_index
+            if val > 0:
+                icluster += 1
+                clusters[icluster] = {
+                    "bounds": [(edges[k][coords[k]], edges[k][coords[k] + 1])
+                               for k in range(len(covariates))]}
+
+        for cid in sorted(clusters.keys()):
+            sel = mask.copy()
+            for k, cov in enumerate(covariates):
+                lo, hi = clusters[cid]["bounds"][k]
+                sel &= (cov["data"] >= lo) & (cov["data"] <= hi)
+            hrus[sel] = cid + 1
+
+    out = hrus.astype(np.int32)
+    out = cleanup_hillslopes(out)
+    out[out >= 0] += 1
+    return out

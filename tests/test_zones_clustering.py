@@ -366,3 +366,35 @@ def test_tile_offsets_survive_noncontiguous_labels(spark):
     t1 = set(j.loc[j["basins"] == 1, "tile"])
     t2 = set(j.loc[j["basins"] == 2, "tile"])
     assert not (t1 & t2)
+
+
+def test_create_nd_histogram_vs_numpy(spark, grid32, golden32):
+    """A7 operator form vs the numpy reference oracle, bit-for-bit: global
+    C-order icluster ids over per-hillslope histogramdd bins, 'p'-type
+    percentile transform included (terrain_tools.py:789-859)."""
+    from geospatialtools_spark.oracle import terrain as T
+
+    meta, dem, mask = grid32
+    cov = fixtures.make_covariates(meta, dem, mask)
+    hs = golden32["hillslopes"].astype(np.float64)
+    covs_np = [
+        {"name": "tas", "data": cov["tas"].astype(np.float64).copy(),
+         "nbins": 3, "type": "p"},
+        {"name": "prec", "data": cov["prec"].astype(np.float64).copy(),
+         "nbins": 2, "type": "n"},
+    ]
+    expected = T.create_nd_histogram(hs.copy(), covs_np)
+
+    cells = cells_df(spark, meta, hillslope=hs,
+                     tas=cov["tas"].astype(np.float64),
+                     prec=cov["prec"].astype(np.float64))
+    out = Z.create_nd_histogram(
+        cells, [{"col": "tas", "nbins": 3, "type": "p"},
+                {"col": "prec", "nbins": 2, "type": "n"}],
+        hillslope_col="hillslope").toPandas()
+
+    got = np.full((meta.nx, meta.ny), -9999, dtype=np.int32)
+    got[out["i"].to_numpy(np.int64), out["j"].to_numpy(np.int64)] = \
+        out["hru"].to_numpy(np.int32)
+    assert got.max() > 1                      # multiple bins actually formed
+    np.testing.assert_array_equal(got, expected)
