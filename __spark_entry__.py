@@ -334,6 +334,45 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test cohort assignment (functions/
+    sampling.py:hash_split): md5-bucket of doc_id, stable under appends and
+    re-partitioning — per (split, lang) corpus accounting."""
+    from geospatialtools_spark.functions.sampling import hash_split
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05})
+    return (out.groupBy(F.coalesce(F.col("split"), F.lit("holdout")).alias("split"),
+                        "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars")))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsample (functions/sampling.py:
+    stratified_sample): dominant strata cut to a fraction, rare ones kept —
+    the language-rebalancing pass of a training-data pipeline."""
+    from geospatialtools_spark.functions.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, "doc_id", "lang",
+                            {"en": 0.25, "de": 0.5}, default=1.0)
+    return out.groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                   F.sum("n_chars").alias("chars"))
+
+
+def q_shard_budget(spark, sf_dir):
+    """Contiguous weight-budget sharding (functions/sampling.py:
+    shard_by_budget): cut the doc_id-ordered corpus every 20k chars — the
+    deterministic shard map a training loader consumes."""
+    from geospatialtools_spark.functions.sampling import shard_by_budget
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = shard_by_budget(d, "doc_id", "n_chars", budget=20_000)
+    return out.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-hit language ID heuristic."""
     d = _t(spark, sf_dir, "documents")
@@ -981,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "shard_budget": q_shard_budget,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1245,6 +1287,44 @@ def oracle_sql() -> dict[str, str]:
                          ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
                               * 1.0 / length(text) END, 6) AS upper_ratio
             FROM documents""",
+        # sampling twins recompute the SAME md5 32-bit-prefix bucket
+        # (cross-engine-identical hash — the reason sampling.py uses md5)
+        "sample_split": """
+            WITH b AS (
+              SELECT lang, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 10000 AS bkt
+              FROM documents)
+            SELECT CASE WHEN bkt < 8000 THEN 'train'
+                        WHEN bkt < 9000 THEN 'val'
+                        WHEN bkt < 9500 THEN 'test'
+                        ELSE 'holdout' END AS split,
+                   lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM b GROUP BY 1, 2""",
+        "stratified_sample": """
+            WITH b AS (
+              SELECT lang, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 10000 AS bkt
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM b
+            WHERE bkt < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                        ELSE 10000 END
+            GROUP BY lang""",
+        "shard_budget": """
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                     COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prefix
+              FROM documents)
+            SELECT CAST(FLOOR(prefix / 20000) AS BIGINT) AS shard,
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM p GROUP BY 1""",
         "lang_id": f"""
             WITH h AS (
               SELECT doc_id, lang,

@@ -1,0 +1,91 @@
+"""Deterministic sampling / splitting / sharding for training-data curation.
+
+A 100 TB corpus job cannot re-roll randomness between attempts: every
+sampling decision here is a PURE FUNCTION of the row key, so retries,
+resumed stages, and re-runs at different parallelism produce byte-identical
+cohorts (the same property the checkpoint-resume layer relies on).
+
+The hash is the first 8 hex chars of md5(key) — chosen over xxhash64/crc32
+because md5 is implemented identically in every engine the gate touches
+(Spark, DuckDB, Python), which makes these operators fully value-oracle-able
+cross-engine. md5's avalanche on the 32-bit prefix is more than uniform
+enough for percentage bucketing; this is cohort assignment, not crypto.
+
+All of it is pure Catalyst expression — no shuffle beyond what the caller's
+aggregation needs, no Python, no RDD. Filters on the bucket push down to the
+scan like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # basis-point resolution for fractions
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic uniform bucket in [0, BUCKETS): first 32 bits of
+    md5(key) mod BUCKETS. Identical in DuckDB as
+    ``('0x' || substr(md5(key), 1, 8))::UBIGINT % 10000``."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long") % BUCKETS)
+
+
+def hash_split(df: DataFrame, key_col: str,
+               splits: dict[str, float],
+               out_col: str = "split") -> DataFrame:
+    """Assign every row to a named split (train/val/test, ...) by hash
+    bucket. ``splits`` maps name -> fraction; fractions must sum to <= 1.0
+    (rows past the total get NULL — an explicit holdout). Assignment is
+    stable under appends: a row's split never changes when other rows come
+    or go, unlike sample()/randomSplit whose draw depends on partitioning.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(F.col(key_col))
+    expr, lo = None, 0
+    for name, frac in splits.items():
+        hi = lo + int(round(frac * BUCKETS))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict, default: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its hash bucket
+    falls under its stratum's fraction (e.g. downsample dominant languages,
+    keep 100% of rare ones). Same stability guarantee as hash_split; the
+    fraction map rides the plan as a literal CASE, so Catalyst folds it and
+    the filter pushes down."""
+    b = hash_bucket(F.col(key_col))
+    thr = None
+    for stratum, frac in fractions.items():
+        cut = int(round(frac * BUCKETS))
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
+    thr = thr.otherwise(int(round(default * BUCKETS))) if thr is not None \
+        else F.lit(int(round(default * BUCKETS)))
+    return df.filter(b < thr)
+
+
+def shard_by_budget(df: DataFrame, key_col: str, weight_col: str,
+                    budget: int, out_col: str = "shard") -> DataFrame:
+    """Contiguous weight-range sharding: order rows by ``key_col``, take the
+    EXCLUSIVE prefix sum of ``weight_col`` (token counts, bytes), and cut a
+    shard boundary every ``budget`` units — shard = floor(prefix / budget).
+
+    Deterministic (pure function of the sorted corpus), and each shard's
+    overshoot is bounded by one row's weight — the property a training
+    loader wants. The global window is ONE pass over (key, weight) pairs —
+    at 10^12 rows, range-partition by key and add per-partition offsets
+    (the standard distributed prefix-sum); the per-row arithmetic is
+    unchanged, so this expression IS the semantics contract for that
+    implementation."""
+    from pyspark.sql import Window
+    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return df.withColumn(out_col, F.floor(prefix / budget).cast("long"))

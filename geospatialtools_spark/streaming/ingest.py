@@ -192,3 +192,36 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def read_docs_stream(spark, sf_dir: str, schema=None) -> DataFrame:
+    """File-source stream over the documents table (at production scale a
+    Kafka/queue source of newly crawled interleaved docs)."""
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def streaming_tile_attach(docs: DataFrame, burned_cells: DataFrame, meta,
+                          res: int = 20, lat_col: str = "lat",
+                          lon_col: str = "lon") -> DataFrame:
+    """The flagship doc->tile attach as a STREAMING transform: grid (i, j),
+    quad-cell id, and burned tile id attached to each arriving doc
+    micro-batch; spans untouched (the per-row invariant surface).
+
+    Everything here is stateless per row — the Arrow cell-encode UDF and
+    the broadcast dimension join are exactly the batch operators, so the
+    plan is streaming-legal with no watermark/state store, and the batch
+    twin (same functions on the same rows) oracles it. ``burned_cells`` is
+    the BATCH dimension side (the already-rasterized tile grid); in
+    production it refreshes by restarting the query on a new snapshot —
+    stream-static joins re-read the static side per micro-batch, so an
+    Iceberg-backed dimension would even pick up commits live."""
+    from ..operators.docs import attach_grid_cell, attach_tile
+
+    with_ij = attach_grid_cell(docs, meta, res=res,
+                               lat_col=lat_col, lon_col=lon_col)
+    return attach_tile(with_ij, burned_cells)

@@ -257,3 +257,47 @@ def test_full_pipeline_resume(spark, tmp_path):
     b1 = out1["basins"].orderBy("i", "j").toPandas()
     b2 = out2["basins"].orderBy("i", "j").toPandas()
     pd.testing.assert_frame_equal(b1, b2)
+
+
+def test_streaming_tile_attach_matches_batch(spark, tmp_path):
+    """The flagship doc->tile attach run THROUGH the streaming engine
+    (file-source micro-batches, availableNow drain) equals the batch twin
+    row-for-row: stateless Arrow cell-encode + broadcast dimension join are
+    the same operators in both plans, spans and fingerprints untouched."""
+    sf_dir = "/root/testdata/sf0.001"
+    from geospatialtools_spark.functions import synth as SY
+    from geospatialtools_spark.grid import GridMeta
+    from geospatialtools_spark.operators.rasterize import rasterize
+    from geospatialtools_spark.streaming import ingest as ST
+
+    g, tile = 192, 64
+    meta = GridMeta(nx=g, ny=g, minx=0.0, miny=0.0,
+                    resx=1.0 / g, resy=1.0 / g, tile=tile)
+    cells = (spark.range(g * g)
+             .select((F.col("id") / g).cast("int").alias("i"),
+                     (F.col("id") % g).cast("int").alias("j"))
+             .withColumn("tile_i", (F.col("i") / tile).cast("int"))
+             .withColumn("tile_j", (F.col("j") / tile).cast("int")))
+    burned = rasterize(cells, spark.createDataFrame(SY.rects_polygon_pdf()),
+                       meta).localCheckpoint(eager=True)
+
+    def with_xy(df):
+        return (df.withColumn("lat", SY.doc_lat(F.col("doc_id")))
+                .withColumn("lon", SY.doc_lon(F.col("doc_id"))))
+
+    stream = ST.streaming_tile_attach(
+        with_xy(ST.read_docs_stream(spark, sf_dir)), burned, meta)
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(stream, str(tmp_path / "ck"), out_dir)
+    got = (spark.read.parquet(out_dir)
+           .select("doc_id", "i", "j", "cell_id", "tile_id")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    batch_docs = with_xy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from geospatialtools_spark.operators.docs import attach_grid_cell, attach_tile
+    want = (attach_tile(attach_grid_cell(batch_docs, meta, res=20), burned)
+            .select("doc_id", "i", "j", "cell_id", "tile_id")
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 500
+    assert got["tile_id"].notna().sum() > 0       # some docs landed on tiles
+    pd.testing.assert_frame_equal(got, want)

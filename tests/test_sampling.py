@@ -1,0 +1,81 @@
+"""Deterministic sampling / splitting / sharding (functions/sampling.py):
+stability properties a resumable 100 TB curation job depends on, plus
+python-md5 ground truth for the bucket hash."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.functions.sampling import (BUCKETS, hash_bucket,
+                                                      hash_split,
+                                                      shard_by_budget,
+                                                      stratified_sample)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    got = (_docs(spark).select("doc_id",
+                               hash_bucket(F.col("doc_id")).alias("b"))
+           .toPandas())
+    for doc_id, b in zip(got["doc_id"], got["b"]):
+        want = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % BUCKETS
+        assert b == want
+
+
+def test_hash_split_stable_under_append_and_repartition(spark):
+    d = _docs(spark)
+    full = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05})
+    base = full.select("doc_id", "split").toPandas().set_index("doc_id")["split"]
+    # half the corpus, shuffled onto a different partitioning: every doc
+    # keeps its split (randomSplit/sample would not survive this)
+    half = hash_split(d.filter(F.col("doc_id") % 2 == 0).repartition(7),
+                      "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05})
+    hp = half.select("doc_id", "split").toPandas().set_index("doc_id")["split"]
+    for doc_id, s in hp.items():
+        assert (s or "holdout") == (base.loc[doc_id] or "holdout")
+    # fractions land near their targets (md5 uniformity at 500 docs)
+    counts = base.fillna("holdout").value_counts(normalize=True)
+    assert abs(counts.get("train", 0) - 0.8) < 0.08
+
+
+def test_stratified_sample_keeps_default_strata(spark):
+    d = _docs(spark)
+    out = stratified_sample(d, "doc_id", "lang", {"en": 0.25}, default=1.0)
+    got = out.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    want = d.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang in want.index:
+        if lang == "en":
+            assert got.get(lang, 0) < want[lang]   # en really downsampled
+        else:
+            assert got.get(lang, 0) == want[lang]  # others untouched
+    # determinism: same call, same rows
+    again = stratified_sample(d, "doc_id", "lang", {"en": 0.25}, default=1.0)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_shard_by_budget_bounds_and_order(spark):
+    budget = 20_000
+    d = _docs(spark).select("doc_id", "n_chars")
+    out = shard_by_budget(d, "doc_id", "n_chars", budget=budget).toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # shards are contiguous, non-decreasing in doc order
+    assert (out["shard"].diff().dropna() >= 0).all()
+    # each shard's weight stays within budget + one row's overshoot
+    g = out.groupby("shard")["n_chars"].sum()
+    max_row = out["n_chars"].max()
+    assert (g.iloc[:-1] >= budget - max_row).all()  # no underfull interior shard
+    assert (g <= budget + max_row).all()
+    # pure function of the sorted corpus: python prefix-sum twin agrees
+    prefix = out["n_chars"].cumsum().shift(fill_value=0)
+    pd.testing.assert_series_equal(out["shard"],
+                                   (prefix // budget).astype("int64"),
+                                   check_names=False)
