@@ -373,6 +373,41 @@ def q_shard_budget(spark, sf_dir):
         F.max("doc_id").alias("last_doc"))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (functions/textstats.py:redact_pii): emails / IPv4 / phone
+    numbers -> typed placeholders, with per-class audit counts. PII is
+    injected deterministically from doc_id in BOTH engines (the synth corpus
+    carries none), so the md5 of the redacted text is a full value oracle of
+    the regex chain."""
+    from geospatialtools_spark.functions.textstats import pii_counts, redact_pii
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    salted = F.concat(F.col("text"), F.lit(" contact user"), did,
+                      F.lit("@example.com or +1 555 00"), did,
+                      F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string"))
+    ne, ni, np_ = pii_counts(salted)
+    return d.select("doc_id",
+                    ne.cast("long").alias("n_email"),
+                    ni.cast("long").alias("n_ip"),
+                    np_.cast("long").alias("n_phone"),
+                    F.md5(redact_pii(salted)).alias("redacted_md5"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: docs sharing any word 3-shingle with a
+    (broadcast) eval set, with per-doc hit counts — the decontamination
+    pass of a training-data pipeline. Eval set = every 97th doc's shingles,
+    deterministic. Inverted-index semi-join shape: only shingle matches
+    shuffle, the eval side broadcasts."""
+    from geospatialtools_spark.functions.dedup import shingles_pudf
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles_pudf(3)(F.col("text"))).alias("shingle"))
+    ev = (sh.filter(F.col("doc_id") % 97 == 0)
+          .select("shingle").distinct())
+    return (sh.join(F.broadcast(ev), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-hit language ID heuristic."""
     d = _t(spark, sf_dir, "documents")
@@ -992,6 +1027,32 @@ t3 AS (
 )"""
 
 
+def _sql_redact_pii() -> str:
+    """DuckDB twin of q_redact_pii: identical salt construction, identical
+    regex patterns (ASCII classes only — RE2 and Java agree), identical
+    replace order, md5 of the final string."""
+    from geospatialtools_spark.functions.textstats import (PII_EMAIL,
+                                                           PII_IPV4,
+                                                           PII_PHONE)
+    salted = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+              "'@example.com or +1 555 00' || CAST(doc_id AS VARCHAR) || "
+              "' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)")
+    red = (f"regexp_replace(regexp_replace(regexp_replace({salted}, "
+           f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+           f"'{PII_IPV4}', '<IP>', 'g'), "
+           f"'{PII_PHONE}', '<PHONE>', 'g')")
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({salted}, '{PII_EMAIL}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all({salted}, '{PII_IPV4}')) AS BIGINT)
+                 AS n_ip,
+               CAST(len(regexp_extract_all({salted}, '{PII_PHONE}')) AS BIGINT)
+                 AS n_phone,
+               md5({red}) AS redacted_md5
+        FROM documents"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "groupby_agg": q_groupby_agg,
@@ -1023,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "stratified_sample": q_stratified_sample,
         "shard_budget": q_shard_budget,
+        "redact_pii": q_redact_pii,
+        "contamination": q_contamination,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1302,6 +1365,14 @@ def oracle_sql() -> dict[str, str]:
                    lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM b GROUP BY 1, 2""",
+        "redact_pii": _sql_redact_pii(),
+        "contamination": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_GRAMS}) AS shingle FROM tok),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM sh JOIN ev USING (shingle)
+            GROUP BY doc_id""",
         "stratified_sample": """
             WITH b AS (
               SELECT lang, n_chars,

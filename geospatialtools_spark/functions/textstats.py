@@ -122,3 +122,29 @@ def fingerprint(text: Column) -> Column:
     Broder-style "document sketch key" reduced to one hash; near-dup variants
     live in ``dedup``)."""
     return F.md5(normalize_text(text))
+
+
+# PII patterns shared by the Spark expression and the DuckDB oracle twin —
+# plain ASCII classes only, so Java regex and RE2 agree token-for-token
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE = "[+][0-9][0-9 -]{6,}[0-9]"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, international-format phone numbers, and IPv4 literals
+    to typed placeholder tokens — the pre-training privacy pass. Pure
+    Catalyst regexp_replace chain (codegen'd, no Python); order matters:
+    emails first (their dotted domains would otherwise half-match the IPv4
+    pattern's digit runs)."""
+    t = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return t
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """Match counts per PII class (audit table before the scrub)."""
+    return (F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))),
+            F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))),
+            F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))))
