@@ -27,8 +27,14 @@ BUCKETS = 10_000  # basis-point resolution for fractions
 def hash_bucket(key: Column) -> Column:
     """Deterministic uniform bucket in [0, BUCKETS): first 32 bits of
     md5(key) mod BUCKETS. Identical in DuckDB as
-    ``('0x' || substr(md5(key), 1, 8))::UBIGINT % 10000``."""
-    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    ``('0x' || substr(md5(key), 1, 8))::UBIGINT % 10000``.
+
+    NULL keys hash as the literal string ``<NULL>`` — without this they
+    would propagate NULL buckets that silently fail every comparison,
+    dropping NULL-keyed rows from stratified_sample even at fraction 1.0
+    and conflating them with hash_split's explicit holdout."""
+    return (F.conv(F.substring(F.md5(
+        F.coalesce(key.cast("string"), F.lit("<NULL>"))), 1, 8), 16, 10)
             .cast("long") % BUCKETS)
 
 
@@ -41,13 +47,20 @@ def hash_split(df: DataFrame, key_col: str,
     stable under appends: a row's split never changes when other rows come
     or go, unlike sample()/randomSplit whose draw depends on partitioning.
     """
+    if not splits:
+        raise ValueError("splits must name at least one cohort")
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")
     b = hash_bucket(F.col(key_col))
-    expr, lo = None, 0
+    # CUMULATIVE rounding: per-split round() drifts (three 1/3 fractions ->
+    # 3333+3333+3333 leaves bucket 9999 silently holdout even though the
+    # fractions sum to 1); rounding the running total guarantees the
+    # covered range is exactly round(sum * BUCKETS)
+    expr, lo, cum = None, 0, 0.0
     for name, frac in splits.items():
-        hi = lo + int(round(frac * BUCKETS))
+        cum += frac
+        hi = int(round(cum * BUCKETS))
         cond = (b >= lo) & (b < hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
@@ -88,4 +101,10 @@ def shard_by_budget(df: DataFrame, key_col: str, weight_col: str,
     from pyspark.sql import Window
     w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
-    return df.withColumn(out_col, F.floor(prefix / budget).cast("long"))
+    # INTEGER division (`div`), not floor(double): Spark's `/` casts longs
+    # to double, which stops representing every integer past 2^53 — a
+    # 10^12-row corpus of ~1k-token docs reaches ~10^15, where a prefix of
+    # budget*k - 1 can round up and misassign the shard
+    return (df.withColumn("_prefix", prefix.cast("long"))
+            .withColumn(out_col, F.expr(f"_prefix div CAST({int(budget)} AS BIGINT)"))
+            .drop("_prefix"))

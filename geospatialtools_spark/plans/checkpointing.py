@@ -31,6 +31,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,13 +52,28 @@ class StageRunner:
         d = os.path.join(self.root, stage)
         return d, d + ".tmp", os.path.join(self.root, f"{stage}.manifest.json")
 
+    @staticmethod
+    def _data_token(d: str) -> str | None:
+        p = os.path.join(d, "_commit.token")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
+
     def is_committed(self, stage: str) -> bool:
         d, _, mf = self._paths(stage)
         if not (os.path.exists(mf) and os.path.exists(d)):
             return False
         with open(mf) as f:
             m = json.load(f)
-        return m.get("config_fp") == self.config_fp
+        if m.get("config_fp") != self.config_fp:
+            return False
+        # the manifest must name THIS data dir: a commit that crashed after
+        # publishing its data but before replacing the manifest leaves an
+        # orphaned dir under the previous manifest — without the token
+        # check a same-config resume would serve the orphan as committed.
+        # Exact equality required; both-None accepts pre-token commits
+        return self._data_token(d) == m.get("token")
 
     def run_stage(self, stage: str, fn: Callable[[], DataFrame],
                   force: bool = False) -> DataFrame:
@@ -74,12 +90,20 @@ class StageRunner:
         lin_dir = os.path.join(self.root, "_lineage")
         out.write.mode("overwrite").parquet(tmp)
         committed = self.spark.read.parquet(tmp)
-        n_rows = committed.count()
         # lineage over the COMMITTED data: measuring the unmaterialized plan
-        # would re-execute the whole stage a second time
+        # would re-execute the whole stage a second time. The lineage pass
+        # already counts every row per partition, so n_rows comes from its
+        # sum — a separate count() would be a second full scan
         lin_pdf = lineage_records(committed, stage).toPandas()
+        n_rows = int(lin_pdf["rows"].sum())
         wall_ms = int((time.time() - t0) * 1000)
 
+        # token binds manifest <-> data dir (underscore file: invisible to
+        # parquet readers, like _SUCCESS); written BEFORE the rename so the
+        # publish + manifest pair is verifiable whichever side a crash hits
+        token = uuid.uuid4().hex
+        with open(os.path.join(tmp, "_commit.token"), "w") as f:
+            f.write(token)
         if os.path.exists(d):
             self._archive_current(stage)
         os.rename(tmp, d)
@@ -87,7 +111,7 @@ class StageRunner:
             "committed_stage", F.lit(stage)).write.mode("append").parquet(lin_dir)
         with open(mf + ".tmp", "w") as f:
             json.dump({"stage": stage, "config_fp": self.config_fp,
-                       "rows": n_rows, "wall_ms": wall_ms,
+                       "rows": n_rows, "wall_ms": wall_ms, "token": token,
                        "partitions": len(lin_pdf)}, f)
         os.replace(mf + ".tmp", mf)
         self._log_snapshot(stage, "commit", rows=n_rows, wall_ms=wall_ms)
@@ -148,7 +172,14 @@ class StageRunner:
         hist = self._history_dir(stage, prior[-1]["snapshot_id"])
         os.makedirs(os.path.dirname(hist), exist_ok=True)
         if os.path.exists(hist):
-            shutil.rmtree(hist)
+            # the latest logged snapshot was ALREADY archived: a previous
+            # commit crashed between os.rename(tmp, d) and its manifest/log
+            # write, so the current d is orphaned UNCOMMITTED data (no
+            # manifest ever named it). Deleting it — never overwriting the
+            # genuine archive with it — is what keeps the "a kill leaves
+            # either no commit or a complete one" guarantee true
+            shutil.rmtree(d)
+            return
         os.rename(d, hist)
         if os.path.exists(mf):
             shutil.copy(mf, hist + ".manifest.json")
@@ -173,11 +204,23 @@ class StageRunner:
 
     def rollback(self, stage: str, snapshot_id: int) -> DataFrame:
         """Promote an earlier snapshot back to current. The rollback is a
-        NEW snapshot whose data is the old state (audit trail preserved)."""
-        src = self._snapshot_data_dir(stage, snapshot_id)
+        NEW snapshot whose data is the old state (audit trail preserved).
+
+        The replaced current is archived by COPY under its own id BEFORE
+        anything moves, so it stays time-travel readable afterwards — in
+        particular rolling back to the CURRENT id (a no-op promote) must
+        not strand that id unreadable once a newer snapshot exists."""
+        src = self._snapshot_data_dir(stage, snapshot_id)  # validates id
         d, _, mf = self._paths(stage)
-        if os.path.normpath(src) != os.path.normpath(d):
-            self._archive_current(stage)
+        cur = self.snapshots(stage)[-1]["snapshot_id"]
+        hist = self._history_dir(stage, cur)
+        if not os.path.exists(hist):
+            os.makedirs(os.path.dirname(hist), exist_ok=True)
+            shutil.copytree(d, hist)
+            if os.path.exists(mf):
+                shutil.copy(mf, hist + ".manifest.json")
+        if snapshot_id != cur:
+            shutil.rmtree(d)
             shutil.copytree(src, d)
             src_mf = src + ".manifest.json"
             if os.path.exists(src_mf):

@@ -23,26 +23,37 @@ def _ts_utc(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
 
-def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
-    """File-source stream over the events table (one-file-per-trigger keeps
-    backpressure bounded; at scale this is a Kafka/queue source)."""
+def _read_table_stream(spark, sf_dir: str, name: str, schema=None) -> DataFrame:
+    """File-source stream over one driver table (one-file-per-trigger keeps
+    backpressure bounded; at scale this is a Kafka/queue source). The
+    streaming file source wants a DIRECTORY, so the table's file is picked
+    out of the sf dir with a glob filter."""
     if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the streaming file source wants a DIRECTORY; select just the events
-    # file(s) out of the sf dir with a glob filter
+        schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .option("pathGlobFilter", "events.parquet")
+            .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir))
+
+
+def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
+    return _read_table_stream(spark, sf_dir, "events", schema)
 
 
 def dedup_in_watermark(events: DataFrame, id_col: str = "event_id",
                        ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-per-id within the watermark horizon: state-store dedup
     keyed on id; state older than the watermark is evicted (bounded memory
-    at unbounded input — the scale requirement)."""
+    at unbounded input — the scale requirement).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates([id])``
+    without the event-time column in the key never evicts its state (the
+    watermark only bounds LATE data there, not state), so on an unbounded
+    stream of unique ids the state store grows forever — the exact failure
+    the watermark variant exists to prevent."""
     events = _ts_utc(events, ts_col)
-    return events.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col]))
 
 
 def windowed_ingest_counts(events: DataFrame, ts_col: str = "ts",
@@ -136,7 +147,13 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
     O(active users), independent of stream length).
 
     Session boundaries are identical to ``sessionize_batch`` for in-order
-    input; out-of-order input within the watermark is sorted per trigger.
+    input; out-of-order input WITHIN a trigger is sorted before merging.
+    Contract for cross-trigger late events (arrived in a later trigger but
+    older than the open session's start): they join the open session
+    (n_events counts them) but never lower session_start — true
+    retroactive re-sessionization would need unbounded buffering, which
+    the bounded-state requirement forbids; the batch twin is the authority
+    when exactness over late data matters (replay through it).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -145,6 +162,15 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
 
     def fn(key, pdfs, state: GroupState):
         uid = key[0]
+
+        def arm(last_ts: int) -> None:
+            # clamp: setTimeoutTimestamp at/below the current watermark
+            # raises and kills the query (possible when a late event's
+            # last + gap already trails the watermark front) — wm + 1 ms
+            # fires at the next trigger, closing the session immediately
+            state.setTimeoutTimestamp(max(
+                (last_ts + gap_s) * 1000, state.getCurrentWatermarkMs() + 1))
+
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
@@ -157,7 +183,7 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
         ts = pd.concat(eps).sort_values().to_numpy()
         if ts.size == 0:
             if state.exists:
-                state.setTimeoutTimestamp((state.get[1] + gap_s) * 1000)
+                arm(state.get[1])
             return
         if state.exists:
             start, last, n = state.get
@@ -175,7 +201,7 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
             n += 1
         state.update((start, last, n))
         # event-time timeout: fires when the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        arm(last)
         if closed:
             yield pd.DataFrame(closed)
 
@@ -197,12 +223,7 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
 def read_docs_stream(spark, sf_dir: str, schema=None) -> DataFrame:
     """File-source stream over the documents table (at production scale a
     Kafka/queue source of newly crawled interleaved docs)."""
-    if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir))
+    return _read_table_stream(spark, sf_dir, "documents", schema)
 
 
 def streaming_tile_attach(docs: DataFrame, burned_cells: DataFrame, meta,

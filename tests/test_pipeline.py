@@ -301,3 +301,48 @@ def test_streaming_tile_attach_matches_batch(spark, tmp_path):
     assert len(got) == 500
     assert got["tile_id"].notna().sum() > 0       # some docs landed on tiles
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_snapshot_rollback_to_current_and_orphan_guard(spark, tmp_path):
+    """Review-hardening cases: (1) rolling back to the CURRENT id must keep
+    that id time-travel readable after later snapshots; (2) a crash between
+    the data-dir publish and the manifest write must not let the orphaned
+    uncommitted data overwrite the genuine archived snapshot."""
+    root = str(tmp_path / "snap")
+    r1 = StageRunner(spark, root, {"cfg": 1})
+    r1.run_stage("a", lambda: spark.range(10))
+    s1 = r1.snapshots("a")[-1]["snapshot_id"]
+
+    # (1) rollback to current: logged as a new snapshot, s1 stays readable
+    r1.rollback("a", s1)
+    assert r1.snapshots("a")[-1]["action"] == "rollback"
+    assert r1.read_snapshot("a", s1).count() == 10
+
+    r2 = StageRunner(spark, root, {"cfg": 2})
+    r2.run_stage("a", lambda: spark.range(20))
+    assert r2.read_snapshot("a", s1).count() == 10   # still time-travels
+
+    # (2) simulate the crash window exactly as a dying commit leaves it:
+    # _archive_current already moved the live state into _history under the
+    # latest logged id, os.rename published the new data dir, and the
+    # process died before the manifest replace + snapshot-log append
+    import shutil
+    d = os.path.join(root, "a")
+    s_cur = r2.snapshots("a")[-1]["snapshot_id"]
+    hist = os.path.join(root, "_history", f"a.s{s_cur}")
+    shutil.move(d, hist)
+    shutil.copy(os.path.join(root, "a.manifest.json"), hist + ".manifest.json")
+    spark.range(99).write.parquet(d)                 # orphan, never committed
+    # same-config resume must NOT serve the orphan as committed: the
+    # manifest's commit token no longer matches the data dir's
+    r2b = StageRunner(spark, root, {"cfg": 2})
+    assert not r2b.is_committed("a")
+    r3 = StageRunner(spark, root, {"cfg": 3})        # config change -> rerun
+    out = r3.run_stage("a", lambda: spark.range(30))
+    assert out.count() == 30
+    # every previously COMMITTED snapshot still reads its own data; the
+    # orphan (99 rows) is nowhere in history
+    counts = {e["snapshot_id"]: e for e in r3.snapshots("a")
+              if e["action"] == "commit"}
+    assert [r3.read_snapshot("a", sid).count() for sid in sorted(counts)] \
+        == [10, 20, 30]
