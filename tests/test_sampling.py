@@ -79,3 +79,60 @@ def test_shard_by_budget_bounds_and_order(spark):
     pd.testing.assert_series_equal(out["shard"],
                                    (prefix // budget).astype("int64"),
                                    check_names=False)
+
+
+def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
+    """The full training-data curation chain — exact dedup -> quality
+    filter -> PII scrub -> split -> shard — composed through StageRunner
+    snapshots: every stage commits, a resume recomputes NOTHING, and the
+    final cohorts are byte-identical across the two runs (the determinism
+    the sampling layer exists to provide)."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.dedup import exact_dups
+    from geospatialtools_spark.functions.sampling import (hash_split,
+                                                          shard_by_budget)
+    from geospatialtools_spark.functions.textstats import (quality_score,
+                                                           redact_pii)
+    from geospatialtools_spark.plans.checkpointing import StageRunner
+
+    root = str(tmp_path / "curation")
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        r = StageRunner(spark, root, {"pipeline": "curation", "v": 1})
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        # keep a row iff its content hash has no dup group (left-join miss)
+        # or it IS the group's keeper — one broadcastable join, no driver
+        # collection, the shape that scales to 10^12 docs
+        deduped = r.run_stage("dedup", lambda: docs
+            .withColumn("content_hash", F.md5("text"))
+            .join(F.broadcast(exact_dups(docs)), "content_hash", "left")
+            .filter(F.col("keeper_id").isNull() |
+                    (F.col("doc_id") == F.col("keeper_id")))
+            .drop("content_hash", "keeper_id", "n_dups"))
+        filtered = r.run_stage("quality", lambda: deduped.withColumn(
+            "q", quality_score(F.col("text"))).filter(F.col("q") >= 0.3))
+        scrubbed = r.run_stage("scrub", lambda: filtered.withColumn(
+            "text", redact_pii(F.col("text"))))
+        split = r.run_stage("split", lambda: hash_split(
+            scrubbed, "doc_id", {"train": 0.9, "val": 0.1}))
+        sharded = r.run_stage("shard", lambda: shard_by_budget(
+            split.filter(F.col("split") == "train"),
+            "doc_id", "n_chars", budget=50_000))
+        return r, sharded
+
+    r1, out1 = run()
+    assert all(not m.get("resumed") for m in r1.metrics)
+    pdf1 = out1.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(pdf1) > 100                      # a real train cohort
+    assert pdf1["shard"].nunique() > 1          # actually sharded
+
+    r2, out2 = run()                            # resume: zero recompute
+    assert all(m.get("resumed") for m in r2.metrics)
+    pdf2 = out2.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf1, pdf2)
+
+    # snapshot log recorded one commit per stage, in order
+    stages = [e["stage"] for e in r2.snapshots()]
+    assert stages == ["dedup", "quality", "scrub", "split", "shard"]
