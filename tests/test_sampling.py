@@ -136,3 +136,14 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
     # snapshot log recorded one commit per stage, in order
     stages = [e["stage"] for e in r2.snapshots()]
     assert stages == ["dedup", "quality", "scrub", "split", "shard"]
+
+
+def test_hash_split_thirds_cover_every_bucket(spark):
+    """Cumulative rounding property (review fix): three 1/3 fractions must
+    cover ALL buckets — per-split rounding left bucket 9999 a silent
+    holdout. No NULL splits may appear when fractions sum to 1.0."""
+    d = _docs(spark)
+    out = hash_split(d, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.filter(F.col("split").isNull()).count() == 0
+    got = set(r["split"] for r in out.select("split").distinct().collect())
+    assert got == {"a", "b", "c"}
