@@ -301,6 +301,16 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(d)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Dedup group resolution: MinHash-LSH pairs -> connected components
+    (min-label propagation + pointer doubling over the pair nodes only) ->
+    transitive clusters with ONE keeper each (longest text, ties to the
+    smallest id). The operator a curation run needs to actually DROP rows —
+    A~B and B~C collapse to one keeper even though A and C never paired."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.dedup_groups(d, DD.minhash_lsh_pairs(d))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.3 via inverted-index join, with a
     document-frequency cap on the index (stopword shingles are excluded
@@ -980,6 +990,28 @@ def _sql_minhash() -> str:
     return f"[{sigs}]"
 
 
+def _sql_minhash_pairs() -> str:
+    """Shared CTE chain: documents -> MinHash signatures -> banded LSH ->
+    distinct candidate pairs (id_a < id_b). Twin of DD.minhash_lsh_pairs;
+    consumed by both the minhash_lsh and dedup_groups oracles."""
+    band_cat = " || '|' || ".join(
+        f"s[b.band * {DD.ROWS_PER_BAND} + {i + 1}]"
+        for i in range(DD.ROWS_PER_BAND))
+    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_GRAMS} AS grams FROM tok),
+            sig AS (SELECT doc_id, {_sql_minhash()} AS s FROM sh),
+            banded AS (
+              SELECT doc_id, b.band, md5({band_cat}) AS bhash
+              FROM sig, (SELECT unnest(generate_series(0, {DD.LSH_BANDS - 1})) AS band) b),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r USING (band, bhash)
+              WHERE l.doc_id < r.doc_id)"""
+
+
+_SQL_MINHASH_PAIRS = _sql_minhash_pairs()
+
+
 def _sql_plane_literal(p: int) -> str:
     comps = SIM._plane(64, p)
     return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
@@ -1054,30 +1086,30 @@ def _sql_redact_pii() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (round-4 fix): the driver records correctness rows
+    # for the FIRST 50 dict entries only (r1-r3 files each hold exactly 50).
+    # The first 50 therefore carry every golden-twin terrain/zone/ML entry
+    # and one representative of every operator family; 13 cheap relational
+    # micro-entries (their operators stay pytest-covered and value-checked
+    # by tools/check_oracle.py, which runs ALL entries) sit in the tail.
+    # The four terrain entries close the window and read ONE memoized
+    # distributed chain: terrain_fill_acc pays the iterative jobs (~10 s
+    # warm), the other three are sub-second joins+aggs over its
+    # checkpointed stages.
     return {
+        # -- relational / functions (oracled) ------------------------------
         "groupby_agg": q_groupby_agg,
         "join_broadcast": q_join_broadcast,
-        "topk_smallest": q_topk_smallest,
-        "dense_relabel": q_dense_relabel,
         "normalize_minmax": q_normalize_minmax,
-        "percent_rank": q_percent_rank,
-        "ecdf_hist": q_ecdf_hist,
         "nd_histogram": q_nd_histogram,
         "time_block_avg": q_time_block_avg,
         "fit_metrics": q_fit_metrics,
         "pedotransfer_saxton": q_pedotransfer_saxton,
-        "fao_texture": q_fao_texture,
         "mode_relabel": q_mode_relabel,
-        "haversine_dist": q_haversine_dist,
-        "minmax_argmax": q_minmax_argmax,
-        "window_cumsum": q_window_cumsum,
-        "ntile_bins": q_ntile_bins,
-        "width_bins": q_width_bins,
-        "distinct_count": q_distinct_count,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
+        # -- training-data pipeline ----------------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
@@ -1093,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # -- spatial / docs / streaming ------------------------------------
         "point_extract": q_point_extract,
         "rasterize_rects": q_rasterize_rects,
         "doc_tile_attach": q_doc_tile_attach,
@@ -1107,21 +1140,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "doc_cell_ids": q_doc_cell_ids,
+        # -- zone / ML golden twins (inside the window since round 4) ------
         "hillslope_bbox_means": q_hillslope_bbox_means,
         "tiles_kmeans": q_tiles_kmeans,
         "nd_hist_hrus": q_nd_hist_hrus,
         "hillslope_props": q_hillslope_props,
         "hru_props": q_hru_props,
         "reduce_basins": q_reduce_basins,
-        # terrain gate entries run LAST so a driver time budget can never
-        # cut off an oracled or zone-table entry (rounds 1-2 lost tail
-        # entries this way). All four read ONE memoized distributed chain:
-        # terrain_fill_acc pays the iterative jobs (~10 s), the other three
-        # are sub-second joins+aggs over its checkpointed stages.
+        # -- terrain chain (entries 47-50, one memoized chain) -------------
         "terrain_fill_acc": q_terrain_fill_acc,
         "terrain_channels": q_terrain_channels,
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
+        # -- tail: micro-entries past the 50-entry recording window --------
+        "topk_smallest": q_topk_smallest,
+        "dense_relabel": q_dense_relabel,
+        "percent_rank": q_percent_rank,
+        "ecdf_hist": q_ecdf_hist,
+        "fao_texture": q_fao_texture,
+        "haversine_dist": q_haversine_dist,
+        "minmax_argmax": q_minmax_argmax,
+        "window_cumsum": q_window_cumsum,
+        "ntile_bins": q_ntile_bins,
+        "width_bins": q_width_bins,
+        "distinct_count": q_distinct_count,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
     }
 
 
@@ -1292,19 +1336,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY md5(text) HAVING count(*) >= 1""",
         "minhash_lsh": f"""
-            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            sh AS (SELECT doc_id, {_GRAMS} AS grams FROM tok),
-            sig AS (SELECT doc_id, {_sql_minhash()} AS s FROM sh),
-            banded AS (
-              SELECT doc_id, b.band,
-                     md5(s[b.band * {DD.ROWS_PER_BAND} + 1] || '|' ||
-                         s[b.band * {DD.ROWS_PER_BAND} + 2] || '|' ||
-                         s[b.band * {DD.ROWS_PER_BAND} + 3] || '|' ||
-                         s[b.band * {DD.ROWS_PER_BAND} + 4]) AS bhash
-              FROM sig, (SELECT unnest(generate_series(0, {DD.LSH_BANDS - 1})) AS band) b)
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM banded l JOIN banded r USING (band, bhash)
-            WHERE l.doc_id < r.doc_id""",
+            WITH {_SQL_MINHASH_PAIRS}
+            SELECT id_a, id_b FROM pairs""",
+        "dedup_groups": f"""
+            WITH RECURSIVE {_SQL_MINHASH_PAIRS},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(id, anc) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.anc),
+            comp AS (SELECT id AS doc_id, min(anc) AS group_id
+                     FROM walk GROUP BY id),
+            ranked AS (
+              SELECT c.doc_id, c.group_id,
+                     row_number() OVER (PARTITION BY c.group_id
+                                        ORDER BY length(d.text) DESC,
+                                                 c.doc_id ASC) AS rk
+              FROM comp c JOIN documents d USING (doc_id)),
+            keep AS (SELECT group_id, doc_id AS keeper_id
+                     FROM ranked WHERE rk = 1),
+            sizes AS (SELECT group_id, count(*) AS group_size
+                      FROM comp GROUP BY group_id)
+            SELECT c.doc_id, c.group_id, k.keeper_id, s.group_size
+            FROM comp c JOIN keep k USING (group_id)
+            JOIN sizes s USING (group_id)""",
         "ngram_jaccard": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             sh AS (SELECT doc_id, unnest({_GRAMS}) AS shingle FROM tok),

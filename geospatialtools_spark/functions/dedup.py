@@ -175,6 +175,38 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     return pairs
 
 
+def dedup_groups(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup PAIRS into transitive dedup groups and pick one
+    keeper per group — the operator that lets a curation run actually drop
+    rows (pairs alone can't: A~B and B~C must collapse to ONE keeper even
+    when A and C never paired).
+
+    pairs (id_a, id_b) -> connected components (min-id group label, pointer
+    doubling — O(log diameter) rounds over the PAIR nodes only, never the
+    corpus) -> keeper per group = the member with the LONGEST text, ties to
+    the smallest id (keep-the-richest, the usual curation policy). Returns
+    (doc_id, group_id, keeper_id, group_size) for every doc in a group;
+    group_size >= 2 by construction. Anti-join the corpus against the
+    non-keeper rows to apply the dedup.
+    """
+    from ..operators.graph import connected_components
+    from pyspark.sql import Window
+    comp = connected_components(pairs)
+    members = comp.select(F.col("node").alias(id_col),
+                          F.col("comp").alias("group_id"))
+    sized = members.join(
+        docs.select(id_col, F.length(text_col).alias("_len")), id_col)
+    w = Window.partitionBy("group_id").orderBy(F.col("_len").desc(),
+                                               F.col(id_col).asc())
+    keep = (sized.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("group_id", F.col(id_col).alias("keeper_id")))
+    sizes = members.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (members.join(keep, "group_id").join(sizes, "group_id")
+            .select(id_col, "group_id", "keeper_id", "group_size"))
+
+
 def _hex15_to_long(hexstr: Column) -> Column:
     """First 15 hex chars -> non-negative 60-bit long (same in DuckDB via
     ('0x'||substr(h,1,15))::BIGINT)."""

@@ -93,18 +93,15 @@ def shard_by_budget(df: DataFrame, key_col: str, weight_col: str,
 
     Deterministic (pure function of the sorted corpus), and each shard's
     overshoot is bounded by one row's weight — the property a training
-    loader wants. The global window is ONE pass over (key, weight) pairs —
-    at 10^12 rows, range-partition by key and add per-partition offsets
-    (the standard distributed prefix-sum); the per-row arithmetic is
-    unchanged, so this expression IS the semantics contract for that
-    implementation."""
-    from pyspark.sql import Window
-    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
-    prefix = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    loader wants. The prefix sum is the two-level distributed one
+    (operators/seq.py): range-partition by key, per-partition running sums
+    in parallel, O(#partitions) scalar offsets — never a single-partition
+    window over 10^12 rows."""
+    from ..operators.seq import exclusive_prefix_sum
+    d = exclusive_prefix_sum(df, [key_col], weight_col, "_prefix")
     # INTEGER division (`div`), not floor(double): Spark's `/` casts longs
     # to double, which stops representing every integer past 2^53 — a
     # 10^12-row corpus of ~1k-token docs reaches ~10^15, where a prefix of
     # budget*k - 1 can round up and misassign the shard
-    return (df.withColumn("_prefix", prefix.cast("long"))
-            .withColumn(out_col, F.expr(f"_prefix div CAST({int(budget)} AS BIGINT)"))
+    return (d.withColumn(out_col, F.expr(f"_prefix div CAST({int(budget)} AS BIGINT)"))
             .drop("_prefix"))

@@ -184,17 +184,17 @@ def create_tiles_kmeans(cells: DataFrame, covariate_cols: list[str],
     # (the reference's icluster = np.max(hrus)+1, :777-780) — NOT the
     # distinct-label count: k-means can emit non-contiguous labels (empty
     # clusters), and a distinct-count offset would collide raw ids of
-    # adjacent basins, silently merging tiles across zones
+    # adjacent basins, silently merging tiles across zones. Two-level
+    # prefix sum (operators/seq.py), not a single-partition window.
+    from .seq import exclusive_prefix_sum, seq_ids
     counts = (local.groupBy("zone")
               .agg((F.max("local_tile") + 1).alias("k")))
-    w = Window.orderBy("zone").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))
+    offsets = exclusive_prefix_sum(counts, ["zone"], "k", "off")
     tiled = (local.join(F.broadcast(offsets.select("zone", "off")), "zone")
              .withColumn("tile_raw", F.col("local_tile") + F.col("off")))
     # dense relabel to 0..K-1 (cleanup, :782-787)
-    distinct = tiled.select("tile_raw").distinct()
-    relabel = distinct.withColumn(
-        "tile", F.dense_rank().over(Window.orderBy("tile_raw")) - 1)
+    relabel = seq_ids(tiled.select("tile_raw").distinct(),
+                      ["tile_raw"], "tile", start=0)
     return (tiled.join(F.broadcast(relabel), "tile_raw")
             .select("i", "j", F.col("tile").cast("long").alias("tile")))
 
@@ -249,13 +249,14 @@ def create_hrus(cells: DataFrame, covariate_cols: list[str],
                         schema="i int, j int, hs long, tl long, local_hru long")
     local = local.localCheckpoint(eager=True)  # see create_tiles_kmeans note
     # offset = max(local)+1 per group (maxc = np.max(clusters)+1, :1147-1148)
+    # — two-level prefix sum over the (hs, tl) group table (operators/seq.py)
+    from .seq import exclusive_prefix_sum, seq_ids
     counts = local.groupBy("hs", "tl").agg((F.max("local_hru") + 1).alias("k"))
-    w = Window.orderBy("hs", "tl").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("off", F.coalesce(F.sum("k").over(w), F.lit(0)))
+    offsets = exclusive_prefix_sum(counts, ["hs", "tl"], "k", "off")
     hrud = (local.join(F.broadcast(offsets.select("hs", "tl", "off")), ["hs", "tl"])
             .withColumn("hru_raw", F.col("local_hru") + F.col("off")))
-    relabel = hrud.select("hru_raw").distinct().withColumn(
-        "hru", F.dense_rank().over(Window.orderBy("hru_raw")))
+    relabel = seq_ids(hrud.select("hru_raw").distinct(),
+                      ["hru_raw"], "hru", start=1)
     return (hrud.join(F.broadcast(relabel), "hru_raw")
             .select("i", "j", F.col("hru").cast("long").alias("hru")))
 
@@ -291,17 +292,33 @@ def assign_clusters(cells: DataFrame, relabel: DataFrame,
 
 # ----------------------------------------------------------------------- A8
 
+def covariate_minmax(cells: DataFrame,
+                     covariate_cols: list[str]) -> dict[str, tuple[float, float]]:
+    """ONE aggregate action over the cell table for every covariate's
+    (min, max) — r3 advice: the per-covariate agg().collect() loop scanned
+    the cells C times before the real work, and M4 paid it every round."""
+    aggs = []
+    for c in covariate_cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = cells.agg(*aggs).collect()[0]
+    return {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in covariate_cols}
+
+
 def performance_metrics(cells: DataFrame, cluster_col: str,
-                        covariate_cols: list[str]) -> DataFrame:
+                        covariate_cols: list[str],
+                        minmax: dict[str, tuple[float, float]] | None = None) -> DataFrame:
     """A8 ``compute_performance_metrics`` (terrain_tools.py:97-129): replace
     each covariate by its cluster mean, report global RMSE per covariate on
-    min-max normalized values. One window pass + one global agg."""
+    min-max normalized values. One min/max aggregate (or the caller's
+    precomputed ``minmax`` — M4 hoists it out of its loop), one window pass,
+    one global agg."""
+    minmax = minmax or covariate_minmax(cells, covariate_cols)
     out_aggs = []
     df = cells
     for c in covariate_cols:
-        mm = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
-        rng = (mm["mx"] - mm["mn"]) or 1.0
-        norm = (F.col(c) - F.lit(mm["mn"])) / F.lit(rng)
+        mn, mx = minmax[c]
+        rng = (mx - mn) or 1.0
+        norm = (F.col(c) - F.lit(mn)) / F.lit(rng)
         mean_c = F.avg(norm).over(Window.partitionBy(cluster_col))
         df = df.withColumn(f"_sq_{c}", (norm - mean_c) ** 2)
         out_aggs.append(F.sqrt(F.avg(f"_sq_{c}")).alias(f"rmse_{c}"))
@@ -318,10 +335,14 @@ def compute_cluster_parameters(cells: DataFrame, covariate_cols: list[str],
     equivalent to tolerance scaling here). Returns (cells+cluster, nc)."""
     nc = nc0
     src = cells.filter(F.col(zone_col) > 0).localCheckpoint(eager=True)
+    # covariate min/max don't change across rounds (joined = src + labels):
+    # one aggregate up front instead of C scans per round
+    minmax = covariate_minmax(src, covariate_cols)
     for r in range(max_rounds):
         tiled = create_tiles_kmeans(src, covariate_cols, nc, zone_col=zone_col)
         joined = src.join(tiled, ["i", "j"])
-        rmse = performance_metrics(joined, "tile", covariate_cols).collect()[0]
+        rmse = performance_metrics(joined, "tile", covariate_cols,
+                                   minmax=minmax).collect()[0]
         if all(rmse[f"rmse_{c}"] <= tolerances.get(c, 0.1) for c in covariate_cols):
             break
         if r < max_rounds - 1:  # keep nc = the count actually used for the

@@ -68,6 +68,49 @@ def resolve(state: DataFrame, max_rounds: int = 64) -> DataFrame:
     return state.select("id", "label")
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_rounds: int = 32) -> DataFrame:
+    """Connected components of an undirected pair list — (node, comp) with
+    comp = min node id in the component.
+
+    Min-label propagation with a pointer-doubling shortcut: each round every
+    node takes the min of its own and its neighbors' labels, then jumps to
+    its label's label (comp <- comp(comp)), so convergence is O(log diameter)
+    shuffle rounds, not O(diameter). Each round is one equi-join + groupBy
+    min + one shortcut join over the NODE table (O(nodes in pairs), not the
+    corpus) — the standard Spark CC plan for near-dup group resolution,
+    where components are tiny and the pair list is the LSH output.
+
+    The per-round convergence probe counts changed labels over the
+    materialized (localCheckpoint) state — a scalar, never a driver-side
+    copy of the labels.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        # propagate: comp(v) <- min(comp(v), min over neighbors u of comp(u))
+        nbr = (sym.join(labels, sym.u == labels.node)
+               .select(F.col("v").alias("node"), "comp"))
+        new = (labels.unionByName(nbr)
+               .groupBy("node").agg(F.min("comp").alias("comp")))
+        # shortcut (pointer doubling): comp <- comp(comp)
+        hop = new.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        new = (new.join(hop, new.comp == hop.c_node, "left")
+               .select("node", F.coalesce("c_comp", "comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.select("node", F.col("comp").alias("_old")), "node")
+                   .filter(F.col("comp") != F.col("_old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def resolve_tiled(state: DataFrame, meta, label_type: str = "double",
                   max_rounds: int = 64) -> DataFrame:
     """Tile-condensed resolution of a grid-cell functional graph.

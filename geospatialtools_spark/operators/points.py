@@ -276,8 +276,12 @@ def knn_broadcast(queries: DataFrame, targets: DataFrame, k: int,
 def knn(queries: DataFrame, targets: DataFrame, k: int, res: int,
         small_query_threshold: int = 10_000, **kw) -> DataFrame:
     """kNN dispatcher: broadcast-scan when the query side is small (exact,
-    one pass, no shuffle), expanding cell-ring index search otherwise."""
-    nq = queries.count()
+    one pass, no shuffle), expanding cell-ring index search otherwise.
+
+    The strategy probe only needs "more than threshold rows or not" — a
+    limit(threshold+1) count that stops scanning at the threshold, never a
+    full count of a 10^12-row query table (r3 advice)."""
+    nq = queries.limit(small_query_threshold + 1).count()
     if nq <= small_query_threshold:
         kw.pop("max_rounds", None)
         kw.pop("max_guard_rings", None)

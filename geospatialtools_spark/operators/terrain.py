@@ -666,14 +666,15 @@ def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
                          ["gid"], kern, schema=out_schema) \
         .localCheckpoint(eager=True)
 
-    # deterministic seed order -> id offsets
+    # deterministic seed order -> id offsets (two-level prefix sum; area
+    # DESC expressed as ascending -area, seq.py sorts ascending only)
+    from .seq import exclusive_prefix_sum
     seeds = chan_g.filter(F.col("id") == F.col("gid")).select(
         "gid", F.col("area").alias("s_area"), F.col("j").alias("s_j"), F.col("i").alias("s_i"))
     counts = walked.filter(F.col("kind") == 1).select("gid", F.col("v").alias("n_ids"))
-    w = Window.orderBy(F.col("s_area").desc(), F.col("s_j"), F.col("s_i")) \
-              .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = seeds.join(counts, "gid").select(
-        "gid", F.coalesce(F.sum("n_ids").over(w), F.lit(0)).alias("off"))
+    offsets = exclusive_prefix_sum(
+        seeds.join(counts, "gid").withColumn("_na", -F.col("s_area")),
+        ["_na", "s_j", "s_i"], "n_ids", "off").select("gid", "off")
 
     labels = walked.filter(F.col("kind") == 0).join(offsets, "gid").select(
         "i", "j",
@@ -698,8 +699,7 @@ def channel_segments(cells: DataFrame, meta: GridMeta, threshold: float,
                                 meta, ["mask"], nbr_kernel, [("nbr_land", "double")], halo=1)
     ocean = cells.filter(F.col("mask") == 0).select("i", "j")
     row_counts = ocean.groupBy("i").agg(F.count("*").alias("c"))
-    wrow = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
-    row_off = row_counts.select("i", F.coalesce(F.sum("c").over(wrow), F.lit(0)).alias("roff"))
+    row_off = exclusive_prefix_sum(row_counts, ["i"], "c", "roff").select("i", "roff")
     wj = Window.partitionBy("i").orderBy("j")
     ocean_rank = ocean.join(row_off, "i").select(
         "i", "j", (F.lit(999999) + F.col("roff") + F.row_number().over(wj) - 1).alias("ocid"))
@@ -886,13 +886,13 @@ def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
     walked = grouped_map(
         mem_g.select("gid", "i", "j", "channels", "mask", "fi", "fj"),
         ["gid"], kern, schema=out_schema).localCheckpoint(eager=True)
+    from .seq import exclusive_prefix_sum, seq_ids
     seeds = mem_g.filter(F.col("id") == F.col("gid")).select(
         "gid", F.col("area").alias("s_area"), F.col("j").alias("s_j"), F.col("i").alias("s_i"))
     counts = walked.filter(F.col("kind") == 1).select("gid", F.col("v").alias("n_ids"))
-    w = Window.orderBy(F.col("s_area").desc(), F.col("s_j"), F.col("s_i")) \
-              .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = seeds.join(counts, "gid").select(
-        "gid", F.coalesce(F.sum("n_ids").over(w), F.lit(0)).alias("off"))
+    offsets = exclusive_prefix_sum(
+        seeds.join(counts, "gid").withColumn("_na", -F.col("s_area")),
+        ["_na", "s_j", "s_i"], "n_ids", "off").select("gid", "off")
     labels = walked.filter(F.col("kind") == 0).join(offsets, "gid").select(
         "i", "j", (F.col("v") + F.col("off")).alias("hlab"))
 
@@ -903,8 +903,7 @@ def delineate_hillslopes(cells: DataFrame, meta: GridMeta) -> DataFrame:
          .otherwise(F.coalesce(F.col("hlab"), F.lit(0))).alias("raw"))
     # cleanup_hillslopes (terrain_tools.f90:1604-1650): ascending dense ids 0..K-1
     ids = out.filter(F.col("raw") > 0).select("raw").distinct()
-    wr = Window.orderBy("raw")
-    remap = ids.select(F.col("raw"), (F.dense_rank().over(wr) - 1).alias("new"))
+    remap = seq_ids(ids, ["raw"], "new", start=0)
     out = out.join(remap, "raw", "left").select(
         "tile_i", "tile_j", "i", "j",
         F.when(F.col("raw") > 0, F.col("new")).otherwise(F.col("raw")).alias("hillslopes"))
@@ -1005,8 +1004,8 @@ def polygonize(cells: DataFrame, meta: GridMeta, value_col: str = "value") -> Da
     labeled = comp.join(roots.withColumnRenamed("node", "root"), "root")
     # sequential numbering: rank of the component's min scan id
     comp_min = labeled.groupBy("lbl").agg(F.min(F.col("i").cast("long") * meta.ny + F.col("j")).alias("mn"))
-    wr = Window.orderBy("mn")
-    pid = comp_min.select("lbl", (F.dense_rank().over(wr) - 1).alias("pid"))
+    from .seq import seq_ids
+    pid = seq_ids(comp_min, ["mn"], "pid", start=0).select("lbl", "pid")
     return labeled.join(pid, "lbl").select("i", "j", F.col("pid").cast("double").alias("polygon"))
 
 

@@ -26,9 +26,9 @@ def dense_relabel(df: DataFrame, col: str, out_col: str | None = None,
     ascending id order (terrain_tools.f90:1604-1650; the Python wrappers add
     +1, terrain_tools.py:888-890)."""
     out_col = out_col or col
+    from .seq import seq_ids
     distinct = df.select(F.col(col).alias("_old")).filter(F.col("_old") != UNDEF).distinct()
-    relabel = distinct.withColumn(
-        "_new", F.dense_rank().over(Window.orderBy("_old")) + (start - 1))
+    relabel = seq_ids(distinct, ["_old"], "_new", start=start)
     return (df.join(F.broadcast(relabel), df[col] == relabel["_old"], "left")
             .withColumn(out_col, F.coalesce(F.col("_new"), F.lit(int(UNDEF))).cast("long"))
             .drop("_old", "_new"))
@@ -156,11 +156,11 @@ def create_basin_tiles(cells: DataFrame, dh: float,
               .applyInPandas(kern, schema="i int, j int, ubc long, "
                                           "local_bin long, scaled_hand double"))
     # sequential ids over NON-EMPTY (cluster, bin) pairs in ascending order
+    # (two-level seq_ids, operators/seq.py — no single-partition window)
+    from .seq import seq_ids
     occupied = binned.select("ubc", "local_bin").distinct()
-    wseq = Window.orderBy("ubc", "local_bin")
     wclu = Window.partitionBy("ubc").orderBy("local_bin")
-    numbering = (occupied
-                 .withColumn("tile", F.row_number().over(wseq) - 1)
+    numbering = (seq_ids(occupied, ["ubc", "local_bin"], "tile", start=0)
                  .withColumn("tile_position", F.row_number().over(wclu) - 1))
     out = binned.join(F.broadcast(numbering), ["ubc", "local_bin"])
     wt = Window.partitionBy("tile")

@@ -590,11 +590,12 @@ def create_nd_histogram(cells: DataFrame, covs: list[dict],
               .groupBy(hillslope_col)
               .applyInPandas(kern, schema=f"{hillslope_col} {hty}, "
                                           "i long, j long, bin long"))
-    # single-partition window is fine: the distinct bin table is bounded by
-    # #hillslopes x prod(nbins), not by cell count
-    ids = (binned.select(hillslope_col, "bin").distinct()
-           .withColumn("hru", F.row_number().over(
-               Window.orderBy(hillslope_col, "bin"))))
+    # two-level seq_ids (operators/seq.py): the distinct bin table is
+    # bounded by #hillslopes x prod(nbins) — small today, but at 100x it is
+    # exactly the 3M-row relabel that must not cross one reducer
+    from .seq import seq_ids
+    ids = seq_ids(binned.select(hillslope_col, "bin").distinct(),
+                  [hillslope_col, "bin"], "hru", start=1)
     return (binned.join(F.broadcast(ids), [hillslope_col, "bin"], "inner")
             .drop("bin"))
 

@@ -123,6 +123,54 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (2, 4) not in got
 
 
+def test_connected_components_chains_and_cycles(spark):
+    """Transitive chains (A-B, B-C must merge even though A,C never pair),
+    a cycle, and an isolated pair — labels vs a python union-find oracle."""
+    from geospatialtools_spark.operators.graph import connected_components
+    edges = [(1, 2), (2, 3), (3, 4),            # chain 1-2-3-4
+             (10, 11), (11, 12), (12, 10),      # cycle
+             (20, 21),                          # isolated pair
+             (5, 4)]                            # extends the chain
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(df).collect()}
+    assert got == expect
+
+
+def test_dedup_groups_transitive_keeper(spark):
+    """Pairs -> groups -> keeper: A~B and B~C collapse to one group with ONE
+    keeper (the longest text, ties to smallest id); singletons never appear."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaaaaa"), (3, "aa"), (4, "zz"),
+         (5, "qqqq"), (6, "qqqq"), (7, "solo")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = DD.dedup_groups(docs, pairs).toPandas().set_index("doc_id")
+    assert set(out.index) == {1, 2, 3, 5, 6}          # 4,7 untouched
+    assert set(out.loc[[1, 2, 3], "group_id"]) == {1}  # min id of component
+    assert set(out.loc[[1, 2, 3], "keeper_id"]) == {2}  # longest text wins
+    assert set(out.loc[[1, 2, 3], "group_size"]) == {3}
+    assert set(out.loc[[5, 6], "keeper_id"]) == {5}     # tie -> smallest id
+    # applying the dedup: anti-join non-keepers removes exactly 3 docs
+    drop = out[out["keeper_id"] != out.index].index
+    assert set(drop) == {1, 3, 6}
+
+
 def test_ngram_jaccard_exact(spark):
     df = spark.createDataFrame(_DOCS)
     out = DD.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
