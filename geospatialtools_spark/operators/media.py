@@ -92,23 +92,62 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
     return width, height, (feats / 255.0).astype(np.float32)
 
 
+def _real_decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
+    """Real-codec adapter (round 4): lazily imports the codec per media
+    kind — pillow for images, soundfile for audio — and produces the SAME
+    (width, height, FEATURE_DIM float32 features) contract as the stub, so
+    swapping decode_stub=False changes only the bytes->tensor step, never
+    the Spark plan, schema, or batch shape. Raises NotImplementedError with
+    the missing dependency named when the codec isn't installed (this
+    container ships neither; tests/test_pipeline.py skipif-gates the real
+    branch)."""
+    import io
+    if kind == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode needs pillow (pip install pillow); "
+                "run with decode_stub=True in codec-less environments") from e
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        w, h = img.size
+        arr = np.asarray(img.convert("L"), dtype=np.float64).ravel()
+        chunks = np.array_split(arr, FEATURE_DIM)
+        feats = np.array([c.mean() if c.size else 0.0 for c in chunks])
+        return w, h, (feats / 255.0).astype(np.float32)
+    if kind == "audio":
+        try:
+            import soundfile as sf
+        except ImportError as e:
+            raise NotImplementedError(
+                "audio decode needs soundfile (pip install soundfile); "
+                "run with decode_stub=True in codec-less environments") from e
+        data, _rate = sf.read(io.BytesIO(payload), always_2d=True)
+        chunks = np.array_split(np.abs(data).mean(axis=1), FEATURE_DIM)
+        feats = np.array([float(np.sqrt((c ** 2).mean())) if c.size else 0.0
+                          for c in chunks])
+        return int(data.shape[0]), int(data.shape[1]), feats.astype(np.float32)
+    raise NotImplementedError(
+        f"no codec adapter for kind={kind!r} (video needs PyAV/ffmpeg)")
+
+
 def decode_and_featurize(media_with_payload: DataFrame,
                          decode_stub: bool = True) -> DataFrame:
     """Decode media payloads and extract a FEATURE_DIM embedding per item.
 
     mapInPandas over Arrow batches; output schema
     (doc_id, span_idx, kind, media_ref, width, height, features:array<float>).
+    ``decode_stub=False`` routes each row through the lazily-imported real
+    codec (_real_decode) — identical plan and output contract.
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real codecs (pillow / soundfile / ffmpeg) are not available in "
-            "this environment; run with decode_stub=True")
+    decoder = _fake_decode if decode_stub else _real_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, fs = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                w, h, f = _fake_decode(bytes(payload), kind)
+                w, h, f = decoder(bytes(payload), kind)
                 ws.append(w); hs.append(h); fs.append(f.tolist())
             out = pdf[["doc_id", "span_idx", "kind", "media_ref"]].copy()
             out["width"] = pd.Series(ws, dtype="int32")
@@ -123,22 +162,43 @@ def decode_and_featurize(media_with_payload: DataFrame,
     )
 
 
+def _real_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Real frame extraction seam: lazily imports PyAV and returns every
+    ``every_n``-th decoded frame's raw plane bytes. NotImplementedError
+    names the dependency when absent (no ffmpeg in this container)."""
+    import io
+    try:
+        import av
+    except ImportError as e:
+        raise NotImplementedError(
+            "video frame sampling needs PyAV/ffmpeg (pip install av); "
+            "run with decode_stub=True in codec-less environments") from e
+    out = []
+    with av.open(io.BytesIO(payload)) as container:
+        for fi, frame in enumerate(container.decode(video=0)):
+            if fi % every_n == 0:
+                out.append(bytes(frame.to_ndarray(format="gray").tobytes()))
+    return out
+
+
 def frame_sample(media_with_payload: DataFrame, every_n_bytes: int = 64,
                  decode_stub: bool = True) -> DataFrame:
-    """Video-style frame sampling: emit one row per sampled "frame" (here:
-    per payload block) — demonstrates the 1->N mapInPandas expansion shape
-    used for real frame extraction."""
-    if not decode_stub:
-        raise NotImplementedError("no video codec in this environment")
+    """Video-style frame sampling: emit one row per sampled "frame" (stub:
+    per payload block; real: every Nth decoded PyAV frame) — the 1->N
+    mapInPandas expansion shape used for real frame extraction."""
+
+    def chunks_of(b: bytes) -> list[bytes]:
+        if decode_stub:
+            return [b[off:off + every_n_bytes]
+                    for off in range(0, len(b), every_n_bytes)]
+        return _real_frames(b, max(every_n_bytes, 1))
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, span_idx, ref, payload in zip(
                     pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]):
-                b = bytes(payload)
-                for fi, off in enumerate(range(0, len(b), every_n_bytes)):
-                    chunk = b[off:off + every_n_bytes]
+                for fi, chunk in enumerate(chunks_of(bytes(payload))):
                     # hex-encoded hash input: cross-engine reproducible
                     # (VARCHAR-only hash engines), see _fake_decode note
                     rows.append((doc_id, int(span_idx), ref, fi,

@@ -67,18 +67,27 @@ def with_halo_copies(cells: DataFrame, meta: GridMeta, halo: int = 1) -> DataFra
     )
 
 
-def filter_tiles(df: DataFrame, meta: GridMeta, tiles: "set[tuple[int, int]]",
+def filter_tiles(df: DataFrame, meta: GridMeta,
+                 tiles: "set[tuple[int, int]] | DataFrame",
                  keep: bool = True) -> DataFrame:
     """Keep (or drop) rows whose (tile_i, tile_j) is in ``tiles``.
 
-    Small sets become an ``isin`` literal (narrow pre-shuffle filter); large
-    sets a broadcast (semi/anti) join so the plan stays sane when a 100 TB
-    grid has 10^6 active tiles.
+    ``tiles`` may be a driver-side set OR a DataFrame with (tile_i, tile_j)
+    columns — the scale path: the active-tile frontier of a delta iteration
+    never leaves the cluster (no O(tiles) collect); the equi-semi-join lets
+    AQE broadcast it when small. Small sets become an ``isin`` literal
+    (narrow pre-shuffle filter); large sets a broadcast (semi/anti) join so
+    the plan stays sane when a 100 TB grid has 10^6 active tiles.
     """
     t = meta.tile
     ntj = (meta.ny + t - 1) // t
-    keys = [ti * ntj + tj for (ti, tj) in tiles]
     key_expr = F.col("tile_i").cast("long") * ntj + F.col("tile_j")
+    if isinstance(tiles, DataFrame):
+        sel = tiles.select(
+            (F.col("tile_i").cast("long") * ntj + F.col("tile_j")).alias("tkey"))
+        return df.join(sel, key_expr == F.col("tkey"),
+                       "left_semi" if keep else "left_anti")
+    keys = [ti * ntj + tj for (ti, tj) in tiles]
     if len(keys) <= 4096:
         pred = key_expr.isin(keys) if keys else F.lit(False)
         return df.filter(pred if keep else ~pred)
@@ -95,7 +104,7 @@ def apply_stencil(
     out_cols: list[tuple[str, str]],
     halo: int = 1,
     fill: float = np.nan,
-    only_tiles: "set[tuple[int, int]] | None" = None,
+    only_tiles: "set[tuple[int, int]] | DataFrame | None" = None,
 ) -> DataFrame:
     """Run ``kernel`` per tile on dense (block, i0, j0, core_slice) inputs.
 

@@ -217,11 +217,19 @@ def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
     # fixpoint w.r.t. current halos. Round cost shrinks from O(all tiles)
     # to O(tiles on still-propagating depressions) — at 2048^2 most tiles
     # settle in 2-3 rounds while a few large pits keep iterating.
+    #
+    # The frontier stays a DATAFRAME (r3 advice): the changed-tile set is
+    # expanded to its 8-neighborhood with an explode and fed back through a
+    # semi-join — the driver only ever sees the scalar count (convergence
+    # test), never O(tiles) rows. At a 10^8-tile production grid, round 1's
+    # frontier is the whole grid; collecting it would be a driver OOM.
     t = meta.tile
     nti = (meta.nx + t - 1) // t
     ntj = (meta.ny + t - 1) // t
     out_cols = [("z", "float"), ("w", "float"), ("chg", "tinyint")]
-    active: set | None = None
+    offs = F.array(*[F.struct(F.lit(oi).alias("oi"), F.lit(oj).alias("oj"))
+                     for oi in (-1, 0, 1) for oj in (-1, 0, 1)])
+    active: DataFrame | None = None
     for _ in range(max_rounds):
         relaxed = stencil.apply_stencil(state, meta, ["z", "w"], relax_kernel,
                                         out_cols, halo=1, only_tiles=active)
@@ -230,25 +238,26 @@ def planchon_fill(cells: DataFrame, meta: GridMeta, res: float, dem_col="dem",
                 .select("tile_i", "tile_j", "i", "j", "z", "w") \
                 .withColumn("chg", F.lit(0).cast("tinyint"))
             relaxed = relaxed.unionByName(untouched)
-        # lazy checkpoint: the changed-tile action below materializes it, so
-        # each round is ONE job (truncated lineage + convergence test
-        # together); collected rows = changed tiles only (tiny, shrinking)
         state = relaxed.localCheckpoint(eager=False)
-        rows = (state.filter(F.col("chg") > 0)
-                .groupBy("tile_i", "tile_j").agg(F.max("chg").alias("c"))
-                .collect())
-        if not rows:
+        # materializes the round's lazy checkpoint AND the (tiny) frontier
+        # in one job; count() below reads cached blocks
+        changed = (state.filter(F.col("chg") > 0)
+                   .groupBy("tile_i", "tile_j").agg(F.max("chg").alias("c"))
+                   .localCheckpoint(eager=True))
+        if changed.count() == 0:
             break
-        nxt: set = set()
-        for r in rows:
-            if r["c"] >= 2:
-                nxt.add((r["tile_i"], r["tile_j"]))
-            for oi in (-1, 0, 1):
-                for oj in (-1, 0, 1):
-                    ni, nj = r["tile_i"] + oi, r["tile_j"] + oj
-                    if (oi or oj) and 0 <= ni < nti and 0 <= nj < ntj:
-                        nxt.add((ni, nj))
-        active = nxt
+        # next active set: 8-neighbors of every changed tile, plus the tile
+        # itself when the kernel hit its iteration cap (chg == 2)
+        active = (changed
+                  .select("tile_i", "tile_j", "c", F.explode(offs).alias("o"))
+                  .filter((F.col("o.oi") != 0) | (F.col("o.oj") != 0)
+                          | (F.col("c") >= 2))
+                  .select((F.col("tile_i") + F.col("o.oi")).alias("tile_i"),
+                          (F.col("tile_j") + F.col("o.oj")).alias("tile_j"))
+                  .filter((F.col("tile_i") >= 0) & (F.col("tile_i") < nti)
+                          & (F.col("tile_j") >= 0) & (F.col("tile_j") < ntj))
+                  .distinct()
+                  .localCheckpoint(eager=True))
     return state.select("tile_i", "tile_j", "i", "j", F.col("w").alias("demns"))
 
 

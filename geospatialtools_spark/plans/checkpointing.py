@@ -109,12 +109,20 @@ class StageRunner:
         os.rename(tmp, d)
         self.spark.createDataFrame(lin_pdf).withColumn(
             "committed_stage", F.lit(stage)).write.mode("append").parquet(lin_dir)
+        # LOG BEFORE MANIFEST (r3 advice): the snapshot log must never lag a
+        # published manifest. A crash between the two now leaves a logged
+        # snapshot whose manifest never published — the resume re-runs the
+        # stage (token mismatch) and _archive_current files the complete
+        # data dir under its logged id, keeping it time-travel readable.
+        # The old order (manifest first) left a committed-but-unlogged state
+        # that the next commit's orphan guard would DESTROY.
+        self._log_snapshot(stage, "commit", rows=n_rows, wall_ms=wall_ms,
+                           token=token)
         with open(mf + ".tmp", "w") as f:
             json.dump({"stage": stage, "config_fp": self.config_fp,
                        "rows": n_rows, "wall_ms": wall_ms, "token": token,
                        "partitions": len(lin_pdf)}, f)
         os.replace(mf + ".tmp", mf)
-        self._log_snapshot(stage, "commit", rows=n_rows, wall_ms=wall_ms)
         self.metrics.append({"stage": stage, "resumed": False,
                              "rows": n_rows, "wall_ms": wall_ms})
         # a stage's iterative operators leave dead localCheckpoint blocks;
@@ -172,17 +180,37 @@ class StageRunner:
         hist = self._history_dir(stage, prior[-1]["snapshot_id"])
         os.makedirs(os.path.dirname(hist), exist_ok=True)
         if os.path.exists(hist):
-            # the latest logged snapshot was ALREADY archived: a previous
-            # commit crashed between os.rename(tmp, d) and its manifest/log
-            # write, so the current d is orphaned UNCOMMITTED data (no
-            # manifest ever named it). Deleting it — never overwriting the
-            # genuine archive with it — is what keeps the "a kill leaves
-            # either no commit or a complete one" guarantee true
-            shutil.rmtree(d)
+            # the latest logged snapshot was ALREADY archived, so d is an
+            # interim state. Distinguish the two ways that happens:
+            # (a) COMMITTED but unlogged — a pre-reorder crash between
+            #     manifest publish and log append: the stage manifest names
+            #     d's token. Destroying it would lose a committed snapshot
+            #     (r3 advice); instead log a recovery snapshot and archive
+            #     d under it, keeping every committed state readable.
+            # (b) orphaned UNCOMMITTED data (no manifest ever named it):
+            #     delete — never overwrite the genuine archive with it.
+            tok = self._data_token(d)
+            mtok = None
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    mtok = json.load(f).get("token")
+            if tok is not None and tok == mtok:
+                sid = self._log_snapshot(stage, "recovered_commit", token=tok)
+                hist2 = self._history_dir(stage, sid)
+                os.rename(d, hist2)
+                shutil.copy(mf, hist2 + ".manifest.json")
+            else:
+                shutil.rmtree(d)
             return
         os.rename(d, hist)
         if os.path.exists(mf):
-            shutil.copy(mf, hist + ".manifest.json")
+            # attach the manifest sidecar only if it names this data (in the
+            # logged-but-unpublished crash interim the live manifest still
+            # describes the PREVIOUS snapshot)
+            with open(mf) as f:
+                mtok = json.load(f).get("token")
+            if mtok == self._data_token(hist):
+                shutil.copy(mf, hist + ".manifest.json")
 
     def _snapshot_data_dir(self, stage: str, snap_id: int) -> str:
         entries = [e for e in self.snapshots(stage)
@@ -190,8 +218,12 @@ class StageRunner:
         if not entries:
             raise KeyError(f"no snapshot {snap_id} for stage {stage!r}")
         cur = self.snapshots(stage)[-1]["snapshot_id"]
-        d = self._paths(stage)[0] if snap_id == cur \
-            else self._history_dir(stage, snap_id)
+        hist = self._history_dir(stage, snap_id)
+        # prefer the archive even for the current id (r3 advice): in the
+        # crashed interim state the live dir may hold orphaned uncommitted
+        # data while the genuine committed bytes sit under _history
+        d = hist if os.path.exists(hist) or snap_id != cur \
+            else self._paths(stage)[0]
         if not os.path.exists(d):
             raise FileNotFoundError(
                 f"snapshot {snap_id} of {stage!r} was expired")

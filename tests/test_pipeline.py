@@ -3,6 +3,7 @@ checkpoint-resume, streaming windowed ingest."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -62,10 +63,44 @@ def test_frame_sample_expansion(spark, docs):
     assert (counts == 4).all()
 
 
+_HAS_PIL = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is not None
+
+
 def test_decode_stub_gate(spark, docs):
-    with pytest.raises(NotImplementedError):
-        MD.decode_and_featurize(
-            MD.fetch_payloads(MD.media_table(docs)), decode_stub=False)
+    """decode_stub=False is a lazy real-codec seam (round 4): the plan
+    builds identically; a missing codec surfaces a NotImplementedError that
+    NAMES the dependency when the UDF executes."""
+    if _HAS_PIL:
+        pytest.skip("pillow installed; real branch covered by "
+                    "test_real_image_decode_contract")
+    df = MD.decode_and_featurize(
+        MD.fetch_payloads(MD.media_table(docs).limit(2)), decode_stub=False)
+    with pytest.raises(Exception, match="pillow"):
+        df.collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="pillow not installed")
+def test_real_image_decode_contract(spark):
+    """When a codec exists, the real branch must decode true payload bytes
+    and keep the stub's exact output contract (schema, FEATURE_DIM, [0,1]
+    feature range) with width/height taken from the actual image."""
+    import io
+
+    from PIL import Image
+    rows = []
+    for k, (w, h) in enumerate([(20, 10), (7, 33)]):
+        img = Image.new("RGB", (w, h), color=(k * 40, 100, 200))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((str(k), 0, "image", f"img://{k}", bytearray(buf.getvalue())))
+    media = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, kind string, media_ref string, "
+              "payload binary")
+    out = MD.decode_and_featurize(media, decode_stub=False).toPandas()
+    got = {r.media_ref: (r.width, r.height) for r in out.itertuples()}
+    assert got == {"img://0": (20, 10), "img://1": (7, 33)}
+    assert all(len(f) == MD.FEATURE_DIM for f in out["features"])
+    assert all(0.0 <= v <= 1.0 for f in out["features"] for v in f)
 
 
 def test_lineage_records(spark):
@@ -111,6 +146,46 @@ def test_checkpoint_resume(spark, tmp_path):
     # lineage table accumulated commits
     lin = spark.read.parquet(os.path.join(root, "_lineage")).toPandas()
     assert set(lin["stage"]) == {"a", "b"}
+
+
+def test_crashed_commit_window_never_destroys_committed_data(spark, tmp_path):
+    """ADVICE r3 (medium): a commit that published its manifest but died
+    before its snapshot-log append must NOT be rmtree'd by the next commit's
+    orphan guard — the archive branch recognizes the manifest-names-this-data
+    token match, logs a recovery snapshot, and keeps the bytes readable."""
+    root = str(tmp_path / "crash")
+    r = StageRunner(spark, root, {"cfg": 1})
+    r.run_stage("a", lambda: spark.range(10).withColumn("v", F.lit("one")))
+    r.run_stage("a", lambda: spark.range(20).withColumn("v", F.lit("two")),
+                force=True)
+    # simulate the pre-fix crash interim: manifest + data for commit 2 are
+    # published, but its snapshot-log line never landed
+    log_p = os.path.join(root, "_snapshot_log.jsonl")
+    with open(log_p) as f:
+        lines = f.readlines()
+    with open(log_p, "w") as f:
+        f.writelines(lines[:-1])
+    assert r.is_committed("a")          # resume would serve commit 2's data
+
+    # next commit must RECOVER commit 2 (log + archive), not destroy it
+    r.run_stage("a", lambda: spark.range(30).withColumn("v", F.lit("three")),
+                force=True)
+    log = r.snapshots("a")
+    assert [e["action"] for e in log] == ["commit", "recovered_commit", "commit"]
+    rec_id = log[1]["snapshot_id"]
+    rec = r.read_snapshot("a", rec_id)
+    assert rec.count() == 20 and rec.select("v").first()["v"] == "two"
+    assert spark.read.parquet(os.path.join(root, "a")).count() == 30
+
+    # the other interim (data renamed + logged, manifest never published)
+    # re-runs the stage and archives the logged data under its own id —
+    # never serving orphaned bytes as committed
+    mf = os.path.join(root, "a.manifest.json")
+    with open(mf) as f:
+        saved = f.read()
+    with open(mf, "w") as f:
+        f.write(saved.replace(json.loads(saved)["token"], "deadbeef"))
+    assert not r.is_committed("a")
 
 
 def test_snapshot_time_travel_and_rollback(spark, tmp_path):
