@@ -89,20 +89,27 @@ def q_join_broadcast(spark, sf_dir):
 
 
 def q_topk_smallest(spark, sf_dir):
-    """W4 top-k smallest (terrain_tools.py:305)."""
+    """W4 top-k smallest (terrain_tools.py:305) — the scalable plan: a
+    distributed TakeOrderedAndProject (orderBy + limit, per-partition top-k
+    then merge) selects the 10 rows; ranks come from seq_ids over those 10.
+    No global window touches the full table (round 4)."""
+    from geospatialtools_spark.operators.seq import seq_ids
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (o.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= 10)
-            .select("rank", "o_orderkey", "o_totalprice"))
+    top = (o.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+           .limit(10).select("o_orderkey", "o_totalprice"))
+    return (seq_ids(top, ["o_totalprice", "o_orderkey"], "rank", start=1)
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "o_orderkey", "o_totalprice"))
 
 
 def q_dense_relabel(spark, sf_dir):
-    """A5 dense-rank relabel (terrain_tools.f90:1604-1650)."""
+    """A5 dense-rank relabel (terrain_tools.f90:1604-1650) — two-level
+    seq_ids over the distinct-id table (operators/seq.py), the same plan
+    tiles.dense_relabel uses; no single-partition window."""
+    from geospatialtools_spark.operators.seq import seq_ids
     c = _t(spark, sf_dir, "customer")
-    return (c.select("c_mktsegment").distinct()
-            .withColumn("new_id",
-                        F.dense_rank().over(Window.orderBy("c_mktsegment")).cast("long")))
+    return seq_ids(c.select("c_mktsegment").distinct(),
+                   ["c_mktsegment"], "new_id", start=1)
 
 
 def q_normalize_minmax(spark, sf_dir):
@@ -131,8 +138,11 @@ def q_ecdf_hist(spark, sf_dir):
                         ((F.col("mx") - F.col("mn")) / 10)), F.lit(9)).cast("long")
     binned = e.crossJoin(F.broadcast(mm)).select(b.alias("bucket"), "total")
     counts = binned.groupBy("bucket", "total").agg(F.count("*").alias("n"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (counts.withColumn("cum", F.sum("n").over(w))
+    # running total = two-level exclusive prefix sum + own count (seq.py) —
+    # no single-partition window even on the (tiny) bucket table
+    from geospatialtools_spark.operators.seq import exclusive_prefix_sum
+    return (exclusive_prefix_sum(counts, ["bucket"], "n", "_ex")
+            .withColumn("cum", F.col("_ex") + F.col("n"))
             .select("bucket", "n", "cum",
                     (F.col("cum") / F.col("total")).alias("ecdf")))
 
@@ -147,8 +157,9 @@ def q_nd_histogram(spark, sf_dir):
     g = (e.crossJoin(F.broadcast(mm))
          .groupBy(F.col("event_type"), vb.alias("vbucket"), hb.alias("hbucket"))
          .agg(F.count("*").alias("n")))
-    w = Window.orderBy("event_type", "vbucket", "hbucket")
-    return g.withColumn("class_id", F.dense_rank().over(w).cast("long"))
+    # group keys are distinct -> dense_rank == seq_ids (two-level, seq.py)
+    from geospatialtools_spark.operators.seq import seq_ids
+    return seq_ids(g, ["event_type", "vbucket", "hbucket"], "class_id", start=1)
 
 
 def q_time_block_avg(spark, sf_dir):
@@ -244,10 +255,23 @@ def q_window_cumsum(spark, sf_dir):
 
 
 def q_ntile_bins(spark, sf_dir):
-    """O2 equal-frequency binning (terrain_tools.py:442-444)."""
+    """O2 equal-frequency binning (terrain_tools.py:442-444) — ntile as
+    rank arithmetic over the two-level seq rank (round 4, no global
+    window): the first n%k buckets take ceil(n/k) rows, the rest
+    floor(n/k), exactly Spark's (and DuckDB's) NTILE rule."""
+    from geospatialtools_spark.operators.seq import seq_ids
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (o.withColumn("bin", F.ntile(8).over(w).cast("long"))
+    ranked = seq_ids(o.select("o_orderkey", "o_totalprice"),
+                     ["o_totalprice", "o_orderkey"], "r", start=1)
+    k = 8
+    d = ranked.crossJoin(F.broadcast(o.agg(F.count("*").alias("_n"))))
+    s = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    thr = rem * (s + 1)
+    bin_ = F.when(F.col("r") <= thr,
+                  F.floor((F.col("r") - 1) / (s + 1)) + 1) \
+            .otherwise(F.floor((F.col("r") - 1 - thr) / s) + rem + 1)
+    return (d.withColumn("bin", bin_.cast("long"))
             .groupBy("bin")
             .agg(F.count("*").alias("n"),
                  F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents")))
@@ -609,13 +633,12 @@ def q_hillslope_bbox_means(spark, sf_dir):
     deterministically from the events table — per-zone means over the
     zone's full bounding box, -9999-masked, exactly the bbox-window rule
     the zone fixture's rows-only hillslope_props exercises end-to-end.
-    The global row_number is gate-scale scaffolding (900 rows), not the
-    operator's scale path."""
+    The grid-index scaffolding uses the two-level seq rank (seq.py)."""
+    from geospatialtools_spark.operators.seq import seq_ids
     from geospatialtools_spark.operators.zones import _bbox_window_means
     side, tile = 30, 6
     e = _t(spark, sf_dir, "events")
-    base = (e.select("event_id", "value")
-            .withColumn("rn", F.row_number().over(Window.orderBy("event_id")) - 1)
+    base = (seq_ids(e.select("event_id", "value"), ["event_id"], "rn", start=0)
             .filter(F.col("rn") < side * side))
     i = (F.col("rn") / side).cast("int")
     j = (F.col("rn") % side).cast("int")

@@ -82,14 +82,17 @@ def test_shard_by_budget_bounds_and_order(spark):
 
 
 def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
-    """The full training-data curation chain — exact dedup -> quality
-    filter -> PII scrub -> split -> shard — composed through StageRunner
-    snapshots: every stage commits, a resume recomputes NOTHING, and the
-    final cohorts are byte-identical across the two runs (the determinism
-    the sampling layer exists to provide)."""
+    """The full training-data curation chain — exact dedup -> NEAR-dup
+    group resolution (round 4: MinHash pairs -> transitive clusters ->
+    non-keepers dropped) -> quality filter -> PII scrub -> split -> shard —
+    composed through StageRunner snapshots: every stage commits, a resume
+    recomputes NOTHING, and the final cohorts are byte-identical across the
+    two runs (the determinism the sampling layer exists to provide)."""
     from pyspark.sql import functions as F
 
-    from geospatialtools_spark.functions.dedup import exact_dups
+    from geospatialtools_spark.functions.dedup import (dedup_groups,
+                                                       exact_dups,
+                                                       minhash_lsh_pairs)
     from geospatialtools_spark.functions.sampling import (hash_split,
                                                           shard_by_budget)
     from geospatialtools_spark.functions.textstats import (quality_score,
@@ -111,7 +114,13 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
             .filter(F.col("keeper_id").isNull() |
                     (F.col("doc_id") == F.col("keeper_id")))
             .drop("content_hash", "keeper_id", "n_dups"))
-        filtered = r.run_stage("quality", lambda: deduped.withColumn(
+        # near-dup group resolution: pairs -> transitive clusters -> drop
+        # every non-keeper (anti-join; the group table is O(dup docs))
+        near = r.run_stage("near_dedup", lambda: deduped.join(
+            dedup_groups(deduped, minhash_lsh_pairs(deduped))
+            .filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id"),
+            "doc_id", "left_anti"))
+        filtered = r.run_stage("quality", lambda: near.withColumn(
             "q", quality_score(F.col("text"))).filter(F.col("q") >= 0.3))
         scrubbed = r.run_stage("scrub", lambda: filtered.withColumn(
             "text", redact_pii(F.col("text"))))
@@ -127,6 +136,12 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
     pdf1 = out1.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert len(pdf1) > 100                      # a real train cohort
     assert pdf1["shard"].nunique() > 1          # actually sharded
+    # group resolution left exactly one member per transitive near-dup
+    # cluster, so MinHash over the surviving corpus finds ZERO pairs (any
+    # surviving pair would mean two keepers in one component)
+    near_out = spark.read.parquet(f"{root}/near_dedup")
+    assert minhash_lsh_pairs(near_out).count() == 0
+    assert near_out.count() < spark.read.parquet(f"{root}/dedup").count()
 
     r2, out2 = run()                            # resume: zero recompute
     assert all(m.get("resumed") for m in r2.metrics)
@@ -135,7 +150,8 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
 
     # snapshot log recorded one commit per stage, in order
     stages = [e["stage"] for e in r2.snapshots()]
-    assert stages == ["dedup", "quality", "scrub", "split", "shard"]
+    assert stages == ["dedup", "near_dedup", "quality", "scrub", "split",
+                      "shard"]
 
 
 def test_hash_split_thirds_cover_every_bucket(spark):
