@@ -171,6 +171,19 @@ def test_dedup_groups_transitive_keeper(spark):
     assert set(drop) == {1, 3, 6}
 
 
+def test_dedup_groups_plan_no_cartesian(spark):
+    """The group-resolution plan must stay bucketed: no CartesianProduct
+    anywhere (pairs meet through equi-joins only), and the keeper window is
+    PARTITIONED by group (never a single-partition global window)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    plan = DD.dedup_groups(docs, pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ngram_jaccard_exact(spark):
     df = spark.createDataFrame(_DOCS)
     out = DD.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
