@@ -203,3 +203,45 @@ def test_sessionize_batch_matches_reference(spark, pairs, gap_minutes):
     got_t = sorted(map(tuple, got[["user_id", "session_idx", "session_start",
                                    "session_end", "n_events"]].to_numpy()))
     assert got_t == _sessions_ref(pairs, gap_minutes * 60)
+
+
+# ------------------------------------------------- two-level sequential ids
+
+def test_seq_ids_matches_global_window(spark):
+    """seq_ids must equal row_number over a global orderBy for every table
+    shape that matters: unique keys, negative keys, more partitions than
+    rows, multi-column keys. (The goldens prove the call sites; this pins
+    the helper itself.)"""
+    from geospatialtools_spark.operators.seq import seq_ids
+    rng = np.random.RandomState(7)
+    keys = rng.permutation(np.arange(-500, 500))[:137]
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    got = {r["k"]: r["idx"] for r in seq_ids(df, ["k"], "idx", start=5).collect()}
+    expect = {int(k): i + 5 for i, k in enumerate(sorted(keys))}
+    assert got == expect
+    # multi-column key, tiny table vs 8 shuffle partitions
+    rows = [(a, b) for a in range(3) for b in range(2)]
+    df2 = spark.createDataFrame(rows, "a int, b int")
+    got2 = {(r["a"], r["b"]): r["i"]
+            for r in seq_ids(df2, ["a", "b"], "i").collect()}
+    assert got2 == {t: i for i, t in enumerate(sorted(rows))}
+    # empty input
+    assert seq_ids(df.limit(0), ["k"], "idx").count() == 0
+
+
+def test_exclusive_prefix_sum_matches_cumsum(spark):
+    """exclusive_prefix_sum == pandas cumsum-shifted, including zero and
+    large weights and a descending-insert order."""
+    from geospatialtools_spark.operators.seq import exclusive_prefix_sum
+    rng = np.random.RandomState(11)
+    keys = rng.permutation(200)
+    vals = rng.randint(0, 10 ** 9, size=200)
+    df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in zip(keys, vals)], "k long, v long")
+    out = exclusive_prefix_sum(df, ["k"], "v", "pre").toPandas() \
+        .sort_values("k").reset_index(drop=True)
+    expect = pd.DataFrame({"k": np.sort(keys)})
+    expect["v"] = vals[np.argsort(keys)]
+    expect["pre"] = expect["v"].cumsum().shift(fill_value=0)
+    pd.testing.assert_series_equal(out["pre"], expect["pre"].astype("int64"),
+                                   check_names=False)
