@@ -139,13 +139,23 @@ def minhash_signature_pudf(k: int = 3, n_hashes: int = N_MINHASH):
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
+                      n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+                      star_threshold: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
     docs -> shingles -> signature (Arrow pandas UDF) -> per-band hash ->
     self-join on (band, band_hash). Only documents sharing a band bucket ever
     meet in the shuffle (bucket join, not all-pairs). Returns distinct
     (id_a, id_b), id_a < id_b.
+
+    ``star_threshold`` is the 100 TB clique guard: a band bucket holding a
+    B-member boilerplate family emits B(B-1)/2 clique pairs — at B=10^5
+    that is 5*10^9 rows from ONE bucket. Buckets larger than the threshold
+    instead emit a STAR (every member paired to the bucket's min id):
+    O(B) pairs with IDENTICAL transitive connectivity, so ``dedup_groups``
+    output is unchanged (stars and cliques have the same components);
+    only the sub-threshold buckets pay the quadratic join. Default None
+    preserves exact clique emission (the gate-oracle semantics).
     """
     r = n_hashes // bands
     sig = _widen(docs).select(
@@ -164,15 +174,28 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # materialize before the self-join: otherwise both sides re-scan the
     # source and re-evaluate the full signature expression
     banded = banded.localCheckpoint(eager=True)
+    star = None
+    if star_threshold is not None:
+        from pyspark.sql import Window
+        wb = Window.partitionBy("band", "bhash")
+        bb = (banded.withColumn("_bn", F.count("*").over(wb))
+              .withColumn("_hub", F.min("_id").over(wb)))
+        star = (bb.filter((F.col("_bn") > star_threshold)
+                          & (F.col("_id") != F.col("_hub")))
+                .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b")))
+        banded = (bb.filter(F.col("_bn") <= star_threshold)
+                  .select("_id", "band", "bhash")
+                  .localCheckpoint(eager=True))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def dedup_groups(docs: DataFrame, pairs: DataFrame, text_col: str = "text",

@@ -171,6 +171,33 @@ def test_dedup_groups_transitive_keeper(spark):
     assert set(drop) == {1, 3, 6}
 
 
+def test_minhash_star_threshold_same_groups_linear_pairs(spark):
+    """The clique guard: a 60-member boilerplate family must emit O(B) star
+    pairs instead of B(B-1)/2 clique pairs, while dedup_groups resolves the
+    IDENTICAL components (stars and cliques share connectivity); normal
+    sub-threshold near-dups are byte-identical to the default path."""
+    fam = [(i, "terms of service apply to all users of this site") for i in range(60)]
+    normal = [(100, "the quick brown fox jumps over the lazy dog"),
+              (101, "the quick brown fox jumps over the lazy cat"),
+              (200, "completely unrelated content about spark engines")]
+    df = spark.createDataFrame(fam + normal, "doc_id long, text string")
+    clique = DD.minhash_lsh_pairs(df).toPandas()
+    starred = DD.minhash_lsh_pairs(df, star_threshold=10).toPandas()
+    # family: 59 star pairs (hub=0) instead of 1770 clique pairs
+    assert len(starred[starred.id_b < 100]) == 59
+    assert (starred[starred.id_b < 100].id_a == 0).all()
+    assert len(clique[clique.id_b < 100]) == 60 * 59 / 2
+    # the sub-threshold pair is untouched
+    assert (100, 101) in set(map(tuple, starred[["id_a", "id_b"]].to_numpy()))
+    # identical transitive groups either way
+    for pairs in (clique, starred):
+        g = DD.dedup_groups(df, spark.createDataFrame(pairs)).toPandas()
+        fam_g = g[g.doc_id < 100]
+        assert len(fam_g) == 60 and set(fam_g.group_id) == {0} \
+            and set(fam_g.group_size) == {60}
+        assert set(g[g.doc_id >= 100].doc_id) == {100, 101}
+
+
 def test_dedup_groups_plan_no_cartesian(spark):
     """The group-resolution plan must stay bucketed: no CartesianProduct
     anywhere (pairs meet through equi-joins only), and the keeper window is
