@@ -424,7 +424,8 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
                                  vec_col: str = "embedding",
                                  threshold: float = 0.95,
                                  n_planes: int = 8,
-                                 probe_radius: int = 1) -> DataFrame:
+                                 probe_radius: int = 1,
+                                 star_threshold: int | None = None) -> DataFrame:
     """Embedding near-dup pairs at scale: sign-LSH bucket prefilter + exact
     cosine verification of candidates. NO cartesian join — the self-join is
     an equi-join on the bucket id, so only same-bucket pairs shuffle
@@ -437,11 +438,39 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
     so recall = P[Binomial(n_planes, arccos(t)/pi) <= probe_radius]; exact
     duplicates (cosine 1.0, identical vectors) always share a bucket.
     Reported cosine values are exact (verified per candidate).
+
+    ``star_threshold`` is the same clique guard as minhash_lsh_pairs: a
+    bucket holding a B-member exact-dup embedding family would emit B²/2
+    candidate pairs; above the threshold its members instead pair only with
+    the bucket's min id (exact cosine still verified), O(B) pairs with the
+    same transitive connectivity for dedup_groups. Guarded members skip the
+    multi-probe path, so a guarded member's sub-threshold NEIGHBOR-bucket
+    matches are traded away — the documented recall trade for not
+    materializing 10^10 rows; exact-dup families (the case that creates
+    oversized buckets) lose nothing. Default None = exact clique semantics
+    (the gate oracle's).
     """
     from .similarity import cosine_expr, lsh_buckets
     v = _widen(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                            lsh_buckets(F.col(vec_col), dim, n_planes).alias("_b"))
     v = v.localCheckpoint(eager=True)  # both join sides reuse the buckets
+    star = None
+    if star_threshold is not None:
+        from pyspark.sql import Window
+        wb = Window.partitionBy("_b")
+        vv = (v.withColumn("_bn", F.count("*").over(wb))
+              .withColumn("_hub", F.min("_id").over(wb)))
+        hubs = vv.filter(F.col("_id") == F.col("_hub")) \
+                 .select(F.col("_hub").alias("_h"), F.col("_v").alias("_hv"))
+        star = (vv.filter((F.col("_bn") > star_threshold)
+                          & (F.col("_id") != F.col("_hub")))
+                .join(hubs, F.col("_hub") == F.col("_h"))
+                .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b"),
+                        F.round(cosine_expr(F.col("_hv"), F.col("_v")), 6)
+                         .alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+        v = (vv.filter(F.col("_bn") <= star_threshold)
+             .select("_id", "_v", "_b").localCheckpoint(eager=True))
     probes = [F.col("_b")]
     if probe_radius >= 1:
         probes += [F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
@@ -449,11 +478,13 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
         probes += [F.col("_b").bitwiseXOR(F.lit((1 << p) | (1 << q)))
                    for p in range(n_planes) for q in range(p + 1, n_planes)]
     left = v.select("_id", "_v", F.explode(F.array(*probes)).alias("_b"))
-    return (
+    pairs = (
         left.alias("a").join(v.alias("b"), "_b")
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                 F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()

@@ -346,6 +346,31 @@ def test_embedding_dups_bucketed_matches_brute(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_embedding_star_threshold_same_groups(spark):
+    """Embedding clique guard: a 50-member identical-vector family emits 49
+    hub-star pairs (exact cosine 1.0) instead of 1225, with identical
+    dedup_groups components; sub-threshold buckets keep clique emission."""
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    vecs[:50] = vecs[0]                      # one exact-dup family
+    vecs[55] = vecs[54] * 2.0                # a normal pair (cos=1)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(60), "embedding": [v.tolist() for v in vecs]}))
+    starred = DD.embedding_dup_pairs_bucketed(
+        emb, dim=16, threshold=0.99, star_threshold=10).toPandas()
+    fam = starred[starred.id_b < 50]
+    assert len(fam) == 49 and (fam.id_a == 0).all() and (fam.cosine == 1.0).all()
+    assert (54, 55) in set(map(tuple, starred[["id_a", "id_b"]].to_numpy()))
+    docs_like = spark.createDataFrame(
+        [(int(i), "x" * int(i + 1)) for i in range(60)], "doc_id long, text string")
+    g = DD.dedup_groups(docs_like,
+                        spark.createDataFrame(starred[["id_a", "id_b"]]),
+                        ).toPandas()
+    fam_g = g[g.doc_id < 50]
+    assert len(fam_g) == 50 and set(fam_g.group_size) == {50} \
+        and set(fam_g.keeper_id) == {49}     # longest text keeper
+
+
 def test_ngram_jaccard_max_df_cap(spark):
     """DF-capped candidate generation still reports exact jaccard values and
     keeps pairs that share any below-cap shingle."""
