@@ -151,17 +151,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
     centroids = kmeans_pp_centers(X, min(n_centroids, len(X)), seed=35799)
 
+    from ..operators.clustering import pairwise_d2
+
     @F.pandas_udf(TY.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        d2 = ((V[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+        # GEMM-form distances (round 4): the (batch, k, d) broadcast
+        # temporary was the per-batch hot allocation of the whole index build
+        return pd.Series(np.argmin(pairwise_d2(V, centroids), axis=1).astype(np.int32))
 
     @F.pandas_udf(TY.ArrayType(TY.IntegerType()))
     def probes(vecs: pd.Series) -> pd.Series:
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        d2 = ((V[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        order = np.argsort(pairwise_d2(V, centroids), axis=1,
+                           kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
     c = _widen(corpus).withColumn("_list", assign(F.col(vec_col)))

@@ -28,16 +28,30 @@ UNDEF = -9999.0
 
 # ---------------------------------------------------------------- numpy core
 
+def pairwise_d2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances (n, k) in GEMM form:
+    ||x||² + ||c||² − 2x·c. The naive (X[:,None,:]-C)² broadcast allocates an
+    (n, k, d) temporary — at n=10⁶, k=64, d=64 that is 32 GB per Arrow batch
+    chain; the GEMM form is one n×k matmul (round 4: this is the per-batch
+    hot loop of IVF assignment and every Lloyd iteration). Tiny negative
+    values from cancellation are clipped so argmin/argsort ordering matches
+    exact arithmetic on distinct distances."""
+    d2 = ((X * X).sum(axis=1)[:, None] + (C * C).sum(axis=1)[None, :]
+          - 2.0 * (X @ C.T))
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
 def _kmeans_pp_init(X: np.ndarray, nc: int, rng: np.random.RandomState) -> np.ndarray:
     """k-means++ seeding (Arthur & Vassilvitskii 2007)."""
     n = X.shape[0]
     centers = np.empty((nc, X.shape[1]))
     centers[0] = X[rng.randint(n)]
-    d2 = np.sum((X - centers[0]) ** 2, axis=1)
+    d2 = pairwise_d2(X, centers[0:1])[:, 0]
     for k in range(1, nc):
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
         centers[k] = X[rng.choice(n, p=probs)]
-        d2 = np.minimum(d2, np.sum((X - centers[k]) ** 2, axis=1))
+        d2 = np.minimum(d2, pairwise_d2(X, centers[k:k + 1])[:, 0])
     return centers
 
 
@@ -50,7 +64,7 @@ def kmeans_pp_centers(X: np.ndarray, nc: int, seed: int = 35799,
     rng = np.random.RandomState(seed)
     centers = _kmeans_pp_init(X, nc, rng)
     for _ in range(max_iter):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = pairwise_d2(X, centers)
         labels = np.argmin(d2, axis=1)
         new_centers = centers.copy()
         for k in range(nc):
@@ -71,8 +85,7 @@ def kmeans_pp(X: np.ndarray, nc: int, seed: int = 35799,
     """Labels 0..nc-1 from ``kmeans_pp_centers``."""
     X = np.asarray(X, dtype=np.float64)
     centers = kmeans_pp_centers(X, nc, seed, max_iter, tol)
-    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    return np.argmin(d2, axis=1)
+    return np.argmin(pairwise_d2(X, centers), axis=1)
 
 
 def cluster_data(X: np.ndarray, nc: int) -> np.ndarray:
@@ -108,8 +121,7 @@ def fit_kmeans_fixed(X: np.ndarray, nc: int, seed: int = 1) -> np.ndarray:
     rng = np.random.RandomState(seed)
     centers = 0.5 * np.ones((nc, X.shape[1])) + 1e-4 * rng.standard_normal((nc, X.shape[1]))
     for _ in range(300):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        labels = np.argmin(d2, axis=1)
+        labels = np.argmin(pairwise_d2(X, centers), axis=1)
         new_centers = centers.copy()
         for k in range(nc):
             m = labels == k
@@ -123,8 +135,7 @@ def fit_kmeans_fixed(X: np.ndarray, nc: int, seed: int = 1) -> np.ndarray:
 
 
 def predict_kmeans(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
-    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    return np.argmin(d2, axis=1)
+    return np.argmin(pairwise_d2(X, centers), axis=1)
 
 
 # --------------------------------------------------------------- Spark M2/M3
