@@ -94,20 +94,41 @@ def lsh_buckets(vecs: Column, dim: int, n_planes: int = 8) -> Column:
 
 
 def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-                  n_planes: int = 8,
+                  n_planes: int = 8, probe_radius: int = 0,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   q_id_col: str = "query_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH bucket.
 
     The join is a bucket equi-join (shuffle on bucket id, or broadcast of the
     tiny query side); candidate count ~ N/2^n_planes per query instead of N.
+
+    ``probe_radius`` (round 4): multi-probe on the QUERY side only — each
+    query also scans every bucket within Hamming distance <= r of its own
+    (r=1 -> 1+n_planes buckets, r=2 adds the C(n_planes,2) two-flip
+    buckets). The corpus never re-shuffles or duplicates; candidates grow by
+    the probe count, and recall@k rises with r exactly as the
+    Goemans-Williamson per-plane flip probability predicts (measured at 1M
+    vectors in BASELINE.md). Default 0 keeps the single-bucket gate-oracle
+    semantics.
     """
     c = _widen(corpus).withColumn("_bucket", lsh_buckets(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("_bucket", lsh_buckets(F.col(q_vec_col), dim, n_planes))
+    if probe_radius >= 1:
+        probes = [F.col("_b0")]
+        probes += [F.col("_b0").bitwiseXOR(F.lit(1 << p))
+                   for p in range(n_planes)]
+        if probe_radius >= 2:
+            probes += [F.col("_b0").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+                       for p in range(n_planes) for r in range(p + 1, n_planes)]
+        q = (q.withColumnRenamed("_bucket", "_b0")
+             .withColumn("_bucket", F.explode(F.array(*probes)))
+             .drop("_b0"))
     scored = c.join(F.broadcast(q), "_bucket").select(
         F.col(q_id_col), F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
     )
+    if probe_radius >= 1:
+        scored = scored.dropDuplicates([q_id_col, id_col])
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

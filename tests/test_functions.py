@@ -398,3 +398,28 @@ def test_gradstime_roundtrip(spark):
     for ts, g, rt in zip(stamps, out["g"], out["rt"]):
         assert g == ts.strftime("%HZ%d%b%Y")
         assert datetime.datetime.strptime(g, "%HZ%d%b%Y") == rt.to_pydatetime()
+
+
+def test_bucketed_topk_multiprobe_recall_monotone(spark):
+    """Query-side multi-probe: r=0 results are a subset of r=1 which is a
+    subset of r=2 candidates; recall vs exact brute is monotone in r and
+    r=2 strictly beats r=0 on a corpus where neighbors straddle plane
+    boundaries. Schema/ranking contract identical at every r."""
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(400, 16)).astype(np.float64)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(400), "embedding": [v.tolist() for v in vecs]}))
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(5),
+        "q_vec": [(vecs[i] + rng.normal(scale=0.05, size=16)).tolist()
+                  for i in range(5)]}))
+    brute = SIM.cosine_topk(emb, qs, k=5).toPandas()
+    truth = set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
+    rec = {}
+    for r in (0, 1, 2):
+        got = SIM.bucketed_topk(emb, qs, dim=16, k=5, probe_radius=r).toPandas()
+        rec[r] = len(set(map(tuple, got[["query_id", "vec_id"]].to_numpy())) & truth)
+        assert set(got.columns) == {"query_id", "rank", "vec_id", "cosine"}
+        assert (got.groupby("query_id")["rank"].min() == 1).all()
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] > rec[0]
