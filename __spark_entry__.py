@@ -354,6 +354,14 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", DD.simhash_pudf(16)(F.col("text")).alias("simhash16"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 2 via pigeonhole banding (3 bands
+    of the 16-bit fingerprint; <= 2 flips leave >= 1 band equal, so recall
+    is EXACT by construction, unlike probabilistic MinHash banding)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, bits=16, max_hamming=2)
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting + character-class ratios (training-data QC)."""
     d = _t(spark, sf_dir, "documents")
@@ -1035,6 +1043,36 @@ def _sql_minhash_pairs() -> str:
 _SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
+def _sql_simhash16() -> str:
+    """CTE chain ending in fp(doc_id, simhash16) — the Catalyst-twin SimHash
+    (shared by the simhash and simhash_pairs oracles)."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16))
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)"
+                    for b in range(16))
+    return f"""tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                  FROM tok),
+            v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+            fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16 FROM v)"""
+
+
+def _sql_simhash_bands(bits: int = 16, max_hamming: int = 2) -> str:
+    """Band extraction mirroring dedup.simhash_pairs' contiguous edges."""
+    nb = max_hamming + 1
+    edges = [round(i * bits / nb) for i in range(nb + 1)]
+    rows = ", ".join(
+        f"({b}, {edges[b]}, {(1 << (edges[b + 1] - edges[b])) - 1})"
+        for b in range(nb))
+    return f"""bands(band, shift, mask) AS (VALUES {rows}),
+            banded AS (
+              SELECT doc_id, simhash16, band,
+                     (simhash16 >> shift) & mask AS bval
+              FROM fp, bands)"""
+
+
 def _sql_plane_literal(p: int) -> str:
     comps = SIM._plane(64, p)
     return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
@@ -1189,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count": q_distinct_count,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1401,18 +1440,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common / (sa.n + sb.n - common * 1.0) >= 0.3""",
         "simhash": f"""
-            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-            h AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-                  FROM tok),
-            v AS (SELECT doc_id,
-                  {', '.join(f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-                             for b in range(16))}
-                  FROM h GROUP BY doc_id)
-            SELECT doc_id,
-                   CAST({' + '.join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)"
-                                    for b in range(16))} AS BIGINT) AS simhash16
-            FROM v""",
+            WITH {_sql_simhash16()}
+            SELECT doc_id, simhash16 FROM fp""",
+        "simhash_pairs": f"""
+            WITH {_sql_simhash16()},
+            {_sql_simhash_bands(16, 2)}
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(bit_count(xor(l.simhash16, r.simhash16)) AS INTEGER)
+                     AS hamming
+            FROM banded l JOIN banded r USING (band, bval)
+            WHERE l.doc_id < r.doc_id
+              AND bit_count(xor(l.simhash16, r.simhash16)) <= 2""",
         "token_stats": r"""
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -308,6 +308,41 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 16,
+                  max_hamming: int = 2) -> DataFrame:
+    """All pairs with simhash hamming distance <= ``max_hamming`` — the
+    pigeonhole-banded plan with EXACT recall by construction: split the
+    ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous bands; any
+    pair differing in <= max_hamming bits leaves >= 1 band untouched, so the
+    per-band equi-join sees every qualifying pair (no probability, unlike
+    MinHash banding), and the exact popcount verify drops the rest. Only
+    same-band-value documents ever shuffle together; at 100 TB the band
+    value is the partition key. Returns distinct (id_a, id_b, hamming).
+    """
+    nb = max_hamming + 1
+    sig = _widen(docs).select(F.col(id_col).alias("_id"),
+                              simhash_pudf(bits)(F.col(text_col)).alias("_fp"))
+    # contiguous band boundaries covering all ``bits`` bits
+    edges = [round(i * bits / nb) for i in range(nb + 1)]
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("_fp"), edges[b])
+                  .bitwiseAND(F.lit((1 << (edges[b + 1] - edges[b])) - 1))
+                  .alias("bval"))
+        for b in range(nb)
+    ])
+    banded = (sig.select("_id", "_fp", F.explode(bands).alias("bb"))
+              .select("_id", "_fp", "bb.band", "bb.bval")
+              .localCheckpoint(eager=True))
+    return (banded.alias("l").join(banded.alias("r"), ["band", "bval"])
+            .filter(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                    hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,

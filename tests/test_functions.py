@@ -236,6 +236,26 @@ def test_ngram_capped_keeps_boilerplate_dups(spark):
     assert all(10 not in p for p in pairs)
 
 
+def test_simhash_pairs_exact_recall_vs_brute(spark):
+    """Pigeonhole banding has EXACT recall: simhash_pairs must equal the
+    brute all-pairs hamming filter on a corpus with near and far docs."""
+    rows = [(i, f"shared boilerplate text block number {i % 4} with tail {i}")
+            for i in range(30)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy dog"),
+             (102, "the quick brown fox jumps over a lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = DD.simhash_pairs(df, bits=16, max_hamming=3).toPandas()
+    fp = df.select("doc_id", DD.simhash_pudf(16)(F.col("text")).alias("f")).toPandas()
+    fps = dict(zip(fp.doc_id, fp.f))
+    ids = sorted(fps)
+    brute = {(a, b, bin(fps[a] ^ fps[b]).count("1"))
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert set(map(tuple, got.to_numpy())) == brute
+    assert (100, 101, 0) in brute            # identical text -> hamming 0
+
+
 def test_simhash_near_dups_close(spark):
     df = spark.createDataFrame(_DOCS)
     out = df.select("doc_id", DD.simhash(F.col("text")).alias("sh")).toPandas()
