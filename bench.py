@@ -117,7 +117,7 @@ PICKS = ["groupby_agg", "join_broadcast", "minhash_lsh", "ngram_jaccard",
 
 
 def run_queries(spark, sf_dir: str, warmup_dir: str | None = None,
-                reps: int | None = None) -> dict:
+                reps: int | None = None) -> tuple[dict, dict]:
     """Time each headline query in PINNED order, after one warm-up pass of
     the same queries at a small SF (JIT/codegen caches, Python worker pool,
     parquet footer caches). Round-1 showed 3-9x run-to-run noise on

@@ -477,13 +477,18 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
     ``star_threshold`` is the same clique guard as minhash_lsh_pairs: a
     bucket holding a B-member exact-dup embedding family would emit B²/2
     candidate pairs; above the threshold its members instead pair only with
-    the bucket's min id (exact cosine still verified), O(B) pairs with the
-    same transitive connectivity for dedup_groups. Guarded members skip the
-    multi-probe path, so a guarded member's sub-threshold NEIGHBOR-bucket
-    matches are traded away — the documented recall trade for not
-    materializing 10^10 rows; exact-dup families (the case that creates
-    oversized buckets) lose nothing. Default None = exact clique semantics
-    (the gate oracle's).
+    the bucket's min id (exact cosine still verified), O(B) pairs.
+
+    RECALL CONTRACT (weaker than the MinHash guard's): because pairs here
+    are cosine-VERIFIED, a star preserves components only when members are
+    similar to the hub — exactly the exact-/near-dup families that create
+    oversized buckets (cosine(hub, member) ~ 1, nothing lost). Two members
+    of an oversized bucket that are similar to each other but NOT to the
+    hub lose their pair, and guarded members also skip the multi-probe
+    neighbor buckets — the documented trade for not materializing 10^10
+    rows. (MinHash's guard emits unverified candidates, so its component
+    equivalence is exact.) Default None = exact clique semantics (the gate
+    oracle's).
     """
     from .similarity import cosine_expr, lsh_buckets
     v = _widen(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
@@ -506,12 +511,8 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
                 .filter(F.col("cosine") >= threshold))
         v = (vv.filter(F.col("_bn") <= star_threshold)
              .select("_id", "_v", "_b").localCheckpoint(eager=True))
-    probes = [F.col("_b")]
-    if probe_radius >= 1:
-        probes += [F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-    if probe_radius >= 2:
-        probes += [F.col("_b").bitwiseXOR(F.lit((1 << p) | (1 << q)))
-                   for p in range(n_planes) for q in range(p + 1, n_planes)]
+    from .similarity import probe_buckets
+    probes = probe_buckets(F.col("_b"), n_planes, probe_radius)
     left = v.select("_id", "_v", F.explode(F.array(*probes)).alias("_b"))
     pairs = (
         left.alias("a").join(v.alias("b"), "_b")

@@ -93,6 +93,20 @@ def lsh_buckets(vecs: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def probe_buckets(bucket: Column, n_planes: int, radius: int) -> list[Column]:
+    """All bucket ids within Hamming distance <= ``radius`` of ``bucket``
+    (including itself) — the ONE multi-probe enumeration shared by
+    bucketed_topk and dedup.embedding_dup_pairs_bucketed (a drifted copy
+    would silently change one path's recall semantics)."""
+    probes = [bucket]
+    if radius >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    if radius >= 2:
+        probes += [bucket.bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                   for p in range(n_planes) for q in range(p + 1, n_planes)]
+    return probes
+
+
 def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                   n_planes: int = 8, probe_radius: int = 0,
                   id_col: str = "vec_id", vec_col: str = "embedding",
@@ -114,12 +128,7 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     c = _widen(corpus).withColumn("_bucket", lsh_buckets(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("_bucket", lsh_buckets(F.col(q_vec_col), dim, n_planes))
     if probe_radius >= 1:
-        probes = [F.col("_b0")]
-        probes += [F.col("_b0").bitwiseXOR(F.lit(1 << p))
-                   for p in range(n_planes)]
-        if probe_radius >= 2:
-            probes += [F.col("_b0").bitwiseXOR(F.lit((1 << p) | (1 << r)))
-                       for p in range(n_planes) for r in range(p + 1, n_planes)]
+        probes = probe_buckets(F.col("_b0"), n_planes, probe_radius)
         q = (q.withColumnRenamed("_bucket", "_b0")
              .withColumn("_bucket", F.explode(F.array(*probes)))
              .drop("_b0"))

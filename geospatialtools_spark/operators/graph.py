@@ -91,6 +91,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = -1
     for _ in range(max_rounds):
         # propagate: comp(v) <- min(comp(v), min over neighbors u of comp(u))
         nbr = (sym.join(labels, sym.u == labels.node)
@@ -105,9 +106,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         changed = (new.alias("n")
                    .join(labels.select("node", F.col("comp").alias("_old")), "node")
                    .filter(F.col("comp") != F.col("_old")).count())
+        # new is materialized (eager checkpoint, lineage truncated), so the
+        # superseded round's cached blocks can go — without this a long
+        # curation job accumulates O(rounds x nodes) dead blocks per call
+        labels.unpersist()
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence would split one component into several
+        # groups, each electing its own keeper — duplicates would survive
+        # the curation anti-join with no signal. Pointer doubling converges
+        # in O(log diameter), so 32 rounds covers any realistic graph;
+        # hitting this means the input is pathological — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
     return labels
 
 

@@ -182,16 +182,23 @@ def _real_frames(payload: bytes, every_n: int) -> list[bytes]:
 
 
 def frame_sample(media_with_payload: DataFrame, every_n_bytes: int = 64,
-                 decode_stub: bool = True) -> DataFrame:
+                 decode_stub: bool = True,
+                 every_n_frames: int = 1) -> DataFrame:
     """Video-style frame sampling: emit one row per sampled "frame" (stub:
     per payload block; real: every Nth decoded PyAV frame) — the 1->N
-    mapInPandas expansion shape used for real frame extraction."""
+    mapInPandas expansion shape used for real frame extraction.
+
+    ``every_n_bytes`` sizes the STUB's byte chunks only; the real-codec
+    path samples every ``every_n_frames``-th decoded frame — two separate
+    parameters because they are different units (a caller tuned for 64-byte
+    stub chunks must not silently become a 1-in-64 frame sampler when the
+    seam flips to a real codec)."""
 
     def chunks_of(b: bytes) -> list[bytes]:
         if decode_stub:
             return [b[off:off + every_n_bytes]
                     for off in range(0, len(b), every_n_bytes)]
-        return _real_frames(b, max(every_n_bytes, 1))
+        return _real_frames(b, max(every_n_frames, 1))
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
