@@ -245,3 +245,32 @@ def test_exclusive_prefix_sum_matches_cumsum(spark):
     expect["pre"] = expect["v"].cumsum().shift(fill_value=0)
     pd.testing.assert_series_equal(out["pre"], expect["pre"].astype("int64"),
                                    check_names=False)
+
+
+# ------------------------------------------------ connected components
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=60))
+def test_connected_components_matches_union_find(spark, edges):
+    """Random pair graphs (self-loops, duplicates, arbitrary shapes):
+    distributed CC labels == python union-find, every node present."""
+    from geospatialtools_spark.operators.graph import connected_components
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    df = spark.createDataFrame([(int(a), int(b)) for a, b in edges],
+                               "id_a long, id_b long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expect
