@@ -17,12 +17,34 @@ SimHash, n-gram Jaccard, embedding cosine), all engine-side:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import normalize_text
 
 from .util import widen_to_parallelism as _widen
+
+_log = logging.getLogger(__name__)
+_guard_warned: set[str] = set()
+
+
+def _warn_weak_guard(op: str) -> None:
+    """One-time audit breadcrumb when a star guard with a WEAKER recall
+    contract is enabled (embedding / simhash guards verify star pairs
+    against the hub only, so member-member pairs inside an oversized bucket
+    that don't qualify against the hub are lost; guarded members also skip
+    multi-probe). The MinHash guard keeps exact component equivalence and
+    does not warn. Callers wanting a quantitative audit can count rows of
+    the banded/bucketed intermediate grouped by key with count > threshold."""
+    if op not in _guard_warned:
+        _guard_warned.add(op)
+        _log.warning(
+            "%s: star_threshold enabled — oversized buckets emit hub-star "
+            "pairs with a reduced member-member recall contract (see "
+            "docstring); disable the guard to recover exact clique "
+            "semantics at quadratic cost.", op)
 
 N_MINHASH = 16           # signature length
 LSH_BANDS = 4            # bands of 4 rows each -> catches J >~ 0.5 pairs
@@ -310,7 +332,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 16,
-                  max_hamming: int = 2) -> DataFrame:
+                  max_hamming: int = 2,
+                  star_threshold: int | None = None) -> DataFrame:
     """All pairs with simhash hamming distance <= ``max_hamming`` — the
     pigeonhole-banded plan with EXACT recall by construction: split the
     ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous bands; any
@@ -319,6 +342,24 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     MinHash banding), and the exact popcount verify drops the rest. Only
     same-band-value documents ever shuffle together; at 100 TB the band
     value is the partition key. Returns distinct (id_a, id_b, hamming).
+
+    ``star_threshold`` is the clique guard (round 5, mirrors
+    minhash_lsh_pairs): a B-member identical-boilerplate family has
+    identical fingerprints, so it lands WHOLE in one bucket of ALL
+    max_hamming+1 bands — ~(t+1)*B²/2 join rows before distinct (B=10⁵,
+    h<=3: ~2*10¹⁰). Band buckets larger than the threshold instead emit a
+    verified STAR: each member paired to the bucket's min-id hub, with the
+    exact popcount hamming(hub, member) computed at emission and the
+    ``<= max_hamming`` filter still applied — O(B) pairs.
+
+    RECALL CONTRACT (weaker than the MinHash guard's, same shape as the
+    embedding guard's): star pairs are hub-verified, so two members of an
+    oversized bucket within max_hamming of EACH OTHER but not of the hub
+    lose their pair. For the identical-fingerprint families that actually
+    create oversized buckets, hamming(hub, member) = 0 and nothing is lost —
+    components (and dedup_groups output) are identical to the clique's.
+    Default None preserves exact clique emission (the gate-oracle
+    semantics).
     """
     nb = max_hamming + 1
     sig = _widen(docs).select(F.col(id_col).alias("_id"),
@@ -335,12 +376,34 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     banded = (sig.select("_id", "_fp", F.explode(bands).alias("bb"))
               .select("_id", "_fp", "bb.band", "bb.bval")
               .localCheckpoint(eager=True))
-    return (banded.alias("l").join(banded.alias("r"), ["band", "bval"])
-            .filter(F.col("l._id") < F.col("r._id"))
-            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-                    hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    star = None
+    if star_threshold is not None:
+        _warn_weak_guard("simhash_pairs")
+        from pyspark.sql import Window
+        wb = Window.partitionBy("band", "bval")
+        # min over (_id, _fp) structs = the min-id member AND its
+        # fingerprint in one pass, so the star pair's hamming is computable
+        # at emission (struct ordering is lexicographic; _id keys are unique)
+        bb = (banded.withColumn("_bn", F.count("*").over(wb))
+              .withColumn("_hub", F.min(F.struct("_id", "_fp")).over(wb)))
+        star = (bb.filter((F.col("_bn") > star_threshold)
+                          & (F.col("_id") != F.col("_hub._id")))
+                .select(F.col("_hub._id").alias("id_a"),
+                        F.col("_id").alias("id_b"),
+                        hamming64(F.col("_hub._fp"), F.col("_fp"))
+                        .alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))
+        banded = (bb.filter(F.col("_bn") <= star_threshold)
+                  .select("_id", "_fp", "band", "bval")
+                  .localCheckpoint(eager=True))
+    pairs = (banded.alias("l").join(banded.alias("r"), ["band", "bval"])
+             .filter(F.col("l._id") < F.col("r._id"))
+             .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                     hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -496,6 +559,7 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
     v = v.localCheckpoint(eager=True)  # both join sides reuse the buckets
     star = None
     if star_threshold is not None:
+        _warn_weak_guard("embedding_dup_pairs_bucketed")
         from pyspark.sql import Window
         wb = Window.partitionBy("_b")
         vv = (v.withColumn("_bn", F.count("*").over(wb))

@@ -256,6 +256,39 @@ def test_simhash_pairs_exact_recall_vs_brute(spark):
     assert (100, 101, 0) in brute            # identical text -> hamming 0
 
 
+def test_simhash_star_threshold_same_groups_linear_pairs(spark):
+    """The simhash clique guard (round 5): a 60-member identical-boilerplate
+    family has identical fingerprints, so it fills ONE bucket of ALL
+    max_hamming+1 bands — the clique join form is (t+1)*B(B-1)/2 rows. With
+    star_threshold it must emit O(B) hub-star pairs (hamming exact at
+    emission), resolve the IDENTICAL dedup_groups components, and leave
+    sub-threshold near-dups byte-identical to the default path."""
+    fam = [(i, "terms of service apply to all users of this site")
+           for i in range(60)]
+    normal = [(100, "the quick brown fox jumps over the lazy dog"),
+              (101, "the quick brown fox jumps over a lazy dog"),
+              (200, "completely unrelated content about spark engines")]
+    df = spark.createDataFrame(fam + normal, "doc_id long, text string")
+    clique = DD.simhash_pairs(df, bits=16, max_hamming=3).toPandas()
+    starred = DD.simhash_pairs(df, bits=16, max_hamming=3,
+                               star_threshold=10).toPandas()
+    # family: 59 star pairs (hub=0, hamming 0) instead of 1770 clique pairs
+    fam_star = starred[starred.id_b < 100]
+    assert len(fam_star) == 59
+    assert (fam_star.id_a == 0).all() and (fam_star.hamming == 0).all()
+    assert len(clique[clique.id_b < 100]) == 60 * 59 / 2
+    # sub-threshold pairs are byte-identical to the unguarded plan
+    sub = lambda p: set(map(tuple, p[p.id_a >= 100].to_numpy()))
+    assert sub(starred) == sub(clique)
+    # identical transitive groups either way
+    for pairs in (clique, starred):
+        g = DD.dedup_groups(
+            df, spark.createDataFrame(pairs[["id_a", "id_b"]])).toPandas()
+        fam_g = g[g.doc_id < 100]
+        assert len(fam_g) == 60 and set(fam_g.group_id) == {0} \
+            and set(fam_g.group_size) == {60}
+
+
 def test_simhash_near_dups_close(spark):
     df = spark.createDataFrame(_DOCS)
     out = df.select("doc_id", DD.simhash(F.col("text")).alias("sh")).toPandas()
