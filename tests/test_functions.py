@@ -379,6 +379,36 @@ def test_ivf_topk_recall(spark):
         assert len(got & want) >= 3   # decent recall at nprobe=2/8
 
 
+def test_ivf_build_probe_split(spark):
+    """The round-5 index split: build once, probe many. Probing a built
+    index must equal the one-shot ivf_topk; a second probe with new queries
+    pays NO build action (corpus.count is never called when the caller
+    supplies n_corpus, and the assigned table is already materialized)."""
+    rng = np.random.RandomState(22)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(200), "embedding": [v.tolist() for v in vecs]}))
+
+    def q_df(ids):
+        return spark.createDataFrame(pd.DataFrame({
+            "query_id": ids, "q_vec": [vecs[i].tolist() for i in ids]}))
+
+    one_shot = SIM.ivf_topk(corpus, q_df([3, 7]), dim=8, k=5,
+                            n_centroids=4, nprobe=4).toPandas()
+    # n_corpus supplied -> the build must not count the corpus itself
+    corpus.count = lambda: (_ for _ in ()).throw(
+        AssertionError("build_ivf_index must not count when n_corpus given"))
+    index = SIM.build_ivf_index(corpus, dim=8, n_centroids=4, n_corpus=200)
+    split = SIM.ivf_probe(index, q_df([3, 7]), k=5, nprobe=4).toPandas()
+    a = one_shot.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = split.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # second query batch reuses the SAME index (different nprobe is a
+    # probe-time dial, no retrain/reassign)
+    again = SIM.ivf_probe(index, q_df([11]), k=3, nprobe=2).toPandas()
+    assert 11 in set(again["vec_id"]) and len(again) == 3
+
+
 def test_embedding_dups_bucketed_matches_brute(spark):
     """VERDICT r1: the embedding near-dup query must use the bucketed path —
     same output as the brute self-join, and no cartesian product in the
