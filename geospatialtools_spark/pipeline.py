@@ -1,10 +1,15 @@
-"""End-to-end tiling pipeline (SURVEY.md §3.1 lifecycle) — the engine's
-equivalent of the reference's HydroBlocks preprocessing driver, as a
-checkpoint-resumable chain of pure stages:
+"""End-to-end pipelines: the terrain tiling chain (SURVEY.md §3.1
+lifecycle — the engine's equivalent of the reference's HydroBlocks
+preprocessing driver) and the training-data curation chain (round 5),
+both as checkpoint-resumable sequences of pure stages:
 
     dem -> planchon fill -> D8 fdir -> accumulation -> channels+topology ->
     basins -> HAND -> hillslopes -> k-means tiles -> HRUs ->
     basin/hillslope/HRU property tables
+
+    docs -> exact dedup -> near-dup group resolution (MinHash pairs ->
+    transitive clusters -> drop non-keepers) -> quality filter -> PII
+    scrub -> train/val split -> budget shards
 
 Every stage commits through plans.checkpointing.StageRunner (parquet +
 manifest, the sandbox stand-in for an Iceberg snapshot): a killed run
@@ -134,6 +139,97 @@ def run_terrain_pipeline(spark: SparkSession, cells: DataFrame, meta: GridMeta,
             with_tiles.join(hrus, ["i", "j"]), hp, res))
     out["channel_props"] = runner.run_stage(
         "channel_props", lambda: Z.channel_properties(zone_cells, res))
+
+    out["_metrics"] = runner.metrics  # type: ignore[assignment]
+    return out
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for ``run_curation_pipeline``. ``star_threshold`` defaults ON
+    (the clique guard): a production corpus always contains boilerplate
+    families, and an unguarded band join over one is the last quadratic
+    path in the dedup surface; pass None to recover exact clique emission
+    for calibration runs."""
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    weight_col: str = "n_chars"
+    quality_min: float = 0.3
+    splits: dict[str, float] = field(default_factory=lambda: {"train": 0.9,
+                                                              "val": 0.1})
+    train_split: str = "train"
+    shard_budget: int = 50_000
+    star_threshold: int | None = 64
+
+    def as_dict(self) -> dict:
+        return {"id": self.id_col, "text": self.text_col,
+                "w": self.weight_col, "qmin": self.quality_min,
+                "splits": self.splits, "train": self.train_split,
+                "budget": self.shard_budget, "star": self.star_threshold}
+
+
+def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
+                          config: CurationConfig,
+                          ckpt_root: str) -> dict[str, DataFrame]:
+    """Run (or resume) the full training-data curation chain; returns the
+    named stage outputs (the library twin of ``run_terrain_pipeline`` —
+    VERDICT r4 item 4 promoted this out of tests/test_sampling.py).
+
+    Stages, each committed through StageRunner (resume recomputes nothing):
+
+    - ``dedup``: exact dedup — keep a row iff its content hash has no dup
+      group (left-join miss) or it IS the group's keeper. One broadcastable
+      join over the O(dup groups) table, no driver collection.
+    - ``near_dedup``: MinHash-LSH candidate pairs (clique-guarded by
+      default) -> ``dedup_groups`` transitive resolution -> anti-join the
+      non-keepers out. The group table is O(dup docs), never the corpus.
+    - ``quality``: drop rows under ``quality_min``.
+    - ``scrub``: PII redaction in place.
+    - ``split``: deterministic hash split (stable under append/repartition).
+    - ``shard``: budget-packed contiguous shards of the train split.
+    """
+    from .functions.dedup import dedup_groups, exact_dups, minhash_lsh_pairs
+    from .functions.sampling import hash_split, shard_by_budget
+    from .functions.textstats import quality_score, redact_pii
+
+    idc, txt = config.id_col, config.text_col
+    runner = StageRunner(spark, ckpt_root,
+                         {"pipeline": "curation", **config.as_dict()})
+    out: dict[str, DataFrame] = {}
+
+    deduped = runner.run_stage("dedup", lambda: docs
+        .withColumn("content_hash", F.md5(txt))
+        .join(F.broadcast(exact_dups(docs, text_col=txt, id_col=idc)),
+              "content_hash", "left")
+        .filter(F.col("keeper_id").isNull() |
+                (F.col(idc) == F.col("keeper_id")))
+        .drop("content_hash", "keeper_id", "n_dups"))
+    out["dedup"] = deduped
+
+    near = runner.run_stage("near_dedup", lambda: deduped.join(
+        dedup_groups(deduped,
+                     minhash_lsh_pairs(deduped, text_col=txt, id_col=idc,
+                                       star_threshold=config.star_threshold),
+                     text_col=txt, id_col=idc)
+        .filter(F.col(idc) != F.col("keeper_id")).select(idc),
+        idc, "left_anti"))
+    out["near_dedup"] = near
+
+    filtered = runner.run_stage("quality", lambda: near.withColumn(
+        "q", quality_score(F.col(txt))).filter(F.col("q") >= config.quality_min))
+    out["quality"] = filtered
+
+    scrubbed = runner.run_stage("scrub", lambda: filtered.withColumn(
+        txt, redact_pii(F.col(txt))))
+    out["scrub"] = scrubbed
+
+    split = runner.run_stage("split", lambda: hash_split(
+        scrubbed, idc, config.splits))
+    out["split"] = split
+
+    out["shard"] = runner.run_stage("shard", lambda: shard_by_budget(
+        split.filter(F.col("split") == config.train_split),
+        idc, config.weight_col, budget=config.shard_budget))
 
     out["_metrics"] = runner.metrics  # type: ignore[assignment]
     return out

@@ -85,71 +85,46 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
     """The full training-data curation chain — exact dedup -> NEAR-dup
     group resolution (round 4: MinHash pairs -> transitive clusters ->
     non-keepers dropped) -> quality filter -> PII scrub -> split -> shard —
-    composed through StageRunner snapshots: every stage commits, a resume
-    recomputes NOTHING, and the final cohorts are byte-identical across the
-    two runs (the determinism the sampling layer exists to provide)."""
-    from pyspark.sql import functions as F
-
-    from geospatialtools_spark.functions.dedup import (dedup_groups,
-                                                       exact_dups,
-                                                       minhash_lsh_pairs)
-    from geospatialtools_spark.functions.sampling import (hash_split,
-                                                          shard_by_budget)
-    from geospatialtools_spark.functions.textstats import (quality_score,
-                                                           redact_pii)
-    from geospatialtools_spark.plans.checkpointing import StageRunner
+    through the PUBLIC ``run_curation_pipeline`` entry point (round 5; the
+    chain used to live only in this test), clique guard at its ON default:
+    every stage commits via StageRunner, a resume recomputes NOTHING, and
+    the final cohorts are byte-identical across the two runs (the
+    determinism the sampling layer exists to provide)."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
 
     root = str(tmp_path / "curation")
     sf = "/root/testdata/sf0.001"
+    cfg = CurationConfig()
+    assert cfg.star_threshold is not None       # guard defaults ON
 
     def run():
-        r = StageRunner(spark, root, {"pipeline": "curation", "v": 1})
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # keep a row iff its content hash has no dup group (left-join miss)
-        # or it IS the group's keeper — one broadcastable join, no driver
-        # collection, the shape that scales to 10^12 docs
-        deduped = r.run_stage("dedup", lambda: docs
-            .withColumn("content_hash", F.md5("text"))
-            .join(F.broadcast(exact_dups(docs)), "content_hash", "left")
-            .filter(F.col("keeper_id").isNull() |
-                    (F.col("doc_id") == F.col("keeper_id")))
-            .drop("content_hash", "keeper_id", "n_dups"))
-        # near-dup group resolution: pairs -> transitive clusters -> drop
-        # every non-keeper (anti-join; the group table is O(dup docs))
-        near = r.run_stage("near_dedup", lambda: deduped.join(
-            dedup_groups(deduped, minhash_lsh_pairs(deduped))
-            .filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id"),
-            "doc_id", "left_anti"))
-        filtered = r.run_stage("quality", lambda: near.withColumn(
-            "q", quality_score(F.col("text"))).filter(F.col("q") >= 0.3))
-        scrubbed = r.run_stage("scrub", lambda: filtered.withColumn(
-            "text", redact_pii(F.col("text"))))
-        split = r.run_stage("split", lambda: hash_split(
-            scrubbed, "doc_id", {"train": 0.9, "val": 0.1}))
-        sharded = r.run_stage("shard", lambda: shard_by_budget(
-            split.filter(F.col("split") == "train"),
-            "doc_id", "n_chars", budget=50_000))
-        return r, sharded
+        out = run_curation_pipeline(spark, docs, cfg, root)
+        return out["_metrics"], out["shard"]
 
     r1, out1 = run()
-    assert all(not m.get("resumed") for m in r1.metrics)
+    assert all(not m.get("resumed") for m in r1)
     pdf1 = out1.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert len(pdf1) > 100                      # a real train cohort
     assert pdf1["shard"].nunique() > 1          # actually sharded
     # group resolution left exactly one member per transitive near-dup
     # cluster, so MinHash over the surviving corpus finds ZERO pairs (any
     # surviving pair would mean two keepers in one component)
+    from geospatialtools_spark.functions.dedup import minhash_lsh_pairs
     near_out = spark.read.parquet(f"{root}/near_dedup")
     assert minhash_lsh_pairs(near_out).count() == 0
     assert near_out.count() < spark.read.parquet(f"{root}/dedup").count()
 
     r2, out2 = run()                            # resume: zero recompute
-    assert all(m.get("resumed") for m in r2.metrics)
+    assert all(m.get("resumed") for m in r2)
     pdf2 = out2.toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(pdf1, pdf2)
 
-    # snapshot log recorded one commit per stage, in order
-    stages = [e["stage"] for e in r2.snapshots()]
+    # one commit per stage, in order (read back through the snapshot log)
+    from geospatialtools_spark.plans.checkpointing import StageRunner
+    r = StageRunner(spark, root, {"pipeline": "curation", **cfg.as_dict()})
+    stages = [e["stage"] for e in r.snapshots()]
     assert stages == ["dedup", "near_dedup", "quality", "scrub", "split",
                       "shard"]
 
