@@ -16,6 +16,17 @@ from .grid import UNDEF, GridMeta
 SEED = 42
 
 
+def dem_meta(nx: int, ny: int, tile: int) -> GridMeta:
+    """The one place the synthetic DEM's grid geometry is defined. Scripts
+    that ingest via ``make_dem`` but need the meta before/without the arrays
+    (e.g. resumable legs that skip the ingest stage) must call this rather
+    than re-deriving resx/resy, so geometry can never diverge from the
+    ingested cell table."""
+    return GridMeta(nx=nx, ny=ny, minx=-30.0, miny=10.0,
+                    resx=30.0 / ny / 3600.0 * 100, resy=30.0 / nx / 3600.0 * 100,
+                    tile=tile)
+
+
 def make_dem(nx: int = 128, ny: int = 128, tile: int = 64) -> tuple[GridMeta, np.ndarray, np.ndarray]:
     """F1: synthetic DEM — two Gaussian hills + tilted plane + seeded noise.
 
@@ -24,9 +35,7 @@ def make_dem(nx: int = 128, ny: int = 128, tile: int = 64) -> tuple[GridMeta, np
     (``terrain_tools.f90:961-980``). Returns (meta, dem(float32), mask(int32)).
     """
     rng = np.random.RandomState(SEED)
-    meta = GridMeta(nx=nx, ny=ny, minx=-30.0, miny=10.0,
-                    resx=30.0 / ny / 3600.0 * 100, resy=30.0 / nx / 3600.0 * 100,
-                    tile=tile)
+    meta = dem_meta(nx, ny, tile)
     ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
     x = jj / max(ny - 1, 1)
     y = ii / max(nx - 1, 1)

@@ -70,12 +70,20 @@ def seq_ids(df: DataFrame, order_cols: list[str], out_col: str,
 def exclusive_prefix_sum(df: DataFrame, order_cols: list[str], val_col: str,
                          out_col: str) -> DataFrame:
     """Add ``out_col`` = sum of ``val_col`` over all rows strictly before
-    this one in ascending ``order_cols`` order (first row gets 0)."""
+    this one in ascending ``order_cols`` order (first row gets 0).
+
+    ``val_col`` is an INTEGER weight (the contract — all call sites pass
+    counts/byte sizes); it is cast to long before both the per-partition
+    window sum and the cross-partition offset totals, so the two legs
+    accumulate in the same integer domain and the result is exact. A
+    fractional column would be truncated per-row by the cast — pass a
+    pre-rounded column if that ever matters."""
     d = _partitioned(df, order_cols)
+    v = F.col(val_col).cast("long")
     w = (Window.partitionBy("_pid")
          .orderBy(*[F.col(c).asc() for c in order_cols])
          .rowsBetween(Window.unboundedPreceding, -1))
-    d = d.withColumn("_local", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
-    off = _offsets_map(d, F.sum(val_col))
+    d = d.withColumn("_local", F.coalesce(F.sum(v).over(w), F.lit(0)))
+    off = _offsets_map(d, F.sum(v))
     return (d.withColumn(out_col, (off + F.col("_local")).cast("long"))
             .drop("_pid", "_local"))

@@ -30,16 +30,14 @@ def main() -> int:
     import numpy as np
 
     from geospatialtools_spark import fixtures
-    from geospatialtools_spark.grid import GridMeta, cells_df
+    from geospatialtools_spark.grid import cells_df
     from geospatialtools_spark.plans.checkpointing import StageRunner
     from geospatialtools_spark.session import get_spark
 
     spark = get_spark("fill-solo")
     n, tile = args.nx, args.tile
     r = StageRunner(spark, args.ckpt, {"job": "fill_solo", "n": n, "tile": tile})
-    meta = GridMeta(nx=n, ny=n, minx=-30.0, miny=10.0,
-                    resx=30.0 / n / 3600.0 * 100, resy=30.0 / n / 3600.0 * 100,
-                    tile=tile)
+    meta = fixtures.dem_meta(n, n, tile)
 
     def ingest():
         m, dem, mask = fixtures.make_dem(n, n, tile=tile)
