@@ -32,6 +32,33 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
 
 
+# Performance laws for Catalyst regex on THIS engine (round 5, all measured
+# at 8M ~90-char docs, local[32], pyspark 4.1 — mechanisms in the JVM are
+# opaque, the rules are empirical and reproduced across fresh sessions):
+#
+# 1. SIBLING regexp_replace — two different patterns whose results are
+#    combined in one expression tree (`len(replace(t,p1)) + len(replace(
+#    t,p2))`) — is catastrophic: 54-58 s where each alone is 2-5 s and the
+#    same pattern twice is 3 s (CSE'd). CHAINED replaces (output feeding
+#    the next, as in redact_pii) are fine: 3 patterns in 5.8 s.
+# 2. A complement char class that matches nothing in the data
+#    (`[^a-z0-9\s]` on alnum+space text) is slow even ALONE: 69-75 s,
+#    where `[^0-9]`/`[^a-z0-9]`/positive classes/literals — zero-match or
+#    not — run 1-3 s.
+# 3. `regexp_count` is slow unconditionally (73 s for ONE positive class).
+# 4. `split` and `regexp_extract_all` are well-behaved, including several
+#    patterns side by side (lang_id's four alternations ~2 s each).
+#
+# Hence the shapes below: token_count uses one `split`, _hits one
+# `regexp_extract_all` per language, punct_ratio the one `regexp_replace`
+# in any hot projection, digit/upper counting uses `translate` (char-map
+# deletion, no regex, value-identical for enumerable classes), and
+# normalize_text is a single positive-class extract_all.
+
+_DIGITS = "0123456789"
+_UPPERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
     n = F.length(text)
@@ -41,13 +68,13 @@ def punct_ratio(text: Column) -> Column:
 
 def upper_ratio(text: Column) -> Column:
     n = F.length(text)
-    up = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    up = n - F.length(F.translate(text, _UPPERS, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(up.cast("double") / n)
 
 
 def digit_ratio(text: Column) -> Column:
     n = F.length(text)
-    d = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    d = n - F.length(F.translate(text, _DIGITS, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(d.cast("double") / n)
 
 
@@ -64,14 +91,19 @@ STOPWORDS = {
 
 
 def _hits(text: Column, words: list[str]) -> Column:
-    """Number of stopword OCCURRENCES (word-boundary matches, case-insensitive)."""
-    lower = F.lower(text)
-    total = F.lit(0)
-    for w in words:
-        pat = rf"\b{w}\b"
-        removed = F.length(lower) - F.length(F.regexp_replace(lower, pat, ""))
-        total = total + removed / len(w)
-    return total.cast("long")
+    """Number of stopword OCCURRENCES (word-boundary matches, case-insensitive).
+
+    ONE alternation-regex pass (round 5): the original per-word form — 8
+    regexp_replace passes whose length differences were summed — was
+    count-equivalent but violated the one-pattern-per-function-type rule
+    above 8 times over (full quality_score measured 86.7 s -> 10.9 s at 8M
+    docs after this + the translate ratios). Word-boundary literal-word
+    matches cannot overlap, so the single alternation counts exactly the
+    same occurrences; the DuckDB oracle twin deliberately keeps the
+    per-word length-difference formulation as an independent check."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))) \
+            .cast("long")
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
@@ -88,6 +120,10 @@ def lang_id(text: Column) -> Column:
     language is tied at the max (ties broken by language-code sort order,
     deterministic in both engines).
     """
+    # four alternation passes, one per language (measured: regexp_extract_all
+    # does NOT suffer the regexp_replace pattern-cache thrash, and a single
+    # 32-word union pass + per-language array filters re-evaluates the match
+    # array under the WHEN chain and comes out 2.5x slower)
     hits = {lang: _hits(text, ws) for lang, ws in sorted(STOPWORDS.items())}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
@@ -102,7 +138,11 @@ def quality_score(text: Column) -> Column:
     n_tok = token_count(text)
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
     sw = stopword_ratio(text)
-    sw_ok = F.when(sw >= 0.05, F.lit(0.3)).otherwise(sw / 0.05 * 0.3)
+    # least-form of WHEN sw>=0.05 THEN 0.3 ELSE sw/0.05*0.3: bit-identical
+    # (division rounding is monotone, so sw<0.05 => sw/0.05 <= 1.0), but the
+    # expensive `sw` subtree appears ONCE — CASE WHEN referencing it in both
+    # the predicate and a branch defeated codegen subexpression elimination
+    sw_ok = F.least(sw / 0.05 * 0.3, F.lit(0.3))
     noise = punct_ratio(text) * 0.5 + digit_ratio(text) * 0.5
     noise_pen = F.least(noise * 0.6, F.lit(0.3))
     return F.round(len_ok + sw_ok + (0.3 - noise_pen), 6)
@@ -110,11 +150,21 @@ def quality_score(text: Column) -> Column:
 
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
-    strip punctuation."""
-    t = F.lower(text)
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
-    t = F.regexp_replace(t, r"\s+", " ")
-    return F.trim(t)
+    strip punctuation — i.e. the lowercase [a-z0-9] runs joined by single
+    spaces.
+
+    Round 5: ONE positive-class regexp_extract_all pass. The original
+    two-regexp_replace chain ([^a-z0-9\\s] -> ' ', then \\s+ -> ' ', then
+    trim) produced the identical string (proven on the gate corpora plus
+    empty/punct-only/unicode adversarial inputs) but measured 70.9 s at 8M
+    docs vs 2.0 s for this form — the complement-class replace is one of
+    the pathological regexp_replace shapes documented atop this module, and
+    normalize_text sits under EVERY fingerprint/MinHash/SimHash/shingle
+    path. The DuckDB oracle keeps the replace-chain formulation as an
+    independent twin."""
+    return F.array_join(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0)),
+        " ")
 
 
 def fingerprint(text: Column) -> Column:
