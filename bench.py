@@ -319,15 +319,35 @@ def main_polys():
     }))
 
 
+def synth_planted_docs(spark, n: int):
+    """Controlled corpus with planted duplicate CLUSTERS — per 20-doc
+    block, docs m/m+1/m+2 form a transitive 3-cluster (m+1 = exact copy of
+    m, m+2 = m plus one appended token, jaccard ≈ 0.91 at 3-shingles), docs
+    m+10/m+11 a near 2-cluster — bodies are hash-random (xxhash64 tokens),
+    so the ONLY similar pairs are the planted ones and precision/recall are
+    exact ground truth, not estimates. (A linear-LCG body draft planted ~1M
+    accidental shift-overlap near-dups, which MinHash also found.)"""
+    from pyspark.sql import functions as F
+    mod = F.col("doc_id") % 20
+    src = F.when(mod == 1, F.col("doc_id") - 1) \
+           .when(mod == 2, F.col("doc_id") - 2) \
+           .when(mod == 11, F.col("doc_id") - 1) \
+           .otherwise(F.col("doc_id"))
+    body = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(
+            F.concat(src.cast("string"), F.lit("_"), i.cast("string"))),
+            F.lit(999983)).cast("string"))))
+    return (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.when((mod == 2) | (mod == 11),
+                                       F.concat(body, F.lit(" extraword")))
+                        .otherwise(body))
+            .localCheckpoint(eager=True))
+
+
 def main_dedup():
-    """Dedup-at-scale evidence (BASELINE.md): a controlled corpus with
-    planted duplicate CLUSTERS — per 20-doc block, docs m/m+1/m+2 form a
-    transitive 3-cluster (m+1 = exact copy of m, m+2 = m plus one appended
-    token, jaccard ≈ 0.91 at 3-shingles), docs m+10/m+11 a near 2-cluster —
-    bodies are hash-random (xxhash64 tokens), so the ONLY similar pairs are
-    the planted ones and precision/recall are exact ground truth, not
-    estimates. (A linear-LCG body draft planted ~1M accidental
-    shift-overlap near-dups, which MinHash also found.)
+    """Dedup-at-scale evidence (BASELINE.md) on the planted-cluster corpus
+    (synth_planted_docs).
 
     Beyond pair recall, this measures GROUP RESOLUTION (round 4): the
     3-clusters exist precisely so that dedup_groups must merge A~B and B~C
@@ -341,21 +361,7 @@ def main_dedup():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-dedup")
     n = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "500000"))
-    mod = F.col("doc_id") % 20
-    src = F.when(mod == 1, F.col("doc_id") - 1) \
-           .when(mod == 2, F.col("doc_id") - 2) \
-           .when(mod == 11, F.col("doc_id") - 1) \
-           .otherwise(F.col("doc_id"))
-    body = F.concat_ws(" ", F.transform(
-        F.sequence(F.lit(0), F.lit(11)),
-        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(
-            F.concat(src.cast("string"), F.lit("_"), i.cast("string"))),
-            F.lit(999983)).cast("string"))))
-    docs = (spark.range(n).select(F.col("id").alias("doc_id"))
-            .withColumn("text", F.when((mod == 2) | (mod == 11),
-                                       F.concat(body, F.lit(" extraword")))
-                        .otherwise(body))
-            .localCheckpoint(eager=True))
+    docs = synth_planted_docs(spark, n)
     minhash_lsh_pairs(docs.limit(5000)).count()   # warm
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs).localCheckpoint(eager=True)
@@ -402,6 +408,153 @@ def main_dedup():
     }))
 
 
+def main_curation():
+    """End-to-end curation-chain evidence for the round-5 library entry
+    point (pipeline.run_curation_pipeline): the planted-cluster corpus
+    through dedup -> near-dedup group resolution -> quality -> PII ->
+    split -> shard, every stage StageRunner-committed. The planted layout
+    makes survivorship EXACT ground truth, not an estimate: each 20-doc
+    block loses m/m+1 (exact + near dup of keeper m+2) and m+10 (near dup
+    of keeper m+11), so exactly 17/20 of the corpus survives and every
+    survivor block keeps m+2 and m+11. quality_min=0 isolates the dedup
+    semantics (hash-random token bodies have no natural-language stopword
+    profile for the quality score to rank)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-curation")
+    n = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "10000000"))
+    docs = synth_planted_docs(spark, n).withColumn(
+        "n_chars", F.length("text"))
+    ckpt = os.environ.get("SPARK_GRAFT_CURATION_CKPT") or tempfile.mkdtemp(
+        prefix="bench_curation_")
+    cfg = CurationConfig(quality_min=0.0, shard_budget=2_000_000)
+    t0 = time.time()
+    out = run_curation_pipeline(spark, docs, cfg, ckpt)
+    survivors = out["scrub"].localCheckpoint(eager=True)
+    n_out = survivors.count()
+    wall = round(time.time() - t0, 2)
+    # keeper correctness: the planted non-keepers (mod 0/1/10) must be gone,
+    # the planted keepers (mod 2/11) all present
+    mod = F.col("doc_id") % 20
+    n_nonkeepers = survivors.filter(mod.isin(0, 1, 10)).count()
+    n_keepers = survivors.filter(mod.isin(2, 11)).count()
+    n_shards = out["shard"].select("shard").distinct().count()
+    if not os.environ.get("SPARK_GRAFT_CURATION_CKPT"):
+        shutil.rmtree(ckpt, ignore_errors=True)
+    print(json.dumps({
+        "metric": "one-call curation pipeline on planted-cluster corpus",
+        "docs": n, "wall_s": wall, "docs_per_sec": round(n / wall, 1),
+        "survivors": n_out, "expected_survivors": n * 17 // 20,
+        "planted_nonkeepers_remaining": n_nonkeepers,
+        "planted_keepers_kept": n_keepers,
+        "planted_keepers_expected": 2 * (n // 20),
+        "train_shards": n_shards,
+        "stage_metrics": out["_metrics"],
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+def synth_vectors(spark, n: int, dim: int, id_name: str, vec_name: str,
+                  salt: str):
+    """Deterministic uniform-random unit-cube vectors, synthesized JVM-side
+    (no driver loop): component c of row i = xxhash64(i, salt, c) mapped to
+    [-1, 1]. Uniform-random is sign-LSH's WORST case (no cluster structure),
+    so the recall numbers below are floors — real embedding corpora cluster
+    and recall rises."""
+    from pyspark.sql import functions as F
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda c: (F.pmod(F.xxhash64(F.col(id_name), F.lit(salt), c),
+                          F.lit(2000003)).cast("double") / 1000001.0
+                   - 1.0).cast("float"))
+    return (spark.range(n).select(F.col("id").alias(id_name))
+            .withColumn(vec_name, comps))
+
+
+def main_ann():
+    """ANN recall/latency curve (VERDICT r4 item 6): at SPARK_GRAFT_ANN_VECS
+    corpus vectors (default 1M; the BASELINE series runs 1M and 10M), dim 64,
+    25 queries, top-10 — measure
+
+    - brute exact cosine (the ground truth AND the latency ceiling),
+    - IVF with the round-5 build/probe split: index build timed ONCE, then
+      every nprobe point pays only the probe (two probe reps per point, so
+      the artifact itself shows the second query not re-paying the build),
+    - sign-LSH bucket join at multi-probe radius 0/1/2.
+
+    Recall = |approx top-10 ∩ exact top-10| / (25 x 10), exact ground truth
+    (not sampled). One JSON line."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.similarity import (
+        bucketed_topk, build_ivf_index, cosine_topk, ivf_probe)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-ann")
+    n = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "1000000"))
+    dim, k, n_q, n_cent = 64, 10, 25, 64
+    corpus = synth_vectors(spark, n, dim, "vec_id", "embedding",
+                           "c").localCheckpoint(eager=True)
+    queries = synth_vectors(spark, n_q, dim, "query_id", "q_vec",
+                            "q").localCheckpoint(eager=True)
+
+    def topk_sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    # warm: tiny runs pay codegen + Python-worker spin-up
+    small = corpus.limit(10000).localCheckpoint(eager=True)
+    cosine_topk(small, queries, k=k).count()
+    ivf_probe(build_ivf_index(small, dim, n_centroids=8, n_corpus=10000),
+              queries, k=k, nprobe=2).count()
+
+    t0 = time.time()
+    truth = topk_sets(cosine_topk(corpus, queries, k=k).collect())
+    t_exact = round(time.time() - t0, 2)
+    denom = sum(len(v) for v in truth.values())
+
+    def recall(rows):
+        got = topk_sets(rows)
+        return round(sum(len(got.get(q, set()) & truth[q])
+                         for q in truth) / denom, 3)
+
+    t0 = time.time()
+    index = build_ivf_index(corpus, dim, n_centroids=n_cent, n_corpus=n)
+    t_build = round(time.time() - t0, 2)
+    ivf_points = []
+    for nprobe in (8, 32):
+        reps, rows = [], None
+        for _ in range(2):
+            t0 = time.time()
+            rows = ivf_probe(index, queries, k=k, nprobe=nprobe).collect()
+            reps.append(round(time.time() - t0, 2))
+        ivf_points.append({"nprobe": nprobe, "probe_wall_s_reps": reps,
+                           "probe_wall_s": min(reps), "recall": recall(rows)})
+    lsh_points = []
+    for r in (0, 1, 2):
+        t0 = time.time()
+        rows = bucketed_topk(corpus, queries, dim, k=k, n_planes=8,
+                             probe_radius=r).collect()
+        lsh_points.append({"radius": r,
+                           "wall_s": round(time.time() - t0, 2),
+                           "recall": recall(rows)})
+    print(json.dumps({
+        "metric": "ANN recall/latency (dim 64, top-10, 25 queries, "
+                  "uniform-random worst case)",
+        "vectors": n, "exact_wall_s": t_exact,
+        "ivf_build_wall_s": t_build, "n_centroids": n_cent,
+        "ivf": ivf_points, "lsh": lsh_points,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_flagship_only():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-flagship")
@@ -417,6 +570,10 @@ if __name__ == "__main__":
         main_polys()
     elif "--dedup" in sys.argv:
         main_dedup()
+    elif "--ann" in sys.argv:
+        main_ann()
+    elif "--curation" in sys.argv:
+        main_curation()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

@@ -3,12 +3,19 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() twin on DuckDB
 at the given sf dir; compare row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] [query ...] [--json OUT.json]
+
+``--json`` persists the run in the driver's CORRECTNESS_rNN.json shape
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err per entry,
+plus rows_only for non-SQL-expressible entries) — committed per round as
+CORRECTNESS_FULL_rNN.json so the entries past the driver's 50-entry
+recording window have a durable artifact too (round-4 ADVICE item).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -40,8 +47,15 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    record: dict[str, dict] = {}
 
     from geospatialtools_spark.session import get_spark
     spark = get_spark("oracle-check")
@@ -61,11 +75,17 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:300]}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark: {type(ex).__name__}: {str(ex)[:300]}"}
             n_fail += 1
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows [{t1-t0:.1f}s]")
+            record[name] = {"rows_only": True, "spark_rows": len(sdf),
+                            "err": None}
             if len(sdf) == 0:
                 print(f"  WARN {name}: 0 rows")
             continue
@@ -73,11 +93,18 @@ def main():
             odf = con.sql(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:300]}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None,
+                            "err": f"duckdb: {type(ex).__name__}: {str(ex)[:300]}"}
             n_fail += 1
             continue
         sn, sc, sh = canon(sdf)
         on, oc, oh = canon(odf)
         ok = (sn == on) and (sc == oc) and (sh == oh)
+        record[name] = {"rows_match": sn == on, "schema_match": sc == oc,
+                        "hash_match": sh == oh, "spark_rows": sn,
+                        "oracle_rows": on, "err": None}
         status = "PASS" if ok else "FAIL"
         if ok:
             n_pass += 1
@@ -95,6 +122,10 @@ def main():
                 print("  first diffs (spark vs oracle):")
                 print(pd.concat([sd[neq].head(3), od[neq].head(3)], axis=1).to_string()[:1500])
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": record}, f, indent=2)
+        print(f"wrote {json_out} ({len(record)} entries)")
 
 
 if __name__ == "__main__":
