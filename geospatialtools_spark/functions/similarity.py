@@ -217,14 +217,53 @@ def build_ivf_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
     return IvfIndex(assigned, centroids, id_col, vec_col)
 
 
+def persist_ivf_index(index: IvfIndex, path: str) -> None:
+    """Write the index in its 100 TB layout: the assigned corpus as parquet
+    PARTITIONED BY the list id — the physical realization of the build
+    docstring's "the assignment IS the index" — plus the tiny centroid
+    codebook as a sidecar parquet. A probe against the loaded table becomes
+    a partition-pruned READ of nprobe/n_centroids of the data (asserted on
+    the executed plan in ``test_ivf_persisted_index_partition_pruned_probe``),
+    not a filtered full scan."""
+    (index.assigned.write.mode("overwrite")
+     .partitionBy("_list").parquet(path + "/assigned"))
+    spark = index.assigned.sparkSession
+    rows = [(int(i), [float(x) for x in c], index.id_col, index.vec_col)
+            for i, c in enumerate(index.centroids)]
+    (spark.createDataFrame(
+        rows, "list_id int, centroid array<double>, id_col string, vec_col string")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/centroids"))
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Load a persisted IVF index; ``assigned`` is the partitioned parquet
+    table (NOT materialized into memory — probes prune its partitions)."""
+    cpdf = spark.read.parquet(path + "/centroids").orderBy("list_id").toPandas()
+    centroids = np.asarray([np.asarray(c, dtype=np.float64)
+                            for c in cpdf["centroid"]])
+    assigned = spark.read.parquet(path + "/assigned")
+    return IvfIndex(assigned, centroids,
+                    str(cpdf["id_col"].iloc[0]), str(cpdf["vec_col"].iloc[0]))
+
+
 def ivf_probe(index: IvfIndex, queries: DataFrame, k: int = 5,
               nprobe: int = 3, q_id_col: str = "query_id",
-              q_vec_col: str = "q_vec") -> DataFrame:
+              q_vec_col: str = "q_vec", static_prune: bool = True) -> DataFrame:
     """Probe a built IVF index: each query scans only its ``nprobe``
     nearest centroid lists (a bucket equi-join against the materialized
     assignment — at 100 TB a partition-pruned read of nprobe/n_centroids of
     the data), exact cosine re-rank inside. Recall grows with nprobe
     (nprobe = n_centroids -> exact).
+
+    ``static_prune`` (default on) additionally collects the probe batch's
+    distinct list ids — bounded by |queries| * nprobe, and queries are small
+    by this operator's contract (they are broadcast) — and applies them as a
+    LITERAL ``isin`` filter on the assigned table, so a file-backed index
+    written by ``persist_ivf_index`` shows the list restriction as
+    ``PartitionFilters`` on the parquet scan: files of unprobed lists are
+    never opened. Output is identical either way (the equi-join already
+    restricts rows); pass False for query tables too large to enumerate
+    driver-side.
     """
     from pyspark.sql import types as TY
 
@@ -241,7 +280,11 @@ def ivf_probe(index: IvfIndex, queries: DataFrame, k: int = 5,
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
     q = queries.withColumn("_list", F.explode(probes(F.col(q_vec_col))))
-    scored = index.assigned.join(F.broadcast(q), "_list").select(
+    assigned = index.assigned
+    if static_prune:
+        lists = sorted({r["_list"] for r in q.select("_list").distinct().collect()})
+        assigned = assigned.filter(F.col("_list").isin(lists))
+    scored = assigned.join(F.broadcast(q), "_list").select(
         F.col(q_id_col), F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
