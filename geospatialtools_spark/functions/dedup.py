@@ -200,14 +200,17 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     if star_threshold is not None:
         from pyspark.sql import Window
         wb = Window.partitionBy("band", "bhash")
+        # checkpoint the window output ONCE: star and the filtered band
+        # table both hang off it, and the lazy star branch would otherwise
+        # re-run the full (band, bhash) shuffle + window at action time
         bb = (banded.withColumn("_bn", F.count("*").over(wb))
-              .withColumn("_hub", F.min("_id").over(wb)))
+              .withColumn("_hub", F.min("_id").over(wb))
+              .localCheckpoint(eager=True))
         star = (bb.filter((F.col("_bn") > star_threshold)
                           & (F.col("_id") != F.col("_hub")))
                 .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b")))
-        banded = (bb.filter(F.col("_bn") <= star_threshold)
-                  .select("_id", "band", "bhash")
-                  .localCheckpoint(eager=True))
+        banded = bb.filter(F.col("_bn") <= star_threshold) \
+                   .select("_id", "band", "bhash")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -383,9 +386,12 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
         wb = Window.partitionBy("band", "bval")
         # min over (_id, _fp) structs = the min-id member AND its
         # fingerprint in one pass, so the star pair's hamming is computable
-        # at emission (struct ordering is lexicographic; _id keys are unique)
+        # at emission (struct ordering is lexicographic; _id keys are unique).
+        # Checkpoint the window output ONCE — star and the filtered band
+        # table both derive from it (see minhash_lsh_pairs).
         bb = (banded.withColumn("_bn", F.count("*").over(wb))
-              .withColumn("_hub", F.min(F.struct("_id", "_fp")).over(wb)))
+              .withColumn("_hub", F.min(F.struct("_id", "_fp")).over(wb))
+              .localCheckpoint(eager=True))
         star = (bb.filter((F.col("_bn") > star_threshold)
                           & (F.col("_id") != F.col("_hub._id")))
                 .select(F.col("_hub._id").alias("id_a"),
@@ -393,9 +399,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
                         hamming64(F.col("_hub._fp"), F.col("_fp"))
                         .alias("hamming"))
                 .filter(F.col("hamming") <= max_hamming))
-        banded = (bb.filter(F.col("_bn") <= star_threshold)
-                  .select("_id", "_fp", "band", "bval")
-                  .localCheckpoint(eager=True))
+        banded = bb.filter(F.col("_bn") <= star_threshold) \
+                   .select("_id", "_fp", "band", "bval")
     pairs = (banded.alias("l").join(banded.alias("r"), ["band", "bval"])
              .filter(F.col("l._id") < F.col("r._id"))
              .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
@@ -562,8 +567,12 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
         _warn_weak_guard("embedding_dup_pairs_bucketed")
         from pyspark.sql import Window
         wb = Window.partitionBy("_b")
+        # checkpoint the window output ONCE — star, hubs, and the filtered
+        # corpus all derive from it (the lazy star branch would otherwise
+        # re-run the bucket shuffle + window at action time)
         vv = (v.withColumn("_bn", F.count("*").over(wb))
-              .withColumn("_hub", F.min("_id").over(wb)))
+              .withColumn("_hub", F.min("_id").over(wb))
+              .localCheckpoint(eager=True))
         hubs = vv.filter(F.col("_id") == F.col("_hub")) \
                  .select(F.col("_hub").alias("_h"), F.col("_v").alias("_hv"))
         star = (vv.filter((F.col("_bn") > star_threshold)
@@ -573,8 +582,7 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
                         F.round(cosine_expr(F.col("_hv"), F.col("_v")), 6)
                          .alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
-        v = (vv.filter(F.col("_bn") <= star_threshold)
-             .select("_id", "_v", "_b").localCheckpoint(eager=True))
+        v = vv.filter(F.col("_bn") <= star_threshold).select("_id", "_v", "_b")
     from .similarity import probe_buckets
     probes = probe_buckets(F.col("_b"), n_planes, probe_radius)
     left = v.select("_id", "_v", F.explode(F.array(*probes)).alias("_b"))

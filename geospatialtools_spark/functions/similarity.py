@@ -282,6 +282,11 @@ def ivf_probe(index: IvfIndex, queries: DataFrame, k: int = 5,
     q = queries.withColumn("_list", F.explode(probes(F.col(q_vec_col))))
     assigned = index.assigned
     if static_prune:
+        # pin the (small) probe batch before reading it twice: the list
+        # collect below and the join both consume q, and a non-deterministic
+        # queries plan (limit/sample) re-executed for the join could
+        # otherwise produce rows whose lists the isin filter already dropped
+        q = q.localCheckpoint(eager=True)
         lists = sorted({r["_list"] for r in q.select("_list").distinct().collect()})
         assigned = assigned.filter(F.col("_list").isin(lists))
     scored = assigned.join(F.broadcast(q), "_list").select(
@@ -305,5 +310,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     index = build_ivf_index(corpus, dim, n_centroids=n_centroids,
                             train_sample=train_sample, id_col=id_col,
                             vec_col=vec_col)
+    # static_prune buys nothing on the just-built in-memory assignment (no
+    # files to prune) and would add a collect job — it's for persisted indexes
     return ivf_probe(index, queries, k=k, nprobe=nprobe,
-                     q_id_col=q_id_col, q_vec_col=q_vec_col)
+                     q_id_col=q_id_col, q_vec_col=q_vec_col,
+                     static_prune=False)

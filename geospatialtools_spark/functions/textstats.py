@@ -145,7 +145,11 @@ def quality_score(text: Column) -> Column:
     sw_ok = F.least(sw / 0.05 * 0.3, F.lit(0.3))
     noise = punct_ratio(text) * 0.5 + digit_ratio(text) * 0.5
     noise_pen = F.least(noise * 0.6, F.lit(0.3))
-    return F.round(len_ok + sw_ok + (0.3 - noise_pen), 6)
+    # least() SKIPS nulls (unlike the CASE WHEN forms it replaced), so a
+    # NULL text would score 0.3 instead of NULL; one cheap guard on the raw
+    # column restores NULL -> NULL (matching the DuckDB oracle twin's CASE
+    # WHEN semantics) without duplicating any expensive subtree
+    return F.when(text.isNotNull(), F.round(len_ok + sw_ok + (0.3 - noise_pen), 6))
 
 
 def normalize_text(text: Column) -> Column:

@@ -162,10 +162,14 @@ def _png_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     arr = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, ch)
     if ch == 1:
         gray = arr[:, :, 0].astype(np.float64)
-    else:  # pillow convert("L"): L = (R*299 + G*587 + B*114) / 1000
+    else:
+        # pillow convert("L")'s exact fixed-point ITU-R 601-2 form:
+        # L = (R*19595 + G*38470 + B*7471) >> 16 (libImaging Convert.c L24).
+        # The rational //1000 form differs by ±1 on ~0.1% of RGB triples,
+        # which would make decode output environment-dependent.
         rgb = arr[:, :, :3].astype(np.int64)
-        gray = ((rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587
-                 + rgb[:, :, 2] * 114) // 1000).astype(np.float64)
+        gray = ((rgb[:, :, 0] * 19595 + rgb[:, :, 1] * 38470
+                 + rgb[:, :, 2] * 7471) >> 16).astype(np.float64)
     return w, h, gray.ravel()
 
 

@@ -185,8 +185,9 @@ def test_png_decoder_all_filters_roundtrip():
                    + chunk(b"IDAT", zlib.compress(b"".join(raws)))
                    + chunk(b"IEND", b""))
         gw, gh, gray = MD._png_decode(payload)
-        want = ((img[:, :, 0] * 299 + img[:, :, 1] * 587
-                 + img[:, :, 2] * 114) // 1000).astype(np.float64).ravel()
+        # pillow convert("L")'s exact fixed-point form (Convert.c L24)
+        want = ((img[:, :, 0] * 19595 + img[:, :, 1] * 38470
+                 + img[:, :, 2] * 7471) >> 16).astype(np.float64).ravel()
         assert (gw, gh) == (w, h) and np.array_equal(gray, want), f"filter {f}"
 
 
