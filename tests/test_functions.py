@@ -54,6 +54,20 @@ def test_fao_texture(spark):
     assert pd.isna(out["c"].iloc[3])
 
 
+def test_quality_score_null_and_empty_text(spark):
+    """NULL text must score NULL (not 0.3 — F.least skips NULLs, the
+    round-5 regex rewrite's one semantic hazard) so the curation quality
+    gate keeps dropping NULL-text rows; empty text scores its real
+    (non-NULL) composite like the DuckDB twin's CASE WHEN form."""
+    from geospatialtools_spark.functions import textstats as TX
+    pdf = pd.DataFrame({"text": [None, "", "the quick brown fox and the dog"]})
+    out = (spark.createDataFrame(pdf)
+           .select(TX.quality_score(F.col("text")).alias("q")).toPandas())
+    assert pd.isna(out["q"].iloc[0])
+    assert not pd.isna(out["q"].iloc[1])
+    assert out["q"].iloc[2] > out["q"].iloc[1]
+
+
 def test_metrics_against_numpy(spark):
     rng = np.random.RandomState(7)
     obs = rng.normal(10, 2, 500)
