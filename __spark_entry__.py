@@ -468,6 +468,21 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction + top 2-/3-gram character coverage. Pure
+    per-row Catalyst higher-order functions — zero shuffle, scales
+    embarrassingly parallel."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.dup_unit_frac(TS.words_array(t)).alias("dup_word_frac"),
+        TS.top_ngram_char_frac(t, 2).alias("top2_char_frac"),
+        TS.top_ngram_char_frac(t, 3).alias("top3_char_frac"),
+    )
+
+
 def _queries_emb(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
@@ -1183,7 +1198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
+        # repetition_stats is new in round 5 — it takes doc_fingerprint's
+        # in-window slot so its first round is driver-recorded (the ADVICE
+        # fresh-entry rule); fingerprint's normalize_text path stays
+        # exercised in-window via the shingle/simhash/minhash entries and
+        # doc_fingerprint has four rounds of green driver history.
+        "repetition_stats": q_repetition_stats,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1234,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "pip_join_docs": q_pip_join_docs,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -1563,6 +1584,42 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents""",
+        # Gopher repetition signals: same integer-count / integer-length
+        # arithmetic as the Spark HOFs, via DuckDB list lambdas (nested
+        # list_filter capturing the outer list_transform variable — exact
+        # occurrence counts, no probabilistic step)
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, text, ws,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1])
+                     ELSE []::VARCHAR[] END AS g2,
+                     CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     ELSE []::VARCHAR[] END AS g3
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE round((len(ws) - len(list_distinct(ws))) * 1.0
+                                   / len(ws), 6) END AS dup_word_frac,
+                   CASE WHEN len(g2) = 0 THEN 0.0
+                        ELSE least(1.0, round(
+                          list_max(list_transform(list_distinct(g2),
+                            d -> len(list_filter(g2, x -> x = d)) * length(d)))
+                          * 1.0 / length(text), 6)) END AS top2_char_frac,
+                   CASE WHEN len(g3) = 0 THEN 0.0
+                        ELSE least(1.0, round(
+                          list_max(list_transform(list_distinct(g3),
+                            d -> len(list_filter(g3, x -> x = d)) * length(d)))
+                          * 1.0 / length(text), 6)) END AS top3_char_frac
+            FROM g""",
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 5),

@@ -202,3 +202,89 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     return (F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))),
             F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))),
             F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))))
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals; Rae et al. 2021 §A1.1)
+#
+# The classic corpus-curation repetition filters: fraction of duplicated
+# units (words / lines) and the character coverage of the most frequent word
+# n-gram. All pure per-row Catalyst higher-order functions — no shuffle, no
+# Python.
+#
+# HOF performance law (measured, 500 ~60-word docs at sf0.001): the most
+# frequent gram via NESTED lambdas — transform(array_distinct(g), d ->
+# size(filter(g, x -> x = d))) — runs 109 s, because the inner lambda
+# re-evaluates the whole ngram-construction subtree per outer element
+# (HOFs are interpreted, no subexpression elimination across lambda
+# scopes). Materializing the gram array as a projected attribute first
+# cuts it to 2.6 s; the shipped form — array_sort + ONE aggregate pass
+# tracking the best run (equal grams are adjacent after the sort, so run
+# length = total occurrence count) — runs 0.5 s and is O(G log G) instead
+# of O(G^2). The DuckDB oracle twin deliberately keeps the nested-lambda
+# formulation (fast there) as an independent computation of the same
+# values. For book-length docs the explode + groupBy(doc_id, gram) plan
+# (one shuffle keyed by doc_id) is the fallback.
+# ---------------------------------------------------------------------------
+
+def words_array(text: Column) -> Column:
+    """Whitespace tokens as an array; empty array for empty/blank text
+    (F.split would return [''] — one bogus empty token)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(t, TOKEN_SPLIT_RE))
+
+
+def dup_unit_frac(units: Column) -> Column:
+    """Excess-occurrence fraction of an array of units: (n - n_distinct)/n,
+    0.0 for empty. With units = words this is Gopher's duplicate-word
+    signal; pass split(text, '\\n') for the duplicate-line variant."""
+    n = F.size(units)
+    return F.when(n == 0, F.lit(0.0)) \
+            .otherwise(F.round((n - F.size(F.array_distinct(units)))
+                               .cast("double") / n, 6))
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams (empty array when fewer than n words)."""
+    if n < 1:
+        raise ValueError("n >= 1")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
+    """Character coverage of the most frequent word n-gram:
+    max over distinct grams of count(gram) * length(gram), / length(text).
+
+    0.0 when the doc has < n words; clamped to 1.0 (count*length is an
+    UPPER bound on covered chars when occurrences overlap, e.g. "a a a a").
+    Integer numerator / integer denominator then round(6) then least —
+    bit-identical in Spark and DuckDB (the oracle-twin discipline every
+    ratio in this module follows).
+
+    Single sorted-run pass per the module-header HOF law: sort the grams,
+    then one aggregate tracking (prev, run count, best count*length) —
+    equal grams are adjacent after the sort, so the run length IS the
+    gram's total occurrence count."""
+    grams = word_ngrams(words_array(text), n)
+
+    def _step(acc: Column, x: Column) -> Column:
+        cnt = F.when(x == acc.prev, acc.cnt + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), cnt.alias("cnt"),
+                        F.greatest(acc.best, cnt * F.length(x)).alias("best"))
+
+    cover = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("cnt"),
+                 F.lit(0).alias("best")),
+        _step, lambda acc: acc.best)
+    return F.when(F.size(grams) == 0, F.lit(0.0)) \
+            .otherwise(F.least(
+                F.lit(1.0),
+                F.round(cover.cast("double") / F.length(text), 6)))

@@ -557,3 +557,45 @@ def test_bucketed_topk_multiprobe_recall_monotone(spark):
         assert (got.groupby("query_id")["rank"].min() == 1).all()
     assert rec[0] <= rec[1] <= rec[2]
     assert rec[2] > rec[0]
+
+
+def test_repetition_stats_vs_brute(spark):
+    """Gopher repetition signals (dup-word fraction, top n-gram char
+    coverage) match a brute-force Python computation, including the
+    edge cases: empty/blank text, single word, all-identical words
+    (where overlap makes raw coverage exceed 1.0 — must clamp)."""
+    from geospatialtools_spark.functions import textstats as TX
+    texts = [
+        "the cat sat on the mat the cat sat",
+        "a a a a a",            # clamp case: raw 2-gram coverage > 1
+        "one two three",
+        "solo",
+        "",
+        "   ",
+        "x y x y x y x y",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    t = F.col("text")
+    out = (df.select(
+        "doc_id",
+        TX.dup_unit_frac(TX.words_array(t)).alias("dup_word_frac"),
+        TX.top_ngram_char_frac(t, 2).alias("top2"),
+        TX.top_ngram_char_frac(t, 3).alias("top3"),
+    ).orderBy("doc_id").toPandas())
+
+    def brute_top(text, n):
+        w = text.split()
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        if not grams:
+            return 0.0
+        best = max(grams.count(g) * len(g) for g in set(grams))
+        return min(1.0, round(best / len(text), 6))
+
+    for i, text in enumerate(texts):
+        w = text.split()
+        exp_dup = round((len(w) - len(set(w))) / len(w), 6) if w else 0.0
+        assert out["dup_word_frac"].iloc[i] == exp_dup, (i, text)
+        assert out["top2"].iloc[i] == brute_top(text, 2), (i, text)
+        assert out["top3"].iloc[i] == brute_top(text, 3), (i, text)
+    assert out["top2"].iloc[1] == 1.0  # the clamp actually engaged
