@@ -160,12 +160,22 @@ class CurationConfig:
     train_split: str = "train"
     shard_budget: int = 50_000
     star_threshold: int | None = 64
+    # Gopher-style repetition cutoffs (Rae et al. 2021 §A1.1); None = off.
+    # These are corpus-tuning knobs, not scale guards, so unlike
+    # star_threshold they default OFF; the paper's reference values are
+    # ~0.2 for top-2-gram char coverage and ~0.3 for duplicate-unit
+    # fraction. Applied inside the quality stage via the Arrow counter
+    # path (textstats.repetition_stats_fast).
+    max_dup_word_frac: float | None = None
+    max_top2_char_frac: float | None = None
 
     def as_dict(self) -> dict:
         return {"id": self.id_col, "text": self.text_col,
                 "w": self.weight_col, "qmin": self.quality_min,
                 "splits": self.splits, "train": self.train_split,
-                "budget": self.shard_budget, "star": self.star_threshold}
+                "budget": self.shard_budget, "star": self.star_threshold,
+                "rep_dup": self.max_dup_word_frac,
+                "rep_top2": self.max_top2_char_frac}
 
 
 def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
@@ -183,7 +193,9 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     - ``near_dedup``: MinHash-LSH candidate pairs (clique-guarded by
       default) -> ``dedup_groups`` transitive resolution -> anti-join the
       non-keepers out. The group table is O(dup docs), never the corpus.
-    - ``quality``: drop rows under ``quality_min``.
+    - ``quality``: drop rows under ``quality_min``; when the repetition
+      cutoffs are set, also drop rows over ``max_dup_word_frac`` /
+      ``max_top2_char_frac`` (Gopher repetition filters, Arrow hot path).
     - ``scrub``: PII redaction in place.
     - ``split``: deterministic hash split (stable under append/repartition).
     - ``shard``: budget-packed contiguous shards of the train split.
@@ -215,8 +227,20 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
         idc, "left_anti"))
     out["near_dedup"] = near
 
-    filtered = runner.run_stage("quality", lambda: near.withColumn(
-        "q", quality_score(F.col(txt))).filter(F.col("q") >= config.quality_min))
+    def _quality() -> DataFrame:
+        d = near.withColumn("q", quality_score(F.col(txt))) \
+                .filter(F.col("q") >= config.quality_min)
+        if (config.max_dup_word_frac is not None
+                or config.max_top2_char_frac is not None):
+            from .functions.textstats import repetition_stats_fast
+            dup, top2, _ = repetition_stats_fast(F.col(txt))
+            if config.max_dup_word_frac is not None:
+                d = d.filter(dup <= config.max_dup_word_frac)
+            if config.max_top2_char_frac is not None:
+                d = d.filter(top2 <= config.max_top2_char_frac)
+        return d
+
+    filtered = runner.run_stage("quality", _quality)
     out["quality"] = filtered
 
     scrubbed = runner.run_stage("scrub", lambda: filtered.withColumn(

@@ -138,3 +138,33 @@ def test_hash_split_thirds_cover_every_bucket(spark):
     assert out.filter(F.col("split").isNull()).count() == 0
     got = set(r["split"] for r in out.select("split").distinct().collect())
     assert got == {"a", "b", "c"}
+
+
+def test_curation_repetition_filter(spark, tmp_path):
+    """The Gopher repetition knobs drop boilerplate-repetitive docs inside
+    the quality stage and leave everything else untouched; OFF by default
+    (corpus-tuning knobs, unlike the always-on clique guard)."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+
+    rows = []
+    for i in range(30):
+        toks = [f"w{(i * 37 + j * 11) % 997}" for j in range(20)]
+        rows.append((i, " ".join(toks), 120))
+    rows.append((900, "the cat " * 30, 240))       # top2 coverage ~ 1.0
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+    base = dict(quality_min=0.0, splits={"train": 1.0}, shard_budget=500)
+    cfg_off = CurationConfig(**base)
+    assert cfg_off.max_dup_word_frac is None       # defaults OFF
+    out_off = run_curation_pipeline(spark, docs, cfg_off,
+                                    str(tmp_path / "off"))
+    kept_off = {r["doc_id"] for r in out_off["quality"].select("doc_id").collect()}
+    assert 900 in kept_off
+
+    cfg_on = CurationConfig(**base, max_dup_word_frac=0.5,
+                            max_top2_char_frac=0.2)
+    out_on = run_curation_pipeline(spark, docs, cfg_on, str(tmp_path / "on"))
+    kept_on = {r["doc_id"] for r in out_on["quality"].select("doc_id").collect()}
+    assert 900 not in kept_on                      # boilerplate dropped
+    assert kept_on == kept_off - {900}             # nothing else touched
