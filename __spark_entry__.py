@@ -1587,34 +1587,45 @@ def oracle_sql() -> dict[str, str]:
         # Gopher repetition signals: same integer-count / integer-length
         # arithmetic as the Spark HOFs, via DuckDB list lambdas (nested
         # list_filter capturing the outer list_transform variable — exact
-        # occurrence counts, no probabilistic step)
+        # occurrence counts, no probabilistic step). The split class is the
+        # EXPLICIT Java \s set [ \t\n\x0B\f\r] — RE2's \s lacks \x0B, the
+        # one char where the engines' shorthand classes diverge — and empty
+        # fields are filtered after the split exactly like words_array;
+        # NULL text propagates NULL through all three stats.
         "repetition_stats": r"""
             WITH w AS (
               SELECT doc_id, text,
-                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                     list_filter(regexp_split_to_array(
+                                   text, '[ ' || chr(9) || chr(10) || chr(11)
+                                         || chr(12) || chr(13) || ']+'),
+                                 x -> x <> '') AS ws
               FROM documents),
             g AS (
               SELECT doc_id, text, ws,
-                     CASE WHEN len(ws) >= 2 THEN
+                     CASE WHEN ws IS NULL THEN NULL
+                          WHEN len(ws) >= 2 THEN
                        list_transform(range(1, len(ws)),
                                       i -> ws[i] || ' ' || ws[i+1])
                      ELSE []::VARCHAR[] END AS g2,
-                     CASE WHEN len(ws) >= 3 THEN
+                     CASE WHEN ws IS NULL THEN NULL
+                          WHEN len(ws) >= 3 THEN
                        list_transform(range(1, len(ws)-1),
                                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
                      ELSE []::VARCHAR[] END AS g3
               FROM w)
             SELECT doc_id,
-                   CASE WHEN len(ws) = 0 THEN 0.0
+                   CASE WHEN ws IS NULL THEN NULL
+                        WHEN len(ws) = 0 THEN 0.0
                         ELSE round((len(ws) - len(list_distinct(ws))) * 1.0
                                    / len(ws), 6) END AS dup_word_frac,
-                   CASE WHEN len(g2) = 0 THEN 0.0
+                   CASE WHEN g2 IS NULL THEN NULL
+                        WHEN len(g2) = 0 THEN 0.0
                         ELSE least(1.0, round(
                           list_max(list_transform(list_distinct(g2),
                             d -> len(list_filter(g2, x -> x = d)) * length(d)))
                           * 1.0 / length(text), 6)) END AS top2_char_frac,
-                   CASE WHEN len(g3) = 0 THEN 0.0
+                   CASE WHEN g3 IS NULL THEN NULL
+                        WHEN len(g3) = 0 THEN 0.0
                         ELSE least(1.0, round(
                           list_max(list_transform(list_distinct(g3),
                             d -> len(list_filter(g3, x -> x = d)) * length(d)))

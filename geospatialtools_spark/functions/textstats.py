@@ -228,12 +228,16 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
 # ---------------------------------------------------------------------------
 
 def words_array(text: Column) -> Column:
-    """Whitespace tokens as an array; empty array for empty/blank text
-    (F.split would return [''] — one bogus empty token)."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0,
-                  F.array().cast("array<string>")) \
-            .otherwise(F.split(t, TOKEN_SPLIT_RE))
+    """Whitespace tokens as an array; NULL text -> NULL.
+
+    Split artifacts are filtered out (review fix): F.trim strips ASCII
+    SPACE only, so the earlier trim-then-split form left phantom ''
+    tokens on text bounded by tabs/newlines ('\\nHello\\n' -> ['',
+    'Hello', ''] — dup_word_frac 0.333 for a clean one-word doc). One
+    filter pass over the split keeps empty/blank/whitespace-bounded text
+    at zero tokens whatever the whitespace flavor."""
+    return F.filter(F.split(text, TOKEN_SPLIT_RE),
+                    lambda x: F.length(x) > 0)
 
 
 def dup_unit_frac(units: Column) -> Column:
@@ -268,11 +272,13 @@ def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
     """Character coverage of the most frequent word n-gram:
     max over distinct grams of count(gram) * length(gram), / length(text).
 
-    0.0 when the doc has < n words; clamped to 1.0 (count*length is an
-    UPPER bound on covered chars when occurrences overlap, e.g. "a a a a").
-    Integer numerator / integer denominator then round(6) then least —
-    bit-identical in Spark and DuckDB (the oracle-twin discipline every
-    ratio in this module follows).
+    0.0 when the doc has < n words; NULL text -> NULL (guarded explicitly
+    — F.least SKIPS nulls, so the unguarded form scored a NULL doc 1.0,
+    the same footgun quality_score guards above); clamped to 1.0
+    (count*length is an UPPER bound on covered chars when occurrences
+    overlap, e.g. "a a a a"). Integer numerator / integer denominator
+    then round(6) then least — bit-identical in Spark and DuckDB (the
+    oracle-twin discipline every ratio in this module follows).
 
     Single sorted-run pass per the module-header HOF law: sort the grams,
     then one aggregate tracking (prev, run count, best count*length) —
@@ -290,7 +296,8 @@ def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
         F.struct(F.lit("").alias("prev"), F.lit(0).alias("cnt"),
                  F.lit(0).alias("best")),
         _step, lambda acc: acc.best)
-    return F.when(F.size(grams) == 0, F.lit(0.0)) \
+    return F.when(text.isNull(), F.lit(None).cast("double")) \
+            .when(F.size(grams) == 0, F.lit(0.0)) \
             .otherwise(F.least(
                 F.lit(1.0),
                 F.round(cover.cast("double") / F.length(text), 6)))
@@ -306,9 +313,10 @@ def repetition_counts_pudf():
     cover2, n_g3, cover3) — so the fraction arithmetic (int/int divide,
     round(6), clamp) stays in Catalyst and is bit-identical however the
     counters were produced. Tokenization emulates the Catalyst twin
-    exactly: trim strips ASCII SPACE only (F.trim semantics), the split
-    pattern is Java's ASCII-only \\s class, and re.split keeps leading
-    empty fields exactly like Java split with limit -1.
+    exactly: the split pattern is Java's ASCII-only \\s class and empty
+    fields are dropped afterward, mirroring words_array's
+    filter-after-split (no phantom tokens whatever whitespace bounds the
+    text).
 
     Why it wins: the Catalyst form is interpreted HOFs (no codegen) —
     measured ~12.6 s for all three stats at 1M 12-token docs; one Python
@@ -340,8 +348,7 @@ def repetition_counts_pudf():
             if t is None:
                 rows.append((None,) * 6)
                 continue
-            stripped = t.strip(" ")  # F.trim: ASCII space only
-            w = ws.split(stripped) if stripped else []
+            w = [x for x in ws.split(t) if x]
             nw = len(w)
             if nw == 0:
                 rows.append((0, 0, 0, 0, 0, 0))
@@ -373,10 +380,15 @@ def repetition_stats_fast(text: Column) -> tuple[Column, Column, Column]:
 
     dup = _frac(c.n_words - c.n_distinct_words, c.n_words)
     n = F.length(text)
-    top2 = F.when(c.n_g2 == 0, F.lit(0.0)) \
+    # explicit NULL guard: the counters are NULL for NULL text, and
+    # F.least SKIPS nulls — unguarded, least(1.0, NULL) scores a NULL doc
+    # as maximally repetitive (the quality_score footgun)
+    top2 = F.when(c.n_g2.isNull(), F.lit(None).cast("double")) \
+            .when(c.n_g2 == 0, F.lit(0.0)) \
             .otherwise(F.least(F.lit(1.0),
                                F.round(c.cover2.cast("double") / n, 6)))
-    top3 = F.when(c.n_g3 == 0, F.lit(0.0)) \
+    top3 = F.when(c.n_g3.isNull(), F.lit(None).cast("double")) \
+            .when(c.n_g3 == 0, F.lit(0.0)) \
             .otherwise(F.least(F.lit(1.0),
                                F.round(c.cover3.cast("double") / n, 6)))
     return dup, top2, top3

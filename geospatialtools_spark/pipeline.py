@@ -170,12 +170,19 @@ class CurationConfig:
     max_top2_char_frac: float | None = None
 
     def as_dict(self) -> dict:
-        return {"id": self.id_col, "text": self.text_col,
-                "w": self.weight_col, "qmin": self.quality_min,
-                "splits": self.splits, "train": self.train_split,
-                "budget": self.shard_budget, "star": self.star_threshold,
-                "rep_dup": self.max_dup_word_frac,
-                "rep_top2": self.max_top2_char_frac}
+        d = {"id": self.id_col, "text": self.text_col,
+             "w": self.weight_col, "qmin": self.quality_min,
+             "splits": self.splits, "train": self.train_split,
+             "budget": self.shard_budget, "star": self.star_threshold}
+        # emitted only when SET: the dict is StageRunner's config
+        # fingerprint, and unconditional new keys would invalidate every
+        # pre-existing checkpoint root (full recompute on resume) even
+        # with the knobs at their no-op default
+        if self.max_dup_word_frac is not None:
+            d["rep_dup"] = self.max_dup_word_frac
+        if self.max_top2_char_frac is not None:
+            d["rep_top2"] = self.max_top2_char_frac
+        return d
 
 
 def run_curation_pipeline(spark: SparkSession, docs: DataFrame,

@@ -563,7 +563,10 @@ def test_repetition_stats_vs_brute(spark):
     """Gopher repetition signals (dup-word fraction, top n-gram char
     coverage) match a brute-force Python computation, including the
     edge cases: empty/blank text, single word, all-identical words
-    (where overlap makes raw coverage exceed 1.0 — must clamp)."""
+    (where overlap makes raw coverage exceed 1.0 — must clamp),
+    whitespace-BOUNDED text (no phantom empty tokens — review fix), and
+    NULL text (all three stats NULL — F.least skips nulls, the
+    quality_score footgun)."""
     from geospatialtools_spark.functions import textstats as TX
     texts = [
         "the cat sat on the mat the cat sat",
@@ -573,6 +576,9 @@ def test_repetition_stats_vs_brute(spark):
         "",
         "   ",
         "x y x y x y x y",
+        "\nHello\n",            # newline-bounded one-word doc: all 0.0
+        "\n",                   # blank by newline: no tokens
+        None,                   # NULL text: NULL stats
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id int, text string")
@@ -593,12 +599,16 @@ def test_repetition_stats_vs_brute(spark):
         return min(1.0, round(best / len(text), 6))
 
     for i, text in enumerate(texts):
+        if text is None:
+            assert out.iloc[i, 1:].isna().all(), out.iloc[i]
+            continue
         w = text.split()
         exp_dup = round((len(w) - len(set(w))) / len(w), 6) if w else 0.0
         assert out["dup_word_frac"].iloc[i] == exp_dup, (i, text)
         assert out["top2"].iloc[i] == brute_top(text, 2), (i, text)
         assert out["top3"].iloc[i] == brute_top(text, 3), (i, text)
     assert out["top2"].iloc[1] == 1.0  # the clamp actually engaged
+    assert out["dup_word_frac"].iloc[7] == 0.0  # '\nHello\n': one clean token
 
 
 def test_repetition_fast_bit_parity(spark):
@@ -619,6 +629,8 @@ def test_repetition_fast_bit_parity(spark):
         "",
         " ",
         "single",
+        "\nHello\n",                # whitespace-bounded: no phantom tokens
+        None,                       # NULL text: NULL on BOTH paths
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id int, text string")
@@ -633,5 +645,8 @@ def test_repetition_fast_bit_parity(spark):
     fast = (df.select("doc_id", fd.alias("d"), f2.alias("t2"), f3.alias("t3"))
             .orderBy("doc_id").toPandas())
     for c in ("d", "t2", "t3"):
-        assert slow[c].tolist() == fast[c].tolist(), (c, slow[c].tolist(),
-                                                      fast[c].tolist())
+        a, b = slow[c], fast[c]
+        assert (a.isna() == b.isna()).all(), (c, a.tolist(), b.tolist())
+        m = ~a.isna()
+        assert a[m].tolist() == b[m].tolist(), (c, a.tolist(), b.tolist())
+        assert a.isna().iloc[-1]            # the NULL row really is NULL
