@@ -1478,15 +1478,18 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r USING (band, bval)
             WHERE l.doc_id < r.doc_id
               AND bit_count(xor(l.simhash16, r.simhash16)) <= 2""",
+        # \s shorthand is written out as the explicit Java set
+        # [ \t\n\x0B\f\r] everywhere below (review fix): RE2's \s lacks
+        # \x0B, the one character where the engines' shorthands diverge
         "token_stats": r"""
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT)
                      AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))
                         AS BIGINT) AS n_bpe,
                    round(CASE WHEN length(text) = 0 THEN 0.0
-                         ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         ELSE length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0b\f\r]', '', 'g'))
                               * 1.0 / length(text) END, 6) AS punct_ratio,
                    round(CASE WHEN length(text) = 0 THEN 0.0
                          ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
@@ -1560,11 +1563,11 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, text,
                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                          ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT)
                        AS n_tok,
                      {_sql_stopword_hits('en')} AS hits,
                      CASE WHEN length(text) = 0 THEN 0.0
-                          ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                          ELSE length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'))
                                * 1.0 / length(text) END AS punct,
                      CASE WHEN length(text) = 0 THEN 0.0
                           ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
