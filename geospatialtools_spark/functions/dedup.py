@@ -528,7 +528,8 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
                                  threshold: float = 0.95,
                                  n_planes: int = 8,
                                  probe_radius: int = 1,
-                                 star_threshold: int | None = None) -> DataFrame:
+                                 star_threshold: int | None = None,
+                                 arrow_assign: bool = False) -> DataFrame:
     """Embedding near-dup pairs at scale: sign-LSH bucket prefilter + exact
     cosine verification of candidates. NO cartesian join — the self-join is
     an equi-join on the bucket id, so only same-bucket pairs shuffle
@@ -557,10 +558,18 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
     rows. (MinHash's guard emits unverified candidates, so its component
     equivalence is exact.) Default None = exact clique semantics (the gate
     oracle's).
+
+    ``arrow_assign`` (round 5): bucket the corpus via the
+    ``similarity.lsh_buckets_pudf`` GEMM twin — 2.2x on the assign pass;
+    candidates stay exact-verified, so a (measured-zero-rate) near-zero
+    sign flip can only move recall by epsilon, never emit a wrong pair.
+    Default off: the gate oracle replays the expression form.
     """
-    from .similarity import cosine_expr, lsh_buckets
+    from .similarity import cosine_expr, lsh_buckets, lsh_buckets_pudf
+    bucket = (lsh_buckets_pudf(dim, n_planes)(F.col(vec_col)) if arrow_assign
+              else lsh_buckets(F.col(vec_col), dim, n_planes))
     v = _widen(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                           lsh_buckets(F.col(vec_col), dim, n_planes).alias("_b"))
+                           bucket.alias("_b"))
     v = v.localCheckpoint(eager=True)  # both join sides reuse the buckets
     star = None
     if star_threshold is not None:

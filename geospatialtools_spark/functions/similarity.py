@@ -93,6 +93,33 @@ def lsh_buckets(vecs: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def lsh_buckets_pudf(dim: int, n_planes: int = 8):
+    """Arrow GEMM twin of ``lsh_buckets`` — one matrix multiply per batch
+    instead of n_planes interpreted aggregate+zip_with passes per row
+    (the textstats HOF law applied here: measured 13.7 s -> 6.1 s warm for
+    the bucket-assign pass over 1M dim-64 vectors at local[32], identical
+    buckets on all 1M).
+
+    Caveat vs the expression twin: numpy's blocked summation can order
+    float additions differently from Catalyst's sequential fold, so a
+    projection within ~1e-13 of zero could sign-flip one bit (measured:
+    ZERO disagreements in 1M vectors). Downstream contracts are
+    approximate-recall bucketing — and both dedup consumers exact-verify
+    candidates — so a flip can shift recall by epsilon, never emit a
+    wrong pair. The gate oracles keep the expression form.
+    """
+    planes = np.array([_plane(dim, p) for p in range(n_planes)]).T  # dim x P
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def bk(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.float64)
+        bits = (m @ planes >= 0).astype(np.int64)
+        return pd.Series((bits << shifts).sum(axis=1))
+
+    return bk
+
+
 def probe_buckets(bucket: Column, n_planes: int, radius: int) -> list[Column]:
     """All bucket ids within Hamming distance <= ``radius`` of ``bucket``
     (including itself) — the ONE multi-probe enumeration shared by
@@ -110,7 +137,8 @@ def probe_buckets(bucket: Column, n_planes: int, radius: int) -> list[Column]:
 def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                   n_planes: int = 8, probe_radius: int = 0,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  q_id_col: str = "query_id", q_vec_col: str = "q_vec") -> DataFrame:
+                  q_id_col: str = "query_id", q_vec_col: str = "q_vec",
+                  arrow_assign: bool = False) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH bucket.
 
     The join is a bucket equi-join (shuffle on bucket id, or broadcast of the
@@ -124,9 +152,21 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     Goemans-Williamson per-plane flip probability predicts (measured at 1M
     vectors in BASELINE.md). Default 0 keeps the single-bucket gate-oracle
     semantics.
+
+    ``arrow_assign`` (round 5): compute BOTH sides' buckets with the
+    ``lsh_buckets_pudf`` GEMM twin — 2.2x on the corpus-wide assign pass,
+    see its docstring for the (measured-zero) sign-flip caveat. Default
+    off: the gate oracle replays the expression form.
     """
-    c = _widen(corpus).withColumn("_bucket", lsh_buckets(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("_bucket", lsh_buckets(F.col(q_vec_col), dim, n_planes))
+    if arrow_assign:
+        bk = lsh_buckets_pudf(dim, n_planes)
+        c = _widen(corpus).withColumn("_bucket", bk(F.col(vec_col)))
+        q = queries.withColumn("_bucket", bk(F.col(q_vec_col)))
+    else:
+        c = _widen(corpus).withColumn("_bucket",
+                                      lsh_buckets(F.col(vec_col), dim, n_planes))
+        q = queries.withColumn("_bucket",
+                               lsh_buckets(F.col(q_vec_col), dim, n_planes))
     if probe_radius >= 1:
         probes = probe_buckets(F.col("_b0"), n_planes, probe_radius)
         q = (q.withColumnRenamed("_bucket", "_b0")

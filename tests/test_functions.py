@@ -650,3 +650,31 @@ def test_repetition_fast_bit_parity(spark):
         m = ~a.isna()
         assert a[m].tolist() == b[m].tolist(), (c, a.tolist(), b.tolist())
         assert a.isna().iloc[-1]            # the NULL row really is NULL
+
+
+def test_lsh_arrow_assign_parity(spark):
+    """The GEMM bucket twin (lsh_buckets_pudf) assigns the identical bucket
+    to every vector as the Catalyst expression, and the arrow_assign paths
+    of bucketed_topk / embedding_dup_pairs_bucketed return row-identical
+    results to the expression paths."""
+    rng = np.random.RandomState(31)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    vecs[50] = vecs[40]                      # one exact-dup pair
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(300), "embedding": [v.tolist() for v in vecs]}))
+    exprb = df.select(SIM.lsh_buckets(F.col("embedding"), 16, 8).alias("b")).toPandas()
+    gemm = df.select(SIM.lsh_buckets_pudf(16, 8)(F.col("embedding")).alias("b")).toPandas()
+    assert (exprb["b"] == gemm["b"]).all()
+
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": [3, 9], "q_vec": [vecs[3].tolist(), vecs[9].tolist()]}))
+    key = lambda p: sorted(map(tuple, p.to_numpy().tolist()))
+    a = SIM.bucketed_topk(df, queries, dim=16, k=3, probe_radius=1).toPandas()
+    b = SIM.bucketed_topk(df, queries, dim=16, k=3, probe_radius=1,
+                          arrow_assign=True).toPandas()
+    assert key(a) == key(b)
+    c = DD.embedding_dup_pairs_bucketed(df, dim=16, threshold=0.95).toPandas()
+    d = DD.embedding_dup_pairs_bucketed(df, dim=16, threshold=0.95,
+                                        arrow_assign=True).toPandas()
+    assert key(c) == key(d)
+    assert (40.0, 50.0, 1.0) in set(map(tuple, d.to_numpy().tolist()))
