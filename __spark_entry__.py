@@ -335,6 +335,38 @@ def q_dedup_groups(spark, sf_dir):
     return DD.dedup_groups(d, DD.minhash_lsh_pairs(d))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Global line-level exact dedup (functions/lines.py:line_dedup —
+    C4/RefinedWeb boilerplate removal): every distinct line survives only
+    at its first corpus occurrence (min (doc_id, pos)); map-side-combined
+    winner election absorbs boilerplate skew before the shuffle. The
+    newline-free synthetic corpus gets deterministic 8-word pseudo-lines
+    (lines.wrap_words) first — its ~30-word vocabulary makes real
+    cross-document line collisions, so the operator genuinely drops
+    lines here."""
+    from geospatialtools_spark.functions import lines as LN
+    d = _t(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", LN.wrap_words(F.col("text"), 8).alias("text"))
+    out = LN.line_dedup(wrapped, "doc_id", "text")
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5(F.col("dedup_text")).alias("dedup_md5"))
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line-quality filtering (functions/lines.py:clean_lines,
+    Raffel et al. 2020 §2.2): per-document, keep lines with >= 6 words and
+    none of the blacklist terms; re-join survivors. Pure per-row Catalyst
+    array filter — zero shuffle. Same 8-word pseudo-line wrap as
+    line_dedup; 'slow' stands in for a boilerplate blacklist term present
+    in the synthetic vocabulary."""
+    from geospatialtools_spark.functions import lines as LN
+    d = _t(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", LN.wrap_words(F.col("text"), 8).alias("text"))
+    out = LN.clean_lines(wrapped, min_words=6, blacklist=["slow", "lorem"])
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5(F.col("clean_text")).alias("clean_md5"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.3 via inverted-index join, with a
     document-frequency cap on the index (stopword shingles are excluded
@@ -411,6 +443,39 @@ def q_shard_budget(spark, sf_dir):
     return out.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample without replacement (functions/
+    sampling.py:weighted_sample — Efraimidis-Spirakis A-ES): the 100 rows
+    with the smallest -ln(u)/w, u md5-derived from doc_id, w = n_chars.
+    Inclusion probability proportional to length — the quality/length-
+    weighted subcorpus draw of a training pipeline. Compiles to
+    TakeOrderedAndProject: a local k-heap per task, no global sort."""
+    from geospatialtools_spark.functions.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample(d, "doc_id", "n_chars", k=100)
+    return out.select("doc_id", "lang", "n_chars",
+                      F.round(F.col("priority"), 6).alias("priority"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing (functions/sampling.py:pack_sequences):
+    walk doc_id order, open a new pack when the running char weight would
+    exceed 2000 — the greedy context-window packer of a training loader.
+    Sequential by definition, so the corpus is pre-cut into contiguous
+    20k-char shards by the two-level distributed prefix sum and each shard
+    packs independently in one applyInPandas group (bounded memory,
+    embarrassingly parallel; seams only at shard boundaries)."""
+    from geospatialtools_spark.functions.sampling import pack_sequences
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_sequences(d, "doc_id", "n_chars", capacity=2000,
+                         shard_budget=20_000)
+    return out.groupBy("shard", "pack").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"))
 
@@ -1018,6 +1083,30 @@ burned AS (
 )"""
 
 
+# Java's \s set spelled out (matches functions/textstats.py TOKEN_SPLIT_RE
+# as compiled by the JVM: space, \t, \n, \x0b, \f, \r).
+_SQL_WS_RE = ("'[ ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13) "
+              "|| ']+'")
+
+# Deterministic 8-word pseudo-lines of the documents table — the DuckDB
+# twin of lines.wrap_words(text, 8) followed by lines.split_lines: CTEs
+# `w` (word arrays), `tok` (zipped word/index unnest) and `ln`
+# (doc_id, line_no, line).
+_SQL_WRAP_LINES = f"""
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, {_SQL_WS_RE}),
+                     x -> x <> '') AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS idx
+  FROM w),
+ln AS (
+  SELECT doc_id, CAST((idx - 1) // 8 AS BIGINT) AS line_no,
+         string_agg(word, ' ' ORDER BY idx) AS line
+  FROM tok GROUP BY doc_id, line_no)"""
+
+
 def _sql_stopword_hits(lang: str) -> str:
     words = TS.STOPWORDS[lang]
     parts = [
@@ -1183,16 +1272,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_block_avg": q_time_block_avg,
         "fit_metrics": q_fit_metrics,
         "pedotransfer_saxton": q_pedotransfer_saxton,
-        "mode_relabel": q_mode_relabel,
         # -- training-data pipeline ----------------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
+        # line_dedup / clean_lines / weighted_sample / pack_sequences are
+        # new in round 5 — per the ADVICE fresh-entry rule they take
+        # in-window slots for their first driver-recorded round, displacing
+        # simhash (its fingerprint path stays in-window via simhash_pairs),
+        # sample_split + stratified_sample (family rep: shard_budget and
+        # the new samplers), and mode_relabel (J5 stays golden in pytest) —
+        # all four demoted entries have 4+ rounds of green driver history.
+        "line_dedup": q_line_dedup,
+        "clean_lines": q_clean_lines,
         "token_stats": q_token_stats,
-        "sample_split": q_sample_split,
-        "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "pack_sequences": q_pack_sequences,
         "shard_budget": q_shard_budget,
         "redact_pii": q_redact_pii,
         "contamination": q_contamination,
@@ -1255,6 +1351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "pip_join_docs": q_pip_join_docs,
         "doc_fingerprint": q_doc_fingerprint,
+        "mode_relabel": q_mode_relabel,
+        "simhash": q_simhash,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1533,6 +1633,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE bkt < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
                         ELSE 10000 END
             GROUP BY lang""",
+        "line_dedup": f"""
+            WITH {_SQL_WRAP_LINES},
+            win AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM ln),
+            nl AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+            ass AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY line_no) AS dtext
+              FROM win WHERE rn = 1 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(nl.n_lines, 0) AS n_lines,
+                   COALESCE(ass.n_kept, 0) AS n_kept,
+                   md5(COALESCE(ass.dtext, '')) AS dedup_md5
+            FROM documents d
+            LEFT JOIN nl USING (doc_id) LEFT JOIN ass USING (doc_id)""",
+        "clean_lines": f"""
+            WITH {_SQL_WRAP_LINES},
+            fl AS (
+              SELECT doc_id, line_no, line,
+                     (len(list_filter(regexp_split_to_array(line,
+                            {_SQL_WS_RE}), x -> x <> '')) >= 6
+                      AND NOT contains(lower(line), 'slow')
+                      AND NOT contains(lower(line), 'lorem')) AS keep
+              FROM ln),
+            agg AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     count(*) FILTER (WHERE keep) AS n_kept,
+                     COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                              FILTER (WHERE keep), '') AS ctext
+              FROM fl GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(agg.n_lines, 0) AS n_lines,
+                   COALESCE(agg.n_kept, 0) AS n_kept,
+                   md5(COALESCE(agg.ctext, '')) AS clean_md5
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
+        "weighted_sample": """
+            WITH p AS (
+              SELECT doc_id, lang, n_chars,
+                     -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::UBIGINT + 0.5) / 4294967296.0)
+                       / n_chars AS pri
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, lang, n_chars, round(pri, 6) AS priority
+            FROM p ORDER BY pri, doc_id LIMIT 100""",
+        "pack_sequences": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id, n_chars,
+                     CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) // 20000 AS BIGINT) AS shard
+              FROM documents),
+            o AS (SELECT doc_id, n_chars, shard,
+                         row_number() OVER (PARTITION BY shard
+                                            ORDER BY doc_id) AS rn
+                  FROM s),
+            r AS (
+              SELECT shard, rn, doc_id, n_chars,
+                     CAST(n_chars AS BIGINT) AS fill, CAST(0 AS BIGINT) AS pack
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.doc_id, o.n_chars,
+                     CASE WHEN r.fill + o.n_chars > 2000
+                          THEN CAST(o.n_chars AS BIGINT)
+                          ELSE r.fill + o.n_chars END,
+                     CASE WHEN r.fill + o.n_chars > 2000
+                          THEN r.pack + 1 ELSE r.pack END
+              FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+            SELECT shard, pack, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM r GROUP BY shard, pack""",
         "shard_budget": """
             WITH p AS (
               SELECT doc_id, n_chars,

@@ -1,0 +1,177 @@
+"""Line-level corpus operators: C4-style line cleaning and global
+line-level exact deduplication.
+
+Production web corpora are cleaned *within* documents before any
+document-level dedup runs: C4 (Raffel et al. 2020, §2.2) keeps only lines
+that look like prose (enough words, terminal punctuation, no boilerplate
+phrases), and both C4 and later pipelines (RefinedWeb, FineWeb) drop
+repeated lines *across* the corpus — navigation chrome, cookie banners and
+license footers appear verbatim on millions of pages, and keeping one
+global occurrence removes most boilerplate mass without touching
+document-level near-dup machinery.
+
+Two operators, two very different execution shapes:
+
+- ``clean_lines``: a PURE per-row Catalyst expression (split -> array
+  filter -> re-join). Zero shuffle, embarrassingly parallel, whole
+  pipeline stays in the scan stage at 100 TB.
+- ``line_dedup``: the only genuinely global one. One shuffle keyed on the
+  line value to elect each line's first occurrence (min(struct(doc, pos))
+  — an algebraic aggregate, so Spark's map-side partial aggregation
+  collapses the 10^9 copies of "enable javascript to continue" to one row
+  per map task BEFORE the shuffle; boilerplate skew never travels), one
+  shuffle back on the doc id to reassemble. No joins against the raw
+  corpus text beyond the exploded lines themselves.
+
+For corpora whose text carries no newlines (the synthetic gate corpus),
+``wrap_words`` derives deterministic pseudo-lines of k words so the same
+operators and the same DuckDB oracles still exercise end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import words_array
+
+# C4's boilerplate phrase list (public): lines containing any of these are
+# dropped by clean_lines when no explicit blacklist is passed.
+DEFAULT_BLACKLIST = ["javascript", "lorem ipsum", "cookie", "terms of use",
+                     "privacy policy", "all rights reserved"]
+TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def wrap_words(text: Column, k: int) -> Column:
+    """Deterministic pseudo-lines: whitespace words chunked k at a time,
+    space-joined per chunk, newline-joined overall. NULL text -> NULL,
+    empty/blank text -> ''. Used by tests and the gate queries to give a
+    newline-free corpus a line structure both engines can reproduce."""
+    ws = words_array(text)
+    n = F.size(ws)
+    # NB: Spark's sequence(0, hi) auto-steps DESCENDING when hi < 0, so the
+    # empty case must short-circuit rather than rely on an empty sequence.
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / k).cast("int")),
+        lambda i: F.array_join(F.slice(ws, i * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(text.isNull(), F.lit(None).cast("string")) \
+            .otherwise(F.array_join(chunks, "\n"))
+
+
+def split_lines(text: Column, sep: str = "\n") -> Column:
+    """Non-empty lines of ``text`` as array<string> (literal separator).
+    NULL text -> NULL; lines are trimmed of surrounding spaces first so
+    indentation does not defeat cross-document line identity."""
+    import re as _re
+    parts = F.split(text, _re.escape(sep))
+    return F.filter(F.transform(parts, lambda x: F.trim(x)),
+                    lambda x: F.length(x) > 0)
+
+
+def _keep_line(line: Column, min_words: int, blacklist: list[str],
+               require_terminal_punct: bool) -> Column:
+    """Predicate: does a single line survive the C4-style rules?"""
+    keep = F.size(F.filter(F.split(line, r"\s+"),
+                           lambda x: F.length(x) > 0)) >= min_words
+    if blacklist:
+        low = F.lower(line)
+        for term in blacklist:
+            keep = keep & ~low.contains(term.lower())
+    if require_terminal_punct:
+        tail = F.substring(F.rtrim(line), -1, 1)
+        keep = keep & tail.isin(*TERMINAL_PUNCT)
+    return keep
+
+
+def clean_lines(df: DataFrame, text_col: str = "text", sep: str = "\n",
+                min_words: int = 3,
+                blacklist: list[str] | None = None,
+                require_terminal_punct: bool = False,
+                out_col: str = "clean_text") -> DataFrame:
+    """C4-style line filtering (Raffel et al. 2020 §2.2), per document.
+
+    Keeps lines with >= ``min_words`` whitespace words, containing none of
+    the (case-insensitive) ``blacklist`` substrings, and — when
+    ``require_terminal_punct`` — ending in sentence punctuation. Adds
+    ``out_col`` (surviving lines re-joined with ``sep``), ``n_lines`` and
+    ``n_kept`` audit counts. NULL text propagates NULLs.
+
+    Pure per-row Catalyst (array filter + join): zero shuffle, scales with
+    the scan. Reference scope: the reference engine has no text-corpus
+    surface; this is part of the mandated training-data pipeline layer.
+    """
+    bl = DEFAULT_BLACKLIST if blacklist is None else blacklist
+    t = F.col(text_col)
+    lines = split_lines(t, sep)
+    kept = F.filter(lines, lambda ln: _keep_line(ln, min_words, bl,
+                                                 require_terminal_punct))
+    return (df.withColumn("n_lines", F.size(lines).cast("long"))
+              .withColumn("n_kept", F.size(kept).cast("long"))
+              .withColumn(out_col,
+                          F.when(t.isNull(), F.lit(None).cast("string"))
+                           .otherwise(F.array_join(kept, sep))))
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n",
+               out_col: str = "dedup_text") -> DataFrame:
+    """Global line-level exact dedup: each distinct line survives only at
+    its first corpus occurrence (smallest ``(id, position)``); later
+    occurrences are dropped from their documents. Returns one row per
+    input document: ``id_col``, ``n_lines``, ``n_kept`` and ``out_col``
+    (surviving lines re-joined in original order; '' when every line was a
+    repeat). NULL/blank text yields 0/0 and '' (NULL text stays NULL).
+
+    Execution shape (the 100 TB design):
+
+    1. posexplode the trimmed non-empty lines — rows (id, pos, line).
+    2. groupBy(line).agg(min(struct(id, pos))) elects the winner
+       occurrence. min over structs is algebraic, so partial aggregation
+       runs map-side: a boilerplate line repeated 10^9 times contributes
+       ONE row per map task to the shuffle — corpus-scale line skew is
+       absorbed before the exchange, no salting needed.
+    3. The exploded rows join the winners on the line value; a row
+       survives iff it IS the winner. AQE broadcasts the winner side when
+       small; otherwise both sides already hash-partition on the join key
+       from step 2's shuffle.
+    4. groupBy(id) reassembles surviving lines with sort_array over
+       (pos, line) structs — one shuffle keyed on the doc id.
+
+    Grouping is on the exact line value (not a hash), so results are
+    collision-free by construction; the shuffle key is the line string,
+    whose population after map-side combine is the DISTINCT line set.
+    """
+    t = F.col(text_col)
+    base = df.select(F.col(id_col).alias("_id"), t.alias("_text"),
+                     split_lines(t, sep).alias("_lines"))
+    ex = base.select(
+        "_id", F.posexplode("_lines").alias("_pos", "_line"))
+
+    winners = (ex.groupBy("_line")
+                 .agg(F.min(F.struct(F.col("_id"), F.col("_pos")))
+                       .alias("_win")))
+
+    kept = (ex.join(winners, "_line")
+              .filter((F.col("_win._id") == F.col("_id")) &
+                      (F.col("_win._pos") == F.col("_pos")))
+              .select("_id", "_pos", "_line"))
+
+    assembled = (kept.groupBy("_id")
+                 .agg(F.count("*").cast("long").alias("n_kept"),
+                      F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct(F.col("_pos"), F.col("_line")))),
+                              lambda s: s["_line"]),
+                          sep).alias(out_col)))
+
+    return (base.join(assembled, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.size("_lines").cast("long"), F.lit(0))
+                     .alias("n_lines"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+                    F.when(F.col("_text").isNull(),
+                           F.lit(None).cast("string"))
+                     .otherwise(F.coalesce(F.col(out_col), F.lit("")))
+                     .alias(out_col)))

@@ -85,6 +85,100 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.filter(b < thr)
 
 
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform double in (0, 1): (h32 + 0.5) / 2^32 where h32
+    is the first 32 bits of md5(key). Never exactly 0 or 1, so ln(u) is
+    finite. DuckDB twin:
+    ``(('0x' || substr(md5(key), 1, 8))::UBIGINT + 0.5) / 4294967296.0``."""
+    h = F.conv(F.substring(F.md5(
+        F.coalesce(key.cast("string"), F.lit("<NULL>"))), 1, 8), 16, 10) \
+         .cast("long")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def weighted_priority(key: Column, weight: Column) -> Column:
+    """Efraimidis-Spirakis (2006) priority: -ln(u) / w with u a pure
+    function of the row key. Taking the k SMALLEST priorities is a weighted
+    sample without replacement with inclusion probability proportional to
+    weight (the classic exponential-race / A-ES one-pass scheme). NULL or
+    non-positive weights get +inf priority (never sampled)."""
+    w = weight.cast("double")
+    return F.when(w > 0, -F.log(hash_uniform(key)) / w) \
+            .otherwise(F.lit(float("inf")))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    out_col: str = "priority") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows,
+    inclusion probability proportional to ``weight_col`` (Efraimidis-
+    Spirakis A-ES: keep the k smallest -ln(u)/w). Because u is md5-derived
+    from the key, the cohort is a pure function of the corpus content —
+    stable across retries, partitionings and engines, like every other
+    sampler in this module.
+
+    Scale shape: orderBy(priority).limit(k) compiles to
+    TakeOrderedAndProject — each task keeps a local k-heap and only k rows
+    per partition reach the driver-side merge; no global sort, no full
+    shuffle. This is the quality-weighted subcorpus draw of a training-data
+    pipeline (weight = quality score, token count, domain boost...).
+    """
+    pri = weighted_priority(F.col(key_col), F.col(weight_col))
+    return (df.withColumn(out_col, pri)
+              .orderBy(out_col, key_col)
+              .limit(k))
+
+
+def pack_sequences(df: DataFrame, key_col: str, weight_col: str,
+                   capacity: int, shard_budget: int | None = None,
+                   out_cols: tuple[str, str] = ("shard", "pack")) -> DataFrame:
+    """Deterministic next-fit sequence packing: walk the corpus in
+    ``key_col`` order and open a new pack whenever the running weight would
+    exceed ``capacity`` — the greedy packer a training loader uses to fill
+    fixed context windows with documents (weight = token count). A single
+    row heavier than ``capacity`` gets a pack of its own (never split).
+
+    Output: the input columns plus ``shard`` and ``pack`` (pack ids are
+    local to their shard; ``(shard, pack)`` is the global pack key).
+
+    Scale shape: packing is sequential by definition, so it CANNOT be one
+    Catalyst window (the running total resets on overflow — not a prefix
+    sum). Instead the corpus is first cut into contiguous weight shards by
+    the two-level distributed prefix sum (``shard_by_budget``, default
+    budget = 4096 * capacity, so every shard holds >= ~4096 packs worth of
+    rows and at most budget total weight); each shard then packs
+    independently inside one applyInPandas group — bounded memory, zero
+    cross-shard coordination, embarrassingly parallel across executors.
+    Pack boundaries differ from a global single-threaded walk only AT shard
+    seams (first pack of a shard never continues the previous shard's last
+    pack) — the price of parallelism, bounded to one short pack per shard
+    and deterministic.
+    """
+    if shard_budget is None:
+        shard_budget = 4096 * capacity
+    shard_col, pack_col = out_cols
+    d = shard_by_budget(df, key_col, weight_col, budget=shard_budget,
+                        out_col=shard_col)
+    fields = [f for f in d.schema.fields]
+    import pyspark.sql.types as T
+    schema = T.StructType(fields + [T.StructField(pack_col, T.LongType())])
+    cap = int(capacity)
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        packs, pack, fill, first = [], 0, 0, True
+        for w in pdf[weight_col].astype("int64"):
+            if not first and fill + w > cap:
+                pack += 1
+                fill = 0
+            fill += int(w)
+            first = False
+            packs.append(pack)
+        pdf[pack_col] = packs
+        return pdf
+
+    return d.groupBy(shard_col).applyInPandas(_pack, schema=schema)
+
+
 def shard_by_budget(df: DataFrame, key_col: str, weight_col: str,
                     budget: int, out_col: str = "shard") -> DataFrame:
     """Contiguous weight-range sharding: order rows by ``key_col``, take the

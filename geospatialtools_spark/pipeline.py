@@ -168,6 +168,18 @@ class CurationConfig:
     # path (textstats.repetition_stats_fast).
     max_dup_word_frac: float | None = None
     max_top2_char_frac: float | None = None
+    # C4-style line-level pre-cleaning (round 5; Raffel et al. 2020 §2.2 /
+    # RefinedWeb): when ``clean_min_words`` is set, lines with fewer words
+    # or containing a blacklist term are dropped per document BEFORE any
+    # document-level dedup; when ``line_dedup`` is True, every distinct
+    # line additionally survives only at its first corpus occurrence
+    # (global boilerplate removal — lines.line_dedup). Documents emptied by
+    # either pass are dropped, and ``weight_col`` is recomputed from the
+    # edited text so downstream sharding budgets stay truthful.
+    clean_min_words: int | None = None
+    clean_blacklist: list[str] | None = None
+    line_dedup: bool = False
+    line_sep: str = "\n"
 
     def as_dict(self) -> dict:
         d = {"id": self.id_col, "text": self.text_col,
@@ -182,6 +194,14 @@ class CurationConfig:
             d["rep_dup"] = self.max_dup_word_frac
         if self.max_top2_char_frac is not None:
             d["rep_top2"] = self.max_top2_char_frac
+        if self.clean_min_words is not None:
+            d["clean_mw"] = self.clean_min_words
+            d["clean_bl"] = self.clean_blacklist
+        if self.line_dedup:
+            d["line_dedup"] = True
+        if (self.clean_min_words is not None or self.line_dedup) \
+                and self.line_sep != "\n":
+            d["line_sep"] = self.line_sep
         return d
 
 
@@ -194,6 +214,10 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
 
     Stages, each committed through StageRunner (resume recomputes nothing):
 
+    - ``lines`` (optional, when ``clean_min_words``/``line_dedup`` are
+      set): C4-style per-document line filtering, then global first-
+      occurrence line dedup; emptied documents drop out and ``weight_col``
+      is recomputed from the edited text.
     - ``dedup``: exact dedup — keep a row iff its content hash has no dup
       group (left-join miss) or it IS the group's keeper. One broadcastable
       join over the O(dup groups) table, no driver collection.
@@ -215,6 +239,34 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     runner = StageRunner(spark, ckpt_root,
                          {"pipeline": "curation", **config.as_dict()})
     out: dict[str, DataFrame] = {}
+
+    if config.clean_min_words is not None or config.line_dedup:
+        def _lines() -> DataFrame:
+            from .functions.lines import clean_lines, line_dedup
+            d = docs
+            if config.clean_min_words is not None:
+                d = (clean_lines(d, text_col=txt, sep=config.line_sep,
+                                 min_words=config.clean_min_words,
+                                 blacklist=config.clean_blacklist)
+                     .filter(F.col("n_kept") > 0)
+                     .drop(txt, "n_lines", "n_kept")
+                     .withColumnRenamed("clean_text", txt))
+            if config.line_dedup:
+                keep_cols = [c for c in d.columns if c != txt]
+                d = (line_dedup(d.select(idc, txt), id_col=idc,
+                                text_col=txt, sep=config.line_sep)
+                     .filter(F.col("n_kept") > 0)
+                     .drop("n_lines", "n_kept")
+                     .withColumnRenamed("dedup_text", txt)
+                     .join(d.select(*keep_cols), idc))
+            if config.weight_col in d.columns:
+                # line edits changed the text; stale weights would skew
+                # the shard budgets and the split accounting downstream
+                d = d.withColumn(config.weight_col,
+                                 F.length(txt).cast("long"))
+            return d
+        docs = runner.run_stage("lines", _lines)
+        out["lines"] = docs
 
     deduped = runner.run_stage("dedup", lambda: docs
         .withColumn("content_hash", F.md5(txt))
