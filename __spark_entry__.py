@@ -555,6 +555,28 @@ def _queries_emb(spark, sf_dir):
     return emb, q
 
 
+def q_quality_logreg(spark, sf_dir):
+    """Model-based quality scoring (functions/classifier.py — the
+    FineWeb-Edu/DCLM-style learned gate): logistic regression scored as
+    ONE Catalyst expression with the weights inlined as plan literals (no
+    UDF, no model object). Weights here are fixed literals so the DuckDB
+    twin is exact; distributed training (fit_logreg, one map-side-combined
+    aggregation per GD iteration) is pytest-verified against a pure-python
+    reference on the same data."""
+    from geospatialtools_spark.functions.classifier import logreg_score
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    ntok = TS.token_count(t).cast("double")
+    nc = F.col("n_chars").cast("double")
+    # greatest(ntok, 1) guards the avg-word-length feature against blank
+    # docs (ANSI divide-by-zero); mirrored in the oracle
+    feats = [ntok, nc, nc / F.greatest(ntok, F.lit(1.0))]
+    return d.select(
+        "doc_id",
+        F.round(logreg_score(feats, [0.08, -0.004, -0.35], -1.0), 6)
+         .alias("p_keep"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-k ANN baseline."""
     emb, q = _queries_emb(spark, sf_dir)
@@ -1313,7 +1335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pip_join_docs moves to the tail, its operator family stays
         # represented in-window by rasterize_rects + doc_tile_attach.
         "simhash_pairs": q_simhash_pairs,
-        "grads_time": q_grads_time,
+        # quality_logreg is new in round 5 (fresh-entry rule: first round
+        # in-window); grads_time demotes to the tail — its GrADS time
+        # format keeps the round-trip pytest and 4 rounds of green history.
+        "quality_logreg": q_quality_logreg,
         "knn_docs": q_knn_docs,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1355,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "sample_split": q_sample_split,
         "stratified_sample": q_stratified_sample,
+        "grads_time": q_grads_time,
     }
 
 
@@ -1633,6 +1659,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE bkt < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
                         ELSE 10000 END
             GROUP BY lang""",
+        "quality_logreg": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                   '[ \t\n\x0b\f\r]+')) END AS DOUBLE)
+                       AS ntok,
+                     CAST(n_chars AS DOUBLE) AS nc
+              FROM documents)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(greatest(-40.0, least(40.0,
+                         -1.0 + ntok * 0.08 + nc * -0.004
+                              + (nc / greatest(ntok, 1.0)) * -0.35))))), 6)
+                     AS p_keep
+            FROM f""",
         "line_dedup": f"""
             WITH {_SQL_WRAP_LINES},
             win AS (

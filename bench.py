@@ -555,6 +555,95 @@ def main_ann():
     }))
 
 
+def synth_lined_docs(spark, n: int):
+    """Corpus with planted LINE structure for line_dedup ground truth.
+    Every doc has 5 newline-joined lines:
+
+    - pos 0: one of THREE boilerplate lines (doc_id % 3) — each repeats in
+      n/3 documents, the worst-case skew the map-side-combined winner
+      election must absorb;
+    - pos 1-3: unique hash-random lines (xxhash64 of (doc_id, line_idx));
+    - pos 4: a line shared by each 100-doc block (repeats 100x).
+
+    After first-occurrence dedup, doc d keeps 3 + [d<=2] + [d%100==0]
+    lines, so sum(n_kept) = 3n + 3 + n/100 exactly."""
+    from pyspark.sql import functions as F
+    uniq = [F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.concat(F.lit("u"), F.pmod(F.xxhash64(F.concat(
+            F.col("doc_id").cast("string"), F.lit(f"_{p}_"),
+            i.cast("string"))), F.lit(999983)).cast("string"))))
+        for p in (1, 2, 3)]
+    boiler = F.concat(F.lit("please enable feature "),
+                      (F.col("doc_id") % 3).cast("string"),
+                      F.lit(" to continue browsing this site"))
+    block = F.concat(F.lit("block banner "),
+                     (F.col("doc_id") - F.col("doc_id") % 100).cast("string"))
+    return (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.concat_ws("\n", boiler, *uniq, block))
+            .localCheckpoint(eager=True))
+
+
+def main_lines():
+    """Line-op + sampling/packing scale evidence (BASELINE.md):
+
+    - line_dedup on the planted-line corpus (SPARK_GRAFT_LINE_DOCS docs x
+      5 lines, two planted skew tiers) — exact sum(n_kept) ground truth;
+    - weighted_sample top-k over the same corpus (TakeOrderedAndProject);
+    - pack_sequences next-fit packing — verified pack-fill bound (every
+      multi-doc pack <= capacity) computed as one aggregate."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.lines import line_dedup
+    from geospatialtools_spark.functions.sampling import (pack_sequences,
+                                                          weighted_sample)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-lines")
+    n = int(os.environ.get("SPARK_GRAFT_LINE_DOCS", "5000000"))
+    docs = synth_lined_docs(spark, n)
+    line_dedup(docs.limit(2000)).count()          # warm
+    t0 = time.time()
+    out = line_dedup(docs).localCheckpoint(eager=True)
+    n_docs = out.count()
+    t_ld = round(time.time() - t0, 2)
+    agg = out.agg(F.sum("n_kept").alias("kept"),
+                  F.sum("n_lines").alias("total")).head()
+    expect_kept = 3 * n + 3 + n // 100
+
+    docs_w = docs.withColumn("n_chars", F.length("text"))
+    k = max(10_000, n // 500)
+    t0 = time.time()
+    n_sample = weighted_sample(docs_w, "doc_id", "n_chars", k=k).count()
+    t_ws = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    packed = pack_sequences(docs_w.select("doc_id", "n_chars"), "doc_id",
+                            "n_chars", capacity=2048) \
+        .localCheckpoint(eager=True)
+    n_packed = packed.count()
+    t_pk = round(time.time() - t0, 2)
+    fills = packed.groupBy("shard", "pack").agg(
+        F.sum("n_chars").alias("fill"), F.count("*").alias("m"))
+    n_over = fills.filter((F.col("fill") > 2048) & (F.col("m") > 1)).count()
+    n_packs = fills.count()
+
+    print(json.dumps({
+        "metric": "line dedup + weighted sample + sequence packing at scale",
+        "docs": n, "lines": 5 * n,
+        "line_dedup_wall_s": t_ld,
+        "line_dedup_docs_per_sec": round(n / t_ld, 1),
+        "line_dedup_lines_per_sec": round(5 * n / t_ld, 1),
+        "docs_out": n_docs,
+        "kept_lines": int(agg["kept"]), "expected_kept": expect_kept,
+        "total_lines_seen": int(agg["total"]),
+        "weighted_sample_k": k, "weighted_sample_wall_s": t_ws,
+        "weighted_sample_rows": n_sample,
+        "pack_wall_s": t_pk, "packed_rows": n_packed, "packs": n_packs,
+        "multi_doc_packs_over_capacity": n_over,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_flagship_only():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-flagship")
@@ -574,6 +663,8 @@ if __name__ == "__main__":
         main_ann()
     elif "--curation" in sys.argv:
         main_curation()
+    elif "--lines" in sys.argv:
+        main_lines()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

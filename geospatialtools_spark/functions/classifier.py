@@ -1,0 +1,142 @@
+"""Model-based quality scoring: logistic regression trained with
+distributed full-batch gradient descent, scored as a pure Catalyst
+expression.
+
+Modern curation pipelines (FineWeb-Edu, DCLM) gate documents with a small
+learned quality classifier rather than hand rules alone. This module is
+that stage re-expressed Spark-first:
+
+- **Features** are the engine's existing Catalyst text signals
+  (textstats ratios / counts) — computed JVM-side, whole-stage codegen.
+- **Training** (``fit_logreg``) is full-batch gradient descent where each
+  iteration is ONE aggregation: the per-row gradient contributions
+  ``(sigmoid(x·w) - y) * x_j`` are summed per feature with map-side
+  partial aggregation, so an iteration's shuffle is d+1 doubles per map
+  task regardless of corpus size. The weight vector (d+1 floats) lives on
+  the driver — the only driver-side state, by design. At 100 TB you train
+  on a deterministic hash sample (``sample_fraction``) and score the full
+  corpus; scoring is embarrassingly parallel.
+- **Scoring** (``logreg_score``) takes the weights as plan literals, so
+  the deployed model is one codegen'd expression: no UDF, no model
+  object, fully pushdown-compatible and DuckDB-oracle-able.
+
+No sklearn/scipy in this container (and none needed): the optimizer is
+~20 lines of explicit math, seeded deterministically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sigmoid(z: Column) -> Column:
+    """Numerically-safe logistic function as a Catalyst expression.
+    exp() overflows double at z < -745; clamping the argument at +-40
+    (where sigmoid saturates past 1e-17) keeps the plan ANSI-safe and
+    matches the DuckDB oracle's formula exactly."""
+    zc = F.greatest(F.lit(-40.0), F.least(F.lit(40.0), z))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+
+
+def logit(features: list[Column], weights: list[float],
+          intercept: float) -> Column:
+    if len(features) != len(weights):
+        raise ValueError(f"{len(features)} features vs {len(weights)} weights")
+    z = F.lit(float(intercept))
+    for c, w in zip(features, weights):
+        z = z + c.cast("double") * F.lit(float(w))
+    return z
+
+
+def logreg_score(features: list[Column], weights: list[float],
+                 intercept: float) -> Column:
+    """P(label=1 | features) with the trained weights inlined as literals —
+    the deployable scoring expression."""
+    return sigmoid(logit(features, weights, intercept))
+
+
+def fit_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
+               lr: float = 0.5, iters: int = 30, l2: float = 0.0,
+               sample_fraction: float | None = None,
+               sample_key: str | None = None,
+               standardize: bool = True) -> dict:
+    """Train logistic regression by full-batch gradient descent; returns
+    ``{"weights": [...], "intercept": b, "mean": [...], "std": [...],
+    "n": rows}`` with weights in ORIGINAL feature units (the internal
+    standardization is folded back out), ready for ``logreg_score``.
+
+    Each iteration is one aggregation job: sum over rows of
+    ``(sigmoid(x·w) - y)`` and ``(sigmoid(x·w) - y) * x_j`` — algebraic
+    sums, map-side combined, d+2 doubles of shuffle per map task. The
+    driver update is O(d). ``standardize`` (one extra leading aggregate
+    for mean/std) keeps a single learning rate workable across
+    differently-scaled text features.
+
+    For a 100 TB corpus pass ``sample_fraction`` (with ``sample_key``) to
+    train on a deterministic md5-bucket sample — the same stability
+    contract as functions/sampling.py — and score the full corpus with the
+    returned weights.
+    """
+    d = df.select(*(F.col(c).cast("double").alias(c) for c in feature_cols),
+                  F.col(label_col).cast("double").alias("_y"))
+    if sample_fraction is not None:
+        from .sampling import BUCKETS, hash_bucket
+        if sample_key is None:
+            raise ValueError("sample_fraction needs sample_key")
+        d = df.filter(hash_bucket(F.col(sample_key))
+                      < int(round(sample_fraction * BUCKETS))) \
+              .select(*(F.col(c).cast("double").alias(c)
+                        for c in feature_cols),
+                      F.col(label_col).cast("double").alias("_y"))
+    d = d.localCheckpoint(eager=True)   # 2 + iters passes read this once
+
+    k = len(feature_cols)
+    if standardize:
+        stats = d.agg(
+            F.count("*").alias("_n"),
+            *[F.avg(c).alias(f"_m{i}") for i, c in enumerate(feature_cols)],
+            *[F.stddev_pop(c).alias(f"_s{i}")
+              for i, c in enumerate(feature_cols)]).head()
+        n = stats["_n"]
+        mean = [float(stats[f"_m{i}"]) for i in range(k)]
+        std = [float(stats[f"_s{i}"]) or 1.0 for i in range(k)]
+        std = [s if s > 0 else 1.0 for s in std]
+    else:
+        n = d.count()
+        mean, std = [0.0] * k, [1.0] * k
+    if n == 0:
+        raise ValueError("empty training set")
+
+    xs = [(F.col(c) - F.lit(mean[i])) / F.lit(std[i])
+          for i, c in enumerate(feature_cols)]
+    w = [0.0] * k
+    b = 0.0
+    for _ in range(iters):
+        z = logit(xs, w, b)
+        err = sigmoid(z) - F.col("_y")
+        g = d.agg(F.sum(err).alias("_g_b"),
+                  *[F.sum(err * xs[i]).alias(f"_g{i}")
+                    for i in range(k)]).head()
+        b -= lr * (float(g["_g_b"]) / n)
+        w = [wi - lr * (float(g[f"_g{i}"]) / n + l2 * wi)
+             for i, wi in enumerate(w)]
+
+    # fold the standardization back into original-unit weights so scoring
+    # needs no mean/std columns: w'_j = w_j/std_j, b' = b - sum w_j*m_j/s_j
+    w_raw = [w[i] / std[i] for i in range(k)]
+    b_raw = b - sum(w[i] * mean[i] / std[i] for i in range(k))
+    return {"weights": w_raw, "intercept": b_raw,
+            "mean": mean, "std": std, "n": int(n)}
+
+
+def logreg_predict_py(x_rows, weights, intercept):
+    """Tiny numpy-free reference predictor for tests."""
+    out = []
+    for row in x_rows:
+        z = intercept + sum(float(v) * wj for v, wj in zip(row, weights))
+        z = max(-40.0, min(40.0, z))
+        out.append(1.0 / (1.0 + math.exp(-z)))
+    return out

@@ -1,0 +1,114 @@
+"""Logistic-regression quality classifier: distributed full-batch GD
+training parity vs a pure-python reference, scoring expression parity,
+and separability on a planted-rule corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.functions.classifier import (
+    fit_logreg, logreg_predict_py, logreg_score, sigmoid)
+
+
+def _py_fit(rows, k, lr, iters, l2=0.0, standardize=True):
+    """Reference trainer: identical math to fit_logreg, single-threaded."""
+    n = len(rows)
+    if standardize:
+        mean = [sum(r[i] for r in rows) / n for i in range(k)]
+        var = [sum((r[i] - mean[i]) ** 2 for r in rows) / n for i in range(k)]
+        std = [math.sqrt(v) if v > 0 else 1.0 for v in var]
+    else:
+        mean, std = [0.0] * k, [1.0] * k
+    xs = [[(r[i] - mean[i]) / std[i] for i in range(k)] for r in rows]
+    ys = [r[k] for r in rows]
+    w, b = [0.0] * k, 0.0
+    for _ in range(iters):
+        gb = 0.0
+        gw = [0.0] * k
+        for x, y in zip(xs, ys):
+            z = max(-40.0, min(40.0, b + sum(xi * wi for xi, wi in zip(x, w))))
+            e = 1.0 / (1.0 + math.exp(-z)) - y
+            gb += e
+            for i in range(k):
+                gw[i] += e * x[i]
+        b -= lr * gb / n
+        w = [wi - lr * (gw[i] / n + l2 * wi) for i, wi in enumerate(w)]
+    return ([w[i] / std[i] for i in range(k)],
+            b - sum(w[i] * mean[i] / std[i] for i in range(k)))
+
+
+def _toy_rows(n=400):
+    """Deterministic separable-ish 2-feature data: label = 1 iff
+    0.4*f0 - 0.7*f1 + noiselike hash term > 0."""
+    rows = []
+    for i in range(n):
+        f0 = (i * 37 % 100) / 10.0
+        f1 = (i * 61 % 100) / 10.0
+        bump = ((i * 97) % 7 - 3) * 0.1
+        y = 1.0 if 0.4 * f0 - 0.7 * f1 + bump > 0 else 0.0
+        rows.append((float(f0), float(f1), y))
+    return rows
+
+
+def test_fit_logreg_matches_python_reference(spark):
+    rows = _toy_rows()
+    df = spark.createDataFrame(rows, "f0 double, f1 double, y double")
+    model = fit_logreg(df, ["f0", "f1"], "y", lr=0.5, iters=25)
+    w_ref, b_ref = _py_fit(rows, 2, lr=0.5, iters=25)
+    # distributed float sums are order-nondeterministic; parity is tight
+    # but not bit-exact
+    for a, b in zip(model["weights"] + [model["intercept"]],
+                    w_ref + [b_ref]):
+        assert abs(a - b) <= 1e-6 * max(1.0, abs(b))
+    assert model["n"] == len(rows)
+
+
+def test_fit_logreg_separates_and_scores(spark):
+    rows = _toy_rows()
+    df = spark.createDataFrame(rows, "f0 double, f1 double, y double")
+    model = fit_logreg(df, ["f0", "f1"], "y", lr=1.0, iters=200)
+    scored = df.withColumn("p", logreg_score(
+        [F.col("f0"), F.col("f1")], model["weights"], model["intercept"]))
+    acc = scored.filter(((F.col("p") >= 0.5) & (F.col("y") == 1.0)) |
+                        ((F.col("p") < 0.5) & (F.col("y") == 0.0))).count() \
+        / len(rows)
+    assert acc >= 0.95
+    # learned direction: f0 up-weights, f1 down-weights
+    assert model["weights"][0] > 0 > model["weights"][1]
+
+
+def test_logreg_score_matches_python_predictor(spark):
+    feats = [(1.0, 2.0), (0.0, 0.0), (10.0, -3.0), (1e6, -1e6)]
+    w, b = [0.3, -0.9], 0.2
+    df = spark.createDataFrame([(i, a, c) for i, (a, c) in enumerate(feats)],
+                               "id long, f0 double, f1 double")
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", logreg_score([F.col("f0"), F.col("f1")], w, b).alias("p"))
+        .collect()}
+    ref = logreg_predict_py(feats, w, b)
+    for i, p in enumerate(ref):
+        assert got[i] == pytest.approx(p, abs=1e-12)
+    # extreme logits saturate instead of overflowing (the +-40 clamp)
+    assert got[3] in (0.0, 1.0) or 0.0 < got[3] < 1.0
+
+
+def test_fit_logreg_hash_sampled_training(spark):
+    rows = _toy_rows(1000)
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "id long, f0 double, f1 double, y double")
+    model = fit_logreg(df, ["f0", "f1"], "y", lr=1.0, iters=100,
+                       sample_fraction=0.5, sample_key="id")
+    assert 300 < model["n"] < 700          # md5 bucket ~half
+    again = fit_logreg(df.repartition(13), ["f0", "f1"], "y", lr=1.0,
+                       iters=100, sample_fraction=0.5, sample_key="id")
+    assert again["n"] == model["n"]        # deterministic cohort
+    scored = df.withColumn("p", logreg_score(
+        [F.col("f0"), F.col("f1")], model["weights"], model["intercept"]))
+    acc = scored.filter(((F.col("p") >= 0.5) & (F.col("y") == 1.0)) |
+                        ((F.col("p") < 0.5) & (F.col("y") == 0.0))).count() \
+        / len(rows)
+    assert acc >= 0.9                      # generalizes off-sample
