@@ -1040,6 +1040,26 @@ def q_span_invariant(spark, sf_dir):
         (F.col("fp_before") == F.col("fp_after")).alias("invariant_ok"))
 
 
+def q_span_dedup(spark, sf_dir):
+    """Interleaved-axis span dedup (operators/docs.py:span_dedup): a
+    corpus-wide boilerplate span — here a license-notice text span
+    prepended to EVERY document — survives only at its first (doc, pos)
+    occurrence; every doc keeps its remaining spans in order. Same
+    map-side-combined winner election as line_dedup, over span content
+    (kind, text, media_ref)."""
+    from geospatialtools_spark.operators.docs import span_dedup
+    docs = SY.with_spans(_docs_xy(spark, sf_dir))
+    lic = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("shared license notice: redistribution permitted").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"))
+    docs = docs.withColumn("spans", F.concat(F.array(lic), F.col("spans")))
+    out = span_dedup(docs)
+    return out.select("doc_id", "n_spans", "n_kept",
+                      F.md5(F.to_json("spans_dedup")).alias("spans_md5"))
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal plumbing: spans -> media table -> payload fetch -> stubbed
     decode + feature extraction (mapInPandas, Arrow batches)."""
@@ -1340,7 +1360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # format keeps the round-trip pytest and 4 rounds of green history.
         "quality_logreg": q_quality_logreg,
         "knn_docs": q_knn_docs,
-        "events_hourly": q_events_hourly,
+        # span_dedup is new in round 5 (fresh-entry rule); events_hourly
+        # demotes — the streaming family keeps its stateful flagship
+        # events_sessions in-window, and hourly has 4 green rounds.
+        "span_dedup": q_span_dedup,
         "events_sessions": q_events_sessions,
         "polygon_adjacency": q_polygon_adjacency,
         "cluster_rmse": q_cluster_rmse,
@@ -1381,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "stratified_sample": q_stratified_sample,
         "grads_time": q_grads_time,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -1930,6 +1954,54 @@ def oracle_sql() -> dict[str, str]:
         # fp_after is independently recomputed — proving the attach pipeline
         # left the ordered span sequence untouched AND the fingerprint
         # matches a from-scratch construction.
+        "span_dedup": f"""
+            WITH pts AS ({_DOCS_XY}),
+            base AS (
+              SELECT doc_id, text,
+                     CAST(floor(length(text) / 2) AS INT) AS h,
+                     greatest(CAST(floor(length(text) / 2) AS INT), 1) AS g
+              FROM pts),
+            sp AS (
+              SELECT doc_id, 0 AS pos, 'text' AS kind,
+                     'shared license notice: redistribution permitted'
+                       AS stext,
+                     NULL AS mref, 0 AS offs
+              FROM base
+              UNION ALL
+              SELECT doc_id, 1, 'text', substr(text, 1, g), NULL, 0
+              FROM base
+              UNION ALL
+              SELECT doc_id, 2, 'image', NULL,
+                     'blob://doc/' || CAST(doc_id AS VARCHAR), h
+              FROM base WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END,
+                     'text', substr(text, g + 1), NULL, h + 1
+              FROM base),
+            win AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY kind, COALESCE(stext, ''),
+                                    COALESCE(mref, '')
+                       ORDER BY doc_id, pos) AS rn
+              FROM sp),
+            js AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     '[' || string_agg(
+                       CASE WHEN kind = 'text' THEN
+                         '{{"kind":"text","text":' || to_json(stext)
+                           || ',"offset":' || CAST(offs AS VARCHAR) || '}}'
+                       ELSE
+                         '{{"kind":"image","media_ref":' || to_json(mref)
+                           || ',"offset":' || CAST(offs AS VARCHAR) || '}}'
+                       END, ',' ORDER BY pos) || ']' AS sjson
+              FROM win WHERE rn = 1 GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_spans FROM sp
+                    GROUP BY doc_id)
+            SELECT p.doc_id, tot.n_spans,
+                   COALESCE(js.n_kept, 0) AS n_kept,
+                   md5(COALESCE(js.sjson, '[]')) AS spans_md5
+            FROM pts p
+            JOIN tot USING (doc_id) LEFT JOIN js USING (doc_id)""",
         "span_invariant": f"""
             WITH pts AS ({_DOCS_XY}),
             {_SQL_RECT_WINNER},

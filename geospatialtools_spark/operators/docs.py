@@ -107,6 +107,57 @@ def span_fingerprint(docs: DataFrame, out_col: str = "span_fp") -> DataFrame:
     return docs.withColumn(out_col, fp)
 
 
+def span_dedup(docs: DataFrame, id_col: str = "doc_id",
+               spans_col: str = "spans",
+               out_col: str = "spans_dedup") -> DataFrame:
+    """Global first-occurrence dedup of interleaved SPANS — the
+    interleaved-axis analog of lines.line_dedup: a span's identity is its
+    content ``(kind, text, media_ref)``; each distinct span survives only
+    at its smallest ``(doc id, position)``, so corpus-wide boilerplate
+    spans (license notices, watermark text, re-shared images by ref)
+    collapse to one occurrence while every document keeps its remaining
+    spans in original order.
+
+    Adds ``n_spans``, ``n_kept`` and ``out_col`` (surviving spans, order
+    preserved; empty array when every span was a repeat).
+
+    Execution shape (same 100 TB design as line_dedup): posexplode ->
+    groupBy(content key) with min(struct(id, pos)) — algebraic, map-side
+    combined, so a span repeated 10^9 times contributes one row per map
+    task to the shuffle — -> survivor join -> one groupBy(id) reassembly.
+    """
+    sp = F.col(spans_col)
+    ex = docs.select(F.col(id_col).alias("_id"),
+                     F.posexplode(spans_col).alias("_pos", "_s"))
+    keyed = ex.select(
+        "_id", "_pos", "_s",
+        F.col("_s.kind").alias("_k"),
+        F.coalesce(F.col("_s.text"), F.lit("")).alias("_t"),
+        F.coalesce(F.col("_s.media_ref"), F.lit("")).alias("_m"))
+    winners = (keyed.groupBy("_k", "_t", "_m")
+               .agg(F.min(F.struct(F.col("_id"), F.col("_pos")))
+                     .alias("_win")))
+    kept = (keyed.join(winners, ["_k", "_t", "_m"])
+            .filter((F.col("_win._id") == F.col("_id")) &
+                    (F.col("_win._pos") == F.col("_pos")))
+            .select("_id", "_pos", "_s"))
+    assembled = (kept.groupBy("_id")
+                 .agg(F.count("*").cast("long").alias("n_kept"),
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct(F.col("_pos"), F.col("_s")))),
+                          lambda s: s["_s"]).alias("_kept")))
+    span_type = docs.schema[spans_col].dataType
+    return (docs.join(assembled.withColumnRenamed("_id", id_col),
+                      id_col, "left")
+            .withColumn("n_spans", F.size(sp).cast("long"))
+            .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0))
+                        .cast("long"))
+            .withColumn(out_col, F.coalesce(F.col("_kept"),
+                                            F.array().cast(span_type)))
+            .drop("_kept"))
+
+
 def spans_schema() -> TY.ArrayType:
     return TY.ArrayType(TY.StructType([
         TY.StructField("kind", TY.StringType()),

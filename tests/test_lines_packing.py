@@ -112,6 +112,54 @@ def test_line_dedup_stable_under_repartition(spark):
     assert kept == 1 + 7 + 3
 
 
+# ----------------------------------------------------------- span dedup
+
+def _spans_df(spark, rows):
+    from geospatialtools_spark.operators.docs import spans_schema
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("spans", spans_schema())])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_span_dedup_first_occurrence_and_order(spark):
+    from geospatialtools_spark.operators.docs import span_dedup
+    lic = ("text", "license", None, 0)
+    img = ("image", None, "blob://shared", 5)
+    df = _spans_df(spark, [
+        (1, [lic, ("text", "body one", None, 10), img]),
+        (2, [lic, img, ("text", "body two", None, 20)]),
+        (3, [lic]),                                   # loses everything
+    ])
+    out = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_kept"] == 3
+    assert [s["text"] or s["media_ref"] for s in out[1]["spans_dedup"]] == \
+        ["license", "body one", "blob://shared"]
+    # doc 2 loses the license AND the shared image, keeps its body in place
+    assert out[2]["n_kept"] == 1
+    assert out[2]["spans_dedup"][0]["text"] == "body two"
+    assert out[3]["n_kept"] == 0 and out[3]["spans_dedup"] == []
+
+
+def test_span_dedup_within_doc_repeat_and_stability(spark):
+    from geospatialtools_spark.operators.docs import span_dedup
+    rep = ("text", "repeated watermark", None, 0)
+    rows = [(i, [rep, ("text", f"unique {i}", None, 1), rep])
+            for i in range(1, 51)]
+    df = _spans_df(spark, rows)
+    a = span_dedup(df)
+    got = {r["doc_id"]: r for r in a.collect()}
+    # the watermark survives once globally (doc 1, pos 0); every doc keeps
+    # its unique span; doc 1 keeps 2 of 3 (its own pos-2 repeat drops too)
+    assert got[1]["n_kept"] == 2
+    for i in range(2, 51):
+        assert got[i]["n_kept"] == 1
+        assert got[i]["spans_dedup"][0]["text"] == f"unique {i}"
+    b = {r["doc_id"]: r["n_kept"]
+         for r in span_dedup(df.repartition(7)).collect()}
+    assert b == {k: v["n_kept"] for k, v in got.items()}
+
+
 # ------------------------------------------------------- weighted sampling
 
 def test_weighted_sample_matches_python_reference(spark):
