@@ -577,6 +577,23 @@ def q_quality_logreg(spark, sf_dir):
          .alias("p_keep"))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020;
+    functions/classifier.py:fit_unigram + unigram_nll): a unigram model is
+    fit on the corpus itself (top-20 vocab of the ~30-word synthetic
+    vocabulary, so a real OOV tail exists) and every document scores its
+    average negative log-likelihood — the head/tail fluency proxy a
+    curation pipeline thresholds on. Model fit is one map-side-combined
+    count aggregation + a TakeOrdered top-k; scoring is a broadcast join
+    of the O(vocab) model + one per-doc aggregation."""
+    from geospatialtools_spark.functions.classifier import (fit_unigram,
+                                                            unigram_nll)
+    d = _t(spark, sf_dir, "documents")
+    model = fit_unigram(d, vocab_size=20)
+    out = unigram_nll(d, model)
+    return out.select("doc_id", F.round(F.col("nll"), 6).alias("nll"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-k ANN baseline."""
     emb, q = _queries_emb(spark, sf_dir)
@@ -1310,7 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "join_broadcast": q_join_broadcast,
         "normalize_minmax": q_normalize_minmax,
-        "nd_histogram": q_nd_histogram,
+        # nd_histogram demoted round 5 (A7 keeps its stronger golden twin
+        # nd_hist_hrus in-window; 4 green rounds) for lm_perplexity below.
         "time_block_avg": q_time_block_avg,
         "fit_metrics": q_fit_metrics,
         "pedotransfer_saxton": q_pedotransfer_saxton,
@@ -1359,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window); grads_time demotes to the tail — its GrADS time
         # format keeps the round-trip pytest and 4 rounds of green history.
         "quality_logreg": q_quality_logreg,
+        "lm_perplexity": q_lm_perplexity,
         "knn_docs": q_knn_docs,
         # span_dedup is new in round 5 (fresh-entry rule); events_hourly
         # demotes — the streaming family keeps its stateful flagship
@@ -1405,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "grads_time": q_grads_time,
         "events_hourly": q_events_hourly,
+        "nd_histogram": q_nd_histogram,
     }
 
 
@@ -1683,6 +1703,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE bkt < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
                         ELSE 10000 END
             GROUP BY lang""",
+        "lm_perplexity": f"""
+            WITH words AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       text, {_SQL_WS_RE}), x -> x <> '')) AS w
+              FROM documents),
+            counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+            top AS (SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 20),
+            tail AS (
+              SELECT sum(n) AS tn, count(*) AS tc FROM counts
+              WHERE w NOT IN (SELECT w FROM top)),
+            oovp AS (
+              SELECT CASE WHEN tc > 0
+                          THEN ln((tn * 1.0 / tc) / t)
+                          ELSE ln((SELECT min(n) FROM counts) / t) END AS olp
+              FROM tail, tot),
+            model AS (SELECT w, ln(n / t) AS logp FROM top, tot),
+            sc AS (
+              SELECT words.doc_id,
+                     COALESCE(m.logp, (SELECT olp FROM oovp)) AS lp
+              FROM words LEFT JOIN model m USING (w)),
+            per_doc AS (
+              SELECT doc_id, -avg(lp) AS nll FROM sc GROUP BY doc_id)
+            SELECT d.doc_id, round(per_doc.nll, 6) AS nll
+            FROM documents d LEFT JOIN per_doc USING (doc_id)""",
         "quality_logreg": r"""
             WITH f AS (
               SELECT doc_id,

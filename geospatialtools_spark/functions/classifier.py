@@ -1,6 +1,7 @@
 """Model-based quality scoring: logistic regression trained with
-distributed full-batch gradient descent, scored as a pure Catalyst
-expression.
+distributed full-batch gradient descent (scored as a pure Catalyst
+expression) and a CCNet-style unigram LM perplexity filter
+(fit_unigram / unigram_nll).
 
 Modern curation pipelines (FineWeb-Edu, DCLM) gate documents with a small
 learned quality classifier rather than hand rules alone. This module is
@@ -130,6 +131,66 @@ def fit_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
     b_raw = b - sum(w[i] * mean[i] / std[i] for i in range(k))
     return {"weights": w_raw, "intercept": b_raw,
             "mean": mean, "std": std, "n": int(n)}
+
+
+def fit_unigram(df: DataFrame, text_col: str = "text",
+                vocab_size: int = 50_000) -> DataFrame:
+    """Unigram language model over whitespace words: the ``vocab_size``
+    most frequent words with their log-probabilities (natural log of
+    count / total-count over the WHOLE corpus, including the tail mass —
+    so probabilities are honest, not renormalized over the kept vocab).
+    Returns (word, logp) plus one ``<OOV>`` row carrying the log of the
+    mean tail-word probability (the CCNet-style unknown-word penalty);
+    when nothing falls outside the vocab the OOV row gets the log of the
+    corpus-minimum word probability instead, so scoring never sees NULL.
+
+    One explode + one map-side-combined count aggregation + a top-k on
+    counts (TakeOrdered shape via orderBy/limit). The model is
+    O(vocab_size) rows — broadcastable by construction.
+    """
+    from .textstats import words_array
+    words = df.select(F.explode(words_array(F.col(text_col))).alias("w"))
+    counts = words.groupBy("w").agg(F.count("*").alias("n"))
+    counts = counts.localCheckpoint(eager=True)     # reused 3x below
+    total = counts.agg(F.sum("n")).head()[0]
+    top = counts.orderBy(F.desc("n"), "w").limit(vocab_size)
+    tail = counts.join(top.select("w"), "w", "left_anti") \
+                 .agg(F.sum("n").alias("tn"), F.count("*").alias("tc")).head()
+    if tail["tc"] and tail["tc"] > 0:
+        oov_logp = math.log((tail["tn"] / tail["tc"]) / total)
+    else:
+        mn = counts.agg(F.min("n")).head()[0]
+        oov_logp = math.log(mn / total)
+    model = top.select("w", F.log(F.col("n") / F.lit(float(total)))
+                       .alias("logp"))
+    oov = model.sparkSession.createDataFrame(
+        [("<OOV>", float(oov_logp))], "w string, logp double")
+    return model.unionByName(oov)
+
+
+def unigram_nll(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                out_col: str = "nll") -> DataFrame:
+    """Per-document average negative log-likelihood under the unigram
+    model — the CCNet-style perplexity proxy (Wenzek et al. 2020): low =
+    head-like fluent text, high = tail/garbage. Empty docs score NULL.
+
+    Shape: explode words -> broadcast-join the O(vocab) model (OOV words
+    take the ``<OOV>`` penalty row) -> one groupBy(id) average. The only
+    shuffle is the final per-doc aggregation, keyed on the doc id."""
+    from .textstats import words_array
+    ex = docs.select(F.col(id_col).alias("_id"),
+                     F.explode(words_array(F.col(text_col))).alias("w"))
+    oov = F.broadcast(model.filter(F.col("w") == "<OOV>")
+                      .select(F.col("logp").alias("_oov")))
+    scored = (ex.join(F.broadcast(model.filter(F.col("w") != "<OOV>")),
+                      "w", "left")
+              .crossJoin(oov)
+              .select("_id", F.coalesce(F.col("logp"), F.col("_oov"))
+                      .alias("_lp")))
+    per_doc = scored.groupBy("_id").agg((-F.avg("_lp")).alias(out_col))
+    return docs.join(per_doc.withColumnRenamed("_id", id_col),
+                     id_col, "left")
 
 
 def logreg_predict_py(x_rows, weights, intercept):

@@ -95,6 +95,41 @@ def test_logreg_score_matches_python_predictor(spark):
     assert got[3] in (0.0, 1.0) or 0.0 < got[3] < 1.0
 
 
+def test_unigram_model_and_nll(spark):
+    from geospatialtools_spark.functions.classifier import (fit_unigram,
+                                                            unigram_nll)
+    # corpus: 'the' x6, 'cat' x3, 'dog' x2, 'rare' x1 -> total 12
+    df = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the cat the dog the cat"),
+         (3, "the rare"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    model = fit_unigram(df, vocab_size=3)
+    rows = {r["w"]: r["logp"] for r in model.collect()}
+    assert set(rows) == {"the", "cat", "dog", "<OOV>"}
+    assert rows["the"] == pytest.approx(math.log(6 / 12), abs=1e-12)
+    assert rows["cat"] == pytest.approx(math.log(3 / 12), abs=1e-12)
+    # OOV penalty = log(mean tail prob) = log((1/1)/12)
+    assert rows["<OOV>"] == pytest.approx(math.log(1 / 12), abs=1e-12)
+
+    out = {r["doc_id"]: r["nll"] for r in unigram_nll(df, model).collect()}
+    exp1 = -(2 * math.log(6 / 12) + math.log(3 / 12) + math.log(2 / 12)) / 4
+    assert out[1] == pytest.approx(exp1, rel=1e-12)
+    # doc 3 hits the OOV row for 'rare'
+    exp3 = -(math.log(6 / 12) + math.log(1 / 12)) / 2
+    assert out[3] == pytest.approx(exp3, rel=1e-12)
+    assert out[4] is None and out[5] is None
+    # fluent (head-word) text scores LOWER nll than tail-word text
+    assert out[1] < out[3]
+
+
+def test_unigram_no_tail_falls_back_to_min_prob(spark):
+    from geospatialtools_spark.functions.classifier import fit_unigram
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    model = {r["w"]: r["logp"]
+             for r in fit_unigram(df, vocab_size=10).collect()}
+    assert model["<OOV>"] == pytest.approx(math.log(1 / 3), abs=1e-12)
+
+
 def test_fit_logreg_hash_sampled_training(spark):
     rows = _toy_rows(1000)
     df = spark.createDataFrame(
