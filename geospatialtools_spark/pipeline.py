@@ -180,6 +180,13 @@ class CurationConfig:
     clean_blacklist: list[str] | None = None
     line_dedup: bool = False
     line_sep: str = "\n"
+    # CCNet-style LM perplexity cutoff (round 5): when ``max_nll`` is set,
+    # the quality stage fits a unigram model on the post-dedup corpus
+    # (deterministic — one count aggregation + top-k vocab) and drops
+    # documents whose average negative log-likelihood exceeds the cutoff
+    # (high NLL = tail/garbage text). ``lm_vocab_size`` bounds the model.
+    max_nll: float | None = None
+    lm_vocab_size: int = 50_000
 
     def as_dict(self) -> dict:
         d = {"id": self.id_col, "text": self.text_col,
@@ -202,6 +209,9 @@ class CurationConfig:
         if (self.clean_min_words is not None or self.line_dedup) \
                 and self.line_sep != "\n":
             d["line_sep"] = self.line_sep
+        if self.max_nll is not None:
+            d["max_nll"] = self.max_nll
+            d["lm_vocab"] = self.lm_vocab_size
         return d
 
 
@@ -226,7 +236,10 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
       non-keepers out. The group table is O(dup docs), never the corpus.
     - ``quality``: drop rows under ``quality_min``; when the repetition
       cutoffs are set, also drop rows over ``max_dup_word_frac`` /
-      ``max_top2_char_frac`` (Gopher repetition filters, Arrow hot path).
+      ``max_top2_char_frac`` (Gopher repetition filters, Arrow hot path);
+      when ``max_nll`` is set, fit a unigram LM on the deduped corpus and
+      drop rows whose average NLL exceeds it (CCNet perplexity filter;
+      empty/whitespace docs have no NLL and are dropped too).
     - ``scrub``: PII redaction in place.
     - ``split``: deterministic hash split (stable under append/repartition).
     - ``shard``: budget-packed contiguous shards of the train split.
@@ -297,6 +310,12 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
                 d = d.filter(dup <= config.max_dup_word_frac)
             if config.max_top2_char_frac is not None:
                 d = d.filter(top2 <= config.max_top2_char_frac)
+        if config.max_nll is not None:
+            from .functions.classifier import fit_unigram, unigram_nll
+            model = fit_unigram(near, text_col=txt,
+                                vocab_size=config.lm_vocab_size)
+            d = unigram_nll(d, model, id_col=idc, text_col=txt) \
+                .filter(F.col("nll") <= config.max_nll).drop("nll")
         return d
 
     filtered = runner.run_stage("quality", _quality)

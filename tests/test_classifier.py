@@ -130,6 +130,31 @@ def test_unigram_no_tail_falls_back_to_min_prob(spark):
     assert model["<OOV>"] == pytest.approx(math.log(1 / 3), abs=1e-12)
 
 
+def test_curation_pipeline_lm_filter(spark, tmp_path):
+    """max_nll in the curation quality stage: tail-word docs (high NLL
+    under the corpus-fit unigram model) drop; head-word docs survive."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+    # the one-off filler sits mid-sequence so every 3-shingle contains it:
+    # head docs share WORDS (the LM head) but zero shingles, so the
+    # near-dedup stage upstream keeps them all
+    head = [(i, f"alpha beta filler{i} gamma delta", 30)
+            for i in range(1, 41)]
+    tail = [(100 + i, f"zz{i} qq{i} xx{i} vv{i} kk{i}", 30)
+            for i in range(1, 11)]
+    df = spark.createDataFrame(head + tail,
+                               "doc_id long, text string, n_chars long")
+    cfg = CurationConfig(quality_min=0.0, splits={"train": 1.0},
+                         shard_budget=500, max_nll=3.5, lm_vocab_size=10)
+    out = run_curation_pipeline(spark, df, cfg, str(tmp_path / "cur"))
+    ids = {r["doc_id"] for r in out["quality"].select("doc_id").collect()}
+    # head docs: 4 of 5 words are corpus-dominant (p=40/250 each), one
+    # filler -> NLL ~ (4*ln(250/40) + ln-OOV)/5 well under the tail docs,
+    # which are 100% one-off words at the OOV penalty
+    assert all(i in ids for i in range(1, 41))
+    assert all(100 + i not in ids for i in range(1, 11))
+
+
 def test_fit_logreg_hash_sampled_training(spark):
     rows = _toy_rows(1000)
     df = spark.createDataFrame(
