@@ -577,6 +577,22 @@ def q_quality_logreg(spark, sf_dir):
          .alias("p_keep"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Mergeable Misra-Gries heavy-hitters sketch (functions/sketch.py):
+    top-20 corpus words via per-partition O(capacity) summaries merged by
+    summation — the boilerplate-frequency report without a
+    full-cardinality shuffle. The gate runs in the sketch's EXACT regime
+    (capacity 4096 >> the ~30-word vocabulary, so zero compression and
+    err_bound = 0 — certified in the output), which is what makes the
+    plain GROUP BY DuckDB twin an exact oracle; the approximation
+    guarantee (est <= true <= est + err at capacity << distinct) is
+    pytest-verified on planted skewed data."""
+    from geospatialtools_spark.functions.sketch import heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(TS.words_array(F.col("text"))).alias("w"))
+    return heavy_hitters(words, "w", k=20, capacity=4096)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity filter (Wenzek et al. 2020;
     functions/classifier.py:fit_unigram + unigram_nll): a unigram model is
@@ -1330,7 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nd_histogram demoted round 5 (A7 keeps its stronger golden twin
         # nd_hist_hrus in-window; 4 green rounds) for lm_perplexity below.
         "time_block_avg": q_time_block_avg,
-        "fit_metrics": q_fit_metrics,
+        # fit_metrics demoted round 5 (§2.8 keeps pedotransfer_saxton
+        # in-window; metrics stays pytest-covered, 4 green rounds) for
+        # heavy_hitters below.
         "pedotransfer_saxton": q_pedotransfer_saxton,
         # -- training-data pipeline ----------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -1378,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # format keeps the round-trip pytest and 4 rounds of green history.
         "quality_logreg": q_quality_logreg,
         "lm_perplexity": q_lm_perplexity,
+        "heavy_hitters": q_heavy_hitters,
         "knn_docs": q_knn_docs,
         # span_dedup is new in round 5 (fresh-entry rule); events_hourly
         # demotes — the streaming family keeps its stateful flagship
@@ -1425,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grads_time": q_grads_time,
         "events_hourly": q_events_hourly,
         "nd_histogram": q_nd_histogram,
+        "fit_metrics": q_fit_metrics,
     }
 
 
@@ -1703,6 +1723,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE bkt < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
                         ELSE 10000 END
             GROUP BY lang""",
+        "heavy_hitters": f"""
+            WITH words AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       text, {_SQL_WS_RE}), x -> x <> '')) AS w
+              FROM documents),
+            counts AS (SELECT w AS item, count(*) AS est FROM words
+                       GROUP BY w)
+            SELECT CAST(row_number() OVER (ORDER BY est DESC, item)
+                        AS INTEGER) AS rank,
+                   item, est, CAST(0 AS BIGINT) AS err_bound
+            FROM counts
+            QUALIFY rank <= 20""",
         "lm_perplexity": f"""
             WITH words AS (
               SELECT doc_id, unnest(list_filter(regexp_split_to_array(

@@ -1,0 +1,65 @@
+"""Misra-Gries heavy-hitters sketch: exact-regime equality, the classic
+frequency guarantee under heavy compression, and merge stability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.functions.sketch import heavy_hitters
+
+
+def _word_df(spark, rows, parts=8):
+    return spark.createDataFrame([(w,) for w in rows], "w string") \
+                .repartition(parts)
+
+
+def test_heavy_hitters_exact_regime_matches_groupby(spark):
+    # 40 distinct items, capacity 4096 -> zero compression, certified exact
+    rows = [f"item{i % 40}" for i in range(4000)] + ["rare"] * 3
+    df = _word_df(spark, rows)
+    got = heavy_hitters(df, "w", k=10, capacity=4096).collect()
+    assert all(r["err_bound"] == 0 for r in got)
+    truth = {r["w"]: r["n"] for r in
+             df.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["item"], r["est"]) for r in got] == expect
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_heavy_hitters_guarantee_under_compression(spark):
+    # planted skew: 3 heavy items dominate a long tail of one-off items;
+    # capacity 8 << 3003 distinct forces real compression
+    rows = (["hot_a"] * 5000 + ["hot_b"] * 3000 + ["hot_c"] * 2000
+            + [f"tail{i}" for i in range(3000)])
+    n = len(rows)
+    cap = 8
+    df = _word_df(spark, rows, parts=4)
+    got = {r["item"]: r for r in
+           heavy_hitters(df, "w", k=cap, capacity=cap).collect()}
+    err = next(iter(got.values()))["err_bound"]
+    assert err > 0                       # compression genuinely happened
+    truth = {"hot_a": 5000, "hot_b": 3000, "hot_c": 2000}
+    for item, true_n in truth.items():
+        # every item with freq > N/(cap+1) must be present...
+        assert true_n > n / (cap + 1)
+        assert item in got
+        # ...with an undercounting estimate inside the reported bound
+        assert got[item]["est"] <= true_n <= got[item]["est"] + err
+    # ranking of the three heavies is preserved (gaps >> error bound)
+    assert got["hot_a"]["est"] > got["hot_b"]["est"] > got["hot_c"]["est"]
+
+
+def test_heavy_hitters_exactness_is_partition_stable(spark):
+    rows = [f"w{i % 25}" for i in range(2500)]
+    a = heavy_hitters(_word_df(spark, rows, 3), "w", 5, 1000).collect()
+    b = heavy_hitters(_word_df(spark, rows, 11), "w", 5, 1000).collect()
+    assert [(r["item"], r["est"], r["err_bound"]) for r in a] == \
+           [(r["item"], r["est"], r["err_bound"]) for r in b]
+
+
+def test_heavy_hitters_null_items_ignored(spark):
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)],
+                               "w string")
+    got = heavy_hitters(df, "w", k=5, capacity=100).collect()
+    assert [(r["item"], r["est"]) for r in got] == [("a", 2), ("b", 1)]
