@@ -566,7 +566,7 @@ def synth_lined_docs(spark, n: int):
     - pos 4: a line shared by each 100-doc block (repeats 100x).
 
     After first-occurrence dedup, doc d keeps 3 + [d<=2] + [d%100==0]
-    lines, so sum(n_kept) = 3n + 3 + n/100 exactly."""
+    lines, so sum(n_kept) = 3n + min(3, n) + ceil(n/100) exactly."""
     from pyspark.sql import functions as F
     uniq = [F.concat_ws(" ", F.transform(
         F.sequence(F.lit(0), F.lit(7)),
@@ -608,7 +608,10 @@ def main_lines():
     t_ld = round(time.time() - t0, 2)
     agg = out.agg(F.sum("n_kept").alias("kept"),
                   F.sum("n_lines").alias("total")).head()
-    expect_kept = 3 * n + 3 + n // 100
+    # 3 unique lines per doc + one first occurrence per boilerplate
+    # variant (3, or n when n < 3) + one banner per (possibly partial)
+    # 100-doc block
+    expect_kept = 3 * n + min(3, n) + -(-n // 100)
 
     docs_w = docs.withColumn("n_chars", F.length("text"))
     k = max(10_000, n // 500)

@@ -68,6 +68,8 @@ def fit_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
     ``{"weights": [...], "intercept": b, "mean": [...], "std": [...],
     "n": rows}`` with weights in ORIGINAL feature units (the internal
     standardization is folded back out), ready for ``logreg_score``.
+    Rows with a NULL label or any NULL feature are dropped before
+    training; ``n`` counts the rows that actually trained.
 
     Each iteration is one aggregation job: sum over rows of
     ``(sigmoid(x·w) - y)`` and ``(sigmoid(x·w) - y) * x_j`` — algebraic
@@ -81,17 +83,19 @@ def fit_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
     contract as functions/sampling.py — and score the full corpus with the
     returned weights.
     """
-    d = df.select(*(F.col(c).cast("double").alias(c) for c in feature_cols),
-                  F.col(label_col).cast("double").alias("_y"))
+    src = df
     if sample_fraction is not None:
         from .sampling import BUCKETS, hash_bucket
         if sample_key is None:
             raise ValueError("sample_fraction needs sample_key")
-        d = df.filter(hash_bucket(F.col(sample_key))
-                      < int(round(sample_fraction * BUCKETS))) \
-              .select(*(F.col(c).cast("double").alias(c)
-                        for c in feature_cols),
-                      F.col(label_col).cast("double").alias("_y"))
+        src = df.filter(hash_bucket(F.col(sample_key))
+                        < int(round(sample_fraction * BUCKETS)))
+    # rows with any NULL feature or label are dropped up front: they would
+    # inflate count('*') while contributing nothing to the gradient sums
+    # (silently scaling down the effective learning rate) and skew the
+    # per-column standardization stats
+    d = src.select(*(F.col(c).cast("double").alias(c) for c in feature_cols),
+                   F.col(label_col).cast("double").alias("_y")).na.drop()
     d = d.localCheckpoint(eager=True)   # 2 + iters passes read this once
 
     k = len(feature_cols)
@@ -102,14 +106,16 @@ def fit_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
             *[F.stddev_pop(c).alias(f"_s{i}")
               for i, c in enumerate(feature_cols)]).head()
         n = stats["_n"]
+        if not n:
+            raise ValueError("empty training set (after NULL drop/sampling)")
         mean = [float(stats[f"_m{i}"]) for i in range(k)]
         std = [float(stats[f"_s{i}"]) or 1.0 for i in range(k)]
         std = [s if s > 0 else 1.0 for s in std]
     else:
         n = d.count()
+        if not n:
+            raise ValueError("empty training set (after NULL drop/sampling)")
         mean, std = [0.0] * k, [1.0] * k
-    if n == 0:
-        raise ValueError("empty training set")
 
     xs = [(F.col(c) - F.lit(mean[i])) / F.lit(std[i])
           for i, c in enumerate(feature_cols)]
@@ -139,20 +145,27 @@ def fit_unigram(df: DataFrame, text_col: str = "text",
     most frequent words with their log-probabilities (natural log of
     count / total-count over the WHOLE corpus, including the tail mass —
     so probabilities are honest, not renormalized over the kept vocab).
-    Returns (word, logp) plus one ``<OOV>`` row carrying the log of the
-    mean tail-word probability (the CCNet-style unknown-word penalty);
-    when nothing falls outside the vocab the OOV row gets the log of the
-    corpus-minimum word probability instead, so scoring never sees NULL.
+    Returns (word, logp) plus one row with ``w = NULL`` carrying the log
+    of the mean tail-word probability (the CCNet-style unknown-word
+    penalty). NULL is the sentinel precisely because no real token can
+    collide with it — a corpus where the literal string '<OOV>' is a
+    frequent word (tokenizer docs, ML papers) must stay a normal vocab
+    row. When nothing falls outside the vocab the penalty row gets the
+    log of the corpus-minimum word probability instead, so scoring never
+    sees NULL log-probabilities.
 
     One explode + one map-side-combined count aggregation + a top-k on
     counts (TakeOrdered shape via orderBy/limit). The model is
-    O(vocab_size) rows — broadcastable by construction.
+    O(vocab_size) rows — broadcastable by construction. Raises on a
+    corpus with zero words.
     """
     from .textstats import words_array
     words = df.select(F.explode(words_array(F.col(text_col))).alias("w"))
     counts = words.groupBy("w").agg(F.count("*").alias("n"))
     counts = counts.localCheckpoint(eager=True)     # reused 3x below
     total = counts.agg(F.sum("n")).head()[0]
+    if not total:
+        raise ValueError("fit_unigram: corpus contains no words")
     top = counts.orderBy(F.desc("n"), "w").limit(vocab_size)
     tail = counts.join(top.select("w"), "w", "left_anti") \
                  .agg(F.sum("n").alias("tn"), F.count("*").alias("tc")).head()
@@ -164,7 +177,7 @@ def fit_unigram(df: DataFrame, text_col: str = "text",
     model = top.select("w", F.log(F.col("n") / F.lit(float(total)))
                        .alias("logp"))
     oov = model.sparkSession.createDataFrame(
-        [("<OOV>", float(oov_logp))], "w string, logp double")
+        [(None, float(oov_logp))], "w string, logp double")
     return model.unionByName(oov)
 
 
@@ -175,15 +188,16 @@ def unigram_nll(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
     model — the CCNet-style perplexity proxy (Wenzek et al. 2020): low =
     head-like fluent text, high = tail/garbage. Empty docs score NULL.
 
-    Shape: explode words -> broadcast-join the O(vocab) model (OOV words
-    take the ``<OOV>`` penalty row) -> one groupBy(id) average. The only
-    shuffle is the final per-doc aggregation, keyed on the doc id."""
+    Shape: explode words -> broadcast-join the O(vocab) model (words
+    missing from the vocab take the NULL-keyed penalty row) -> one
+    groupBy(id) average. The only shuffle is the final per-doc
+    aggregation, keyed on the doc id."""
     from .textstats import words_array
     ex = docs.select(F.col(id_col).alias("_id"),
                      F.explode(words_array(F.col(text_col))).alias("w"))
-    oov = F.broadcast(model.filter(F.col("w") == "<OOV>")
+    oov = F.broadcast(model.filter(F.col("w").isNull())
                       .select(F.col("logp").alias("_oov")))
-    scored = (ex.join(F.broadcast(model.filter(F.col("w") != "<OOV>")),
+    scored = (ex.join(F.broadcast(model.filter(F.col("w").isNotNull())),
                       "w", "left")
               .crossJoin(oov)
               .select("_id", F.coalesce(F.col("logp"), F.col("_oov"))

@@ -59,13 +59,22 @@ def wrap_words(text: Column, k: int) -> Column:
             .otherwise(F.array_join(chunks, "\n"))
 
 
+def _trim_ws(x: Column) -> Column:
+    """Strip ALL leading/trailing Java whitespace (F.trim strips ASCII
+    space only — a '\\r' left by CRLF line endings or tab indentation
+    would defeat cross-document line identity, the same whitespace-flavor
+    class words_array already fixed)."""
+    return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
 def split_lines(text: Column, sep: str = "\n") -> Column:
     """Non-empty lines of ``text`` as array<string> (literal separator).
-    NULL text -> NULL; lines are trimmed of surrounding spaces first so
-    indentation does not defeat cross-document line identity."""
+    NULL text -> NULL; lines are trimmed of surrounding whitespace (every
+    Java \\s flavor, so CRLF endings and tab indentation don't defeat
+    cross-document line identity) and whitespace-only lines drop out."""
     import re as _re
     parts = F.split(text, _re.escape(sep))
-    return F.filter(F.transform(parts, lambda x: F.trim(x)),
+    return F.filter(F.transform(parts, _trim_ws),
                     lambda x: F.length(x) > 0)
 
 
@@ -79,7 +88,9 @@ def _keep_line(line: Column, min_words: int, blacklist: list[str],
         for term in blacklist:
             keep = keep & ~low.contains(term.lower())
     if require_terminal_punct:
-        tail = F.substring(F.rtrim(line), -1, 1)
+        # lines arrive pre-trimmed by split_lines, so the raw last char is
+        # the real terminal character whatever the whitespace flavor was
+        tail = F.substring(line, -1, 1)
         keep = keep & tail.isin(*TERMINAL_PUNCT)
     return keep
 

@@ -180,6 +180,12 @@ class CurationConfig:
     clean_blacklist: list[str] | None = None
     line_dedup: bool = False
     line_sep: str = "\n"
+    # the lines stage refreshes ``weight_col`` as CHAR length of the edited
+    # text (stale weights would skew shard budgets). If your weight unit is
+    # not characters (tokens, bytes), set this False and recompute the
+    # column yourself after the stage — a silent char recount would change
+    # the budget semantics by ~the chars-per-token factor.
+    line_weight_rechars: bool = True
     # CCNet-style LM perplexity cutoff (round 5): when ``max_nll`` is set,
     # the quality stage fits a unigram model on the post-dedup corpus
     # (deterministic — one count aggregation + top-k vocab) and drops
@@ -209,6 +215,9 @@ class CurationConfig:
         if (self.clean_min_words is not None or self.line_dedup) \
                 and self.line_sep != "\n":
             d["line_sep"] = self.line_sep
+        if (self.clean_min_words is not None or self.line_dedup) \
+                and not self.line_weight_rechars:
+            d["line_w_keep"] = True
         if self.max_nll is not None:
             d["max_nll"] = self.max_nll
             d["lm_vocab"] = self.lm_vocab_size
@@ -272,9 +281,11 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
                      .drop("n_lines", "n_kept")
                      .withColumnRenamed("dedup_text", txt)
                      .join(d.select(*keep_cols), idc))
-            if config.weight_col in d.columns:
+            if config.line_weight_rechars and config.weight_col in d.columns:
                 # line edits changed the text; stale weights would skew
-                # the shard budgets and the split accounting downstream
+                # the shard budgets and the split accounting downstream.
+                # NB this recount is in CHARS — disable via
+                # line_weight_rechars when the weight unit is tokens/bytes
                 d = d.withColumn(config.weight_col,
                                  F.length(txt).cast("long"))
             return d

@@ -105,11 +105,12 @@ def test_unigram_model_and_nll(spark):
         "doc_id long, text string")
     model = fit_unigram(df, vocab_size=3)
     rows = {r["w"]: r["logp"] for r in model.collect()}
-    assert set(rows) == {"the", "cat", "dog", "<OOV>"}
+    # the OOV penalty row is NULL-keyed — no real token can collide
+    assert set(rows) == {"the", "cat", "dog", None}
     assert rows["the"] == pytest.approx(math.log(6 / 12), abs=1e-12)
     assert rows["cat"] == pytest.approx(math.log(3 / 12), abs=1e-12)
     # OOV penalty = log(mean tail prob) = log((1/1)/12)
-    assert rows["<OOV>"] == pytest.approx(math.log(1 / 12), abs=1e-12)
+    assert rows[None] == pytest.approx(math.log(1 / 12), abs=1e-12)
 
     out = {r["doc_id"]: r["nll"] for r in unigram_nll(df, model).collect()}
     exp1 = -(2 * math.log(6 / 12) + math.log(3 / 12) + math.log(2 / 12)) / 4
@@ -127,7 +128,49 @@ def test_unigram_no_tail_falls_back_to_min_prob(spark):
     df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
     model = {r["w"]: r["logp"]
              for r in fit_unigram(df, vocab_size=10).collect()}
-    assert model["<OOV>"] == pytest.approx(math.log(1 / 3), abs=1e-12)
+    assert model[None] == pytest.approx(math.log(1 / 3), abs=1e-12)
+
+
+def test_unigram_real_oov_token_is_normal_vocab(spark):
+    # a corpus where the literal '<OOV>' string is a frequent WORD: it
+    # must be a normal vocab row, distinct from the NULL-keyed penalty
+    from geospatialtools_spark.functions.classifier import (fit_unigram,
+                                                            unigram_nll)
+    df = spark.createDataFrame(
+        [(1, "<OOV> <OOV> token docs"), (2, "<OOV> weird")],
+        "doc_id long, text string")
+    model = fit_unigram(df, vocab_size=2)
+    rows = {r["w"]: r["logp"] for r in model.collect()}
+    assert rows["<OOV>"] == pytest.approx(math.log(3 / 6), abs=1e-12)
+    out = {r["doc_id"]: r["nll"] for r in unigram_nll(df, model).collect()}
+    # doc 1: 2x log(3/6) + 2x OOV penalty (docs/token are tail, mean tail
+    # prob = 1/6); exactly one penalty row -> no crossJoin duplication
+    exp1 = -(2 * math.log(3 / 6) + 2 * math.log(1 / 6)) / 4
+    assert out[1] == pytest.approx(exp1, rel=1e-12)
+
+
+def test_unigram_empty_corpus_raises(spark):
+    from geospatialtools_spark.functions.classifier import fit_unigram
+    df = spark.createDataFrame([(1, ""), (2, "   ")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="no words"):
+        fit_unigram(df)
+
+
+def test_fit_logreg_drops_null_rows_and_guards_empty(spark):
+    from geospatialtools_spark.functions.classifier import fit_logreg
+    rows = [(float(i % 7), float(i % 5), float(i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, y double")
+    withnull = df.union(spark.createDataFrame(
+        [(None, 1.0, 1.0), (1.0, None, 0.0), (1.0, 1.0, None)],
+        "f0 double, f1 double, y double"))
+    a = fit_logreg(df, ["f0", "f1"], "y", iters=5)
+    b = fit_logreg(withnull, ["f0", "f1"], "y", iters=5)
+    assert b["n"] == a["n"] == 60          # NULL rows never trained
+    assert b["weights"] == a["weights"] and b["intercept"] == a["intercept"]
+    empty = spark.createDataFrame([], "f0 double, f1 double, y double")
+    with pytest.raises(ValueError, match="empty training set"):
+        fit_logreg(empty, ["f0", "f1"], "y", iters=2)
 
 
 def test_curation_pipeline_lm_filter(spark, tmp_path):

@@ -99,6 +99,27 @@ def test_line_dedup_trims_indentation(spark):
     assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 0
 
 
+def test_line_identity_survives_crlf_and_tabs(spark):
+    # CRLF endings and tab indentation must not defeat cross-document line
+    # identity (the whitespace-flavor class words_array fixed); a
+    # whitespace-only line is not content
+    df = spark.createDataFrame(
+        [(1, "menu home\r\nbody one."), (2, "\tmenu home\nbody two."),
+         (3, " \t \nonly real line")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in LN.line_dedup(df).collect()}
+    assert out[1]["n_kept"] == 2                       # first 'menu home'
+    assert out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "body two."
+    assert out[3]["n_lines"] == 1                      # blank line dropped
+    # terminal-punct rule sees the real last char through a CRLF ending
+    punct = LN.clean_lines(
+        spark.createDataFrame([(1, "good sentence here today ok.\r\nbad")],
+                              "doc_id long, text string"),
+        min_words=2, blacklist=[], require_terminal_punct=True).head()
+    assert punct["n_kept"] == 1
+
+
 def test_line_dedup_stable_under_repartition(spark):
     docs = [(i, f"common header\nbody {i % 7}\ntail {i % 3}")
             for i in range(1, 101)]
