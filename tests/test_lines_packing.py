@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 import hashlib
 
+import pandas as pd
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -310,6 +311,44 @@ def test_curation_pipeline_lines_stage(spark, tmp_path):
     n_keepers = out["near_dedup"].count()
     assert 1 <= n_keepers < 40
     assert out["shard"].count() == n_keepers
+
+
+def test_streaming_quality_ops_match_batch(spark, tmp_path):
+    """The per-row curation operators (clean_lines, quality_logreg
+    scoring) run THROUGH the streaming engine (file-source micro-batches,
+    availableNow drain) and equal the batch plan row-for-row — they are
+    stateless Catalyst expressions, so the same operator tree drops into
+    readStream unchanged. This is the streaming face of the curation
+    surface (the stateful face — sessionize, watermarked dedup — lives in
+    streaming/ingest.py)."""
+    from geospatialtools_spark.functions.classifier import logreg_score
+    from geospatialtools_spark.streaming import ingest as ST
+    from geospatialtools_spark.functions.textstats import token_count
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def transform(df):
+        t = F.col("text")
+        wrapped = LN.wrap_words(t, 8)
+        ntok = token_count(t).cast("double")
+        out = LN.clean_lines(
+            df.withColumn("text", wrapped), min_words=6,
+            blacklist=["slow", "lorem"])
+        return out.select(
+            "doc_id", "n_lines", "n_kept",
+            F.md5(F.col("clean_text")).alias("clean_md5"),
+            F.round(logreg_score([ntok], [0.05], -1.5), 6).alias("p"))
+
+    stream = transform(ST.read_docs_stream(spark, sf_dir))
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(stream, str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    want = transform(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_pack_sequences_stable_under_repartition(spark):
