@@ -433,6 +433,19 @@ def q_stratified_sample(spark, sf_dir):
                                    F.sum("n_chars").alias("chars"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (functions/sampling.py:mixture_sample —
+    Pile/Dolma-style source reweighting): keep as much data as possible
+    while hitting target source proportions; binding domain kept ~100%,
+    untargeted sources dropped. Cuts are floor(share*T/n*BUCKETS) in double
+    precision with identical op order in the DuckDB twin."""
+    from geospatialtools_spark.functions.sampling import mixture_sample
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(d, "doc_id", "source",
+                         {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_shard_budget(spark, sf_dir):
     """Contiguous weight-budget sharding (functions/sampling.py:
     shard_by_budget): cut the doc_id-ordered corpus every 20k chars — the
@@ -1342,7 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational / functions (oracled) ------------------------------
         "groupby_agg": q_groupby_agg,
         "join_broadcast": q_join_broadcast,
-        "normalize_minmax": q_normalize_minmax,
+        # normalize_minmax demoted round 5 (trivial Catalyst P3 expression,
+        # 4 green driver rounds; the P-family keeps width_bins/semi/anti in
+        # the locally-checked tail) for the new mixture_sample below.
         # nd_histogram demoted round 5 (A7 keeps its stronger golden twin
         # nd_hist_hrus in-window; 4 green rounds) for lm_perplexity below.
         "time_block_avg": q_time_block_avg,
@@ -1367,6 +1382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
+        # mixture_sample is new in round 5 (fresh-entry rule: first round
+        # driver-recorded) — takes normalize_minmax's slot above.
+        "mixture_sample": q_mixture_sample,
         "shard_budget": q_shard_budget,
         "redact_pii": q_redact_pii,
         "contamination": q_contamination,
@@ -1422,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "normalize_minmax": q_normalize_minmax,
         "topk_smallest": q_topk_smallest,
         "dense_relabel": q_dense_relabel,
         "percent_rank": q_percent_rank,
@@ -1822,6 +1841,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars > 0)
             SELECT doc_id, lang, n_chars, round(pri, 6) AS priority
             FROM p ORDER BY pri, doc_id LIMIT 100""",
+        # same double-precision op order as sampling.mixture_sample:
+        # T = min(n/share) over targeted sources, cut = floor(share*T/n*1e4)
+        "mixture_sample": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                     CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.25
+                                 WHEN 'src2' THEN 0.25
+                                 ELSE 0.0 END AS share
+              FROM documents GROUP BY source),
+            m AS (SELECT min(n / share) AS t FROM c WHERE share > 0),
+            cuts AS (
+              SELECT source,
+                     CAST(floor(share * (SELECT t FROM m) / n * 10000.0)
+                          AS BIGINT) AS cut
+              FROM c)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN cuts USING (source)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 10000 < cut""",
         "pack_sequences": """
             WITH RECURSIVE s AS (
               SELECT doc_id, n_chars,

@@ -85,6 +85,58 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.filter(b < thr)
 
 
+def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
+                   targets: dict[str, float]) -> DataFrame:
+    """Domain-mixture resampling: downsample each domain so the kept corpus
+    matches the ``targets`` proportions (Pile/Dolma/SlimPajama-style source
+    reweighting), keeping as much data as possible — the binding domain
+    (the one with the least data relative to its target share) is kept at
+    ~100% and every other domain is cut to match.
+
+    Math: with per-domain counts ``n_d`` and target shares ``t_d``, the
+    largest achievable mixed corpus is ``T = min_d n_d / t_d`` (over
+    ``t_d > 0``); each domain keeps ``t_d * T`` rows, i.e. hash-bucket
+    fraction ``t_d * T / n_d``. Domains absent from ``targets`` (or with
+    share 0) are dropped. Shares need not sum to 1 — only their ratios
+    matter.
+
+    Unlike the other samplers here the keep decision depends on the corpus
+    COUNTS, so it is stable across retries/partitionings of the same input
+    but NOT under appends (adding rows moves the cuts — inherent to
+    mixture balancing; freeze the cuts table if append-stability matters).
+
+    Scale shape: one map-side-combined count aggregate over #domains
+    groups, a scalar min, and a broadcast join of the #domains-row cuts
+    table back onto the corpus; the bucket filter is pure Catalyst. The
+    cut expression ``floor(share * T / n * BUCKETS)`` is evaluated in
+    double precision with the identical operation order in the DuckDB
+    oracle twin, so the kept cohort is bit-reproducible cross-engine.
+    """
+    if not targets or all(v <= 0 for v in targets.values()):
+        raise ValueError("targets must give at least one domain a "
+                         "positive share")
+    share = None
+    for name, frac in targets.items():
+        cond = F.col(domain_col) == name
+        lit = F.lit(float(frac))
+        share = F.when(cond, lit) if share is None else share.when(cond, lit)
+    share = share.otherwise(F.lit(0.0))
+    counts = (df.groupBy(domain_col)
+                .agg(F.count("*").cast("double").alias("_n"))
+                .withColumn("_share", share))
+    tmax = (counts.filter(F.col("_share") > 0)
+                  .agg(F.min(F.col("_n") / F.col("_share")).alias("_T")))
+    cuts = (counts.crossJoin(F.broadcast(tmax))
+                  .withColumn("_cut",
+                              F.floor(F.col("_share") * F.col("_T")
+                                      / F.col("_n") * F.lit(float(BUCKETS)))
+                               .cast("long"))
+                  .select(domain_col, "_cut"))
+    return (df.join(F.broadcast(cuts), domain_col)
+              .filter(hash_bucket(F.col(key_col)) < F.col("_cut"))
+              .drop("_cut"))
+
+
 def hash_uniform(key: Column) -> Column:
     """Deterministic uniform double in (0, 1): (h32 + 0.5) / 2^32 where h32
     is the first 32 bits of md5(key). Never exactly 0 or 1, so ln(u) is

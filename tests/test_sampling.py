@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from geospatialtools_spark.functions.sampling import (BUCKETS, hash_bucket,
                                                       hash_split,
+                                                      mixture_sample,
                                                       shard_by_budget,
                                                       stratified_sample)
 
@@ -60,6 +61,39 @@ def test_stratified_sample_keeps_default_strata(spark):
     again = stratified_sample(d, "doc_id", "lang", {"en": 0.25}, default=1.0)
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
            sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_mixture_sample_binding_domain_kept_others_cut(spark):
+    # 1000 'a' rows vs 500 'b' rows with equal target shares: 'b' binds
+    # (T = min(1000/0.5, 500/0.5) = 1000), so ALL of 'b' is kept and 'a'
+    # gets cut = floor(0.5*1000/1000*BUCKETS) = BUCKETS/2 (~half); a domain
+    # absent from the targets is dropped entirely.
+    pdf = pd.DataFrame({
+        "doc_id": range(1700),
+        "dom": ["a"] * 1000 + ["b"] * 500 + ["junk"] * 200,
+    })
+    d = spark.createDataFrame(pdf)
+    out = mixture_sample(d, "doc_id", "dom", {"a": 0.5, "b": 0.5})
+    got = out.groupBy("dom").count().toPandas().set_index("dom")["count"]
+    assert got.get("b", 0) == 500          # binding domain: all kept
+    assert got.get("junk", 0) == 0         # untargeted domain: dropped
+    assert 400 < got.get("a", 0) < 600     # ~half under hash bucketing
+    # determinism + partition independence: identical cohort on a reshuffle
+    again = mixture_sample(d.repartition(13), "doc_id", "dom",
+                           {"a": 0.5, "b": 0.5})
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_mixture_sample_shares_need_not_sum_to_one(spark):
+    # only ratios matter: {a: 2, b: 2} == {a: 0.5, b: 0.5}
+    pdf = pd.DataFrame({"doc_id": range(1500),
+                        "dom": ["a"] * 1000 + ["b"] * 500})
+    d = spark.createDataFrame(pdf)
+    a = mixture_sample(d, "doc_id", "dom", {"a": 2.0, "b": 2.0})
+    b = mixture_sample(d, "doc_id", "dom", {"a": 0.5, "b": 0.5})
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in b.select("doc_id").collect())
 
 
 def test_shard_by_budget_bounds_and_order(spark):
