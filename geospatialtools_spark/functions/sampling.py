@@ -86,7 +86,8 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
 
 
 def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
-                   targets: dict[str, float]) -> DataFrame:
+                   targets: dict[str, float],
+                   weight_col: str | None = None) -> DataFrame:
     """Domain-mixture resampling: downsample each domain so the kept corpus
     matches the ``targets`` proportions (Pile/Dolma/SlimPajama-style source
     reweighting), keeping as much data as possible — the binding domain
@@ -99,6 +100,14 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
     fraction ``t_d * T / n_d``. Domains absent from ``targets`` (or with
     share 0) are dropped. Shares need not sum to 1 — only their ratios
     matter.
+
+    ``weight_col`` switches the mixture target from row counts to a WEIGHT
+    mass (the usual case: token budgets) — ``n_d`` becomes the domain's
+    total weight and the target shares are hit in expectation, since docs
+    are still bucketed uniformly within each domain. Weights must be
+    integers (token/char/byte counts); they are summed as long so the
+    domain masses — and therefore the cuts — stay exact and deterministic
+    (a double sum would be partition-order-dependent).
 
     Unlike the other samplers here the keep decision depends on the corpus
     COUNTS, so it is stable across retries/partitionings of the same input
@@ -121,8 +130,10 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
         lit = F.lit(float(frac))
         share = F.when(cond, lit) if share is None else share.when(cond, lit)
     share = share.otherwise(F.lit(0.0))
+    mass = (F.sum(F.col(weight_col).cast("long")) if weight_col
+            else F.count("*"))
     counts = (df.groupBy(domain_col)
-                .agg(F.count("*").cast("double").alias("_n"))
+                .agg(mass.cast("double").alias("_n"))
                 .withColumn("_share", share))
     tmax = (counts.filter(F.col("_share") > 0)
                   .agg(F.min(F.col("_n") / F.col("_share")).alias("_T")))

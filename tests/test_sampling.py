@@ -85,6 +85,24 @@ def test_mixture_sample_binding_domain_kept_others_cut(spark):
            sorted(r["doc_id"] for r in again.select("doc_id").collect())
 
 
+def test_mixture_sample_weighted_targets_token_mass(spark):
+    # token-budget mixing: 'a' = 1000 docs x 1 token (mass 1000), 'b' =
+    # 250 docs x 2 tokens (mass 500). Equal target shares over MASS:
+    # T = min(1000/0.5, 500/0.5) = 1000 -> 'b' binds and is fully kept
+    # even though it has 4x fewer DOCS than 'a'; 'a' cut to ~half its docs.
+    pdf = pd.DataFrame({
+        "doc_id": range(1250),
+        "dom": ["a"] * 1000 + ["b"] * 250,
+        "tokens": [1] * 1000 + [2] * 250,
+    })
+    d = spark.createDataFrame(pdf)
+    out = mixture_sample(d, "doc_id", "dom", {"a": 0.5, "b": 0.5},
+                         weight_col="tokens")
+    got = out.groupBy("dom").count().toPandas().set_index("dom")["count"]
+    assert got.get("b", 0) == 250          # binding domain BY MASS: all kept
+    assert 400 < got.get("a", 0) < 600     # ~half of a's docs (= half its mass)
+
+
 def test_mixture_sample_shares_need_not_sum_to_one(spark):
     # only ratios matter: {a: 2, b: 2} == {a: 0.5, b: 0.5}
     pdf = pd.DataFrame({"doc_id": range(1500),
