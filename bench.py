@@ -647,6 +647,45 @@ def main_lines():
     }))
 
 
+def main_mixture():
+    """Domain-mixture resampling scale evidence (BASELINE.md): skewed
+    synthetic domains (60/30/9/1% of SPARK_GRAFT_MIXTURE_DOCS rows) with
+    equal target shares — the 1% domain binds, so its full retention is
+    EXACT ground truth (cut = BUCKETS by construction), and the achieved
+    mixture shares must sit within hash-bucket noise of 25% each."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.sampling import mixture_sample
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-mixture")
+    n = int(os.environ.get("SPARK_GRAFT_MIXTURE_DOCS", "10000000"))
+    # id % 100 -> 60/30/9/1 split: deterministic, no data files needed
+    m = F.col("id") % 100
+    docs = spark.range(n).withColumn(
+        "dom", F.when(m < 60, "web").when(m < 90, "books")
+                .when(m < 99, "code").otherwise("wiki"))
+    targets = {"web": 0.25, "books": 0.25, "code": 0.25, "wiki": 0.25}
+    mixture_sample(docs.limit(2000), "id", "dom", targets).count()  # warm
+    t0 = time.time()
+    kept = (mixture_sample(docs, "id", "dom", targets)
+            .groupBy("dom").count().toPandas()
+            .set_index("dom")["count"].to_dict())
+    wall = round(time.time() - t0, 2)
+    n_wiki = n // 100  # exact: one per id%100 == 99
+    total = sum(kept.values())
+    print(json.dumps({
+        "metric": "domain-mixture resampling at scale",
+        "docs": n, "wall_s": wall,
+        "docs_per_sec": round(n / wall, 1),
+        "kept_per_domain": kept, "kept_total": total,
+        "binding_domain_rows": n_wiki,
+        "binding_domain_fully_kept": kept.get("wiki") == n_wiki,
+        "achieved_shares": {d: round(c / total, 4) for d, c in kept.items()},
+        "target_shares": targets,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_flagship_only():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-flagship")
@@ -668,6 +707,8 @@ if __name__ == "__main__":
         main_curation()
     elif "--lines" in sys.argv:
         main_lines()
+    elif "--mixture" in sys.argv:
+        main_mixture()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:
