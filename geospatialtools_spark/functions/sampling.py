@@ -132,9 +132,14 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
     share = share.otherwise(F.lit(0.0))
     mass = (F.sum(F.col(weight_col).cast("long")) if weight_col
             else F.count("*"))
+    # lazy-checkpoint the #domains-row counts table: both consumers below
+    # (the scalar min and the cuts projection) otherwise re-derive it from
+    # scratch, scanning the corpus twice for the aggregates — three full
+    # passes total; checkpointed it's one counts pass + the join pass
     counts = (df.groupBy(domain_col)
                 .agg(mass.cast("double").alias("_n"))
-                .withColumn("_share", share))
+                .withColumn("_share", share)
+                .localCheckpoint(eager=False))
     tmax = (counts.filter(F.col("_share") > 0)
                   .agg(F.min(F.col("_n") / F.col("_share")).alias("_T")))
     cuts = (counts.crossJoin(F.broadcast(tmax))
