@@ -193,6 +193,15 @@ class CurationConfig:
     # (high NLL = tail/garbage text). ``lm_vocab_size`` bounds the model.
     max_nll: float | None = None
     lm_vocab_size: int = 50_000
+    # Domain-mixture resampling (round 5): when ``mixture_targets`` is set
+    # (domain -> target share over ``mixture_domain_col``), the curated
+    # corpus is resampled AFTER cleaning/dedup/quality/scrub — so the mix
+    # is computed over what actually survives — and before split/shard.
+    # ``mixture_by_weight`` targets the shares over ``weight_col`` mass
+    # (token budgets) instead of row counts.
+    mixture_targets: dict[str, float] | None = None
+    mixture_domain_col: str = "source"
+    mixture_by_weight: bool = False
 
     def as_dict(self) -> dict:
         d = {"id": self.id_col, "text": self.text_col,
@@ -221,6 +230,11 @@ class CurationConfig:
         if self.max_nll is not None:
             d["max_nll"] = self.max_nll
             d["lm_vocab"] = self.lm_vocab_size
+        if self.mixture_targets is not None:
+            d["mix"] = self.mixture_targets
+            d["mix_dom"] = self.mixture_domain_col
+            if self.mixture_by_weight:
+                d["mix_w"] = True
         return d
 
 
@@ -250,11 +264,17 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
       drop rows whose average NLL exceeds it (CCNet perplexity filter;
       empty/whitespace docs have no NLL and are dropped too).
     - ``scrub``: PII redaction in place.
+    - ``mixture`` (optional, when ``mixture_targets`` is set): resample
+      the surviving corpus to the target domain proportions
+      (``sampling.mixture_sample`` — binding domain kept ~100%, others
+      cut, untargeted domains dropped; by row count or ``weight_col``
+      mass).
     - ``split``: deterministic hash split (stable under append/repartition).
     - ``shard``: budget-packed contiguous shards of the train split.
     """
     from .functions.dedup import dedup_groups, exact_dups, minhash_lsh_pairs
-    from .functions.sampling import hash_split, shard_by_budget
+    from .functions.sampling import (hash_split, mixture_sample,
+                                     shard_by_budget)
     from .functions.textstats import quality_score, redact_pii
 
     idc, txt = config.id_col, config.text_col
@@ -335,6 +355,14 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     scrubbed = runner.run_stage("scrub", lambda: filtered.withColumn(
         txt, redact_pii(F.col(txt))))
     out["scrub"] = scrubbed
+
+    if config.mixture_targets is not None:
+        scrubbed = runner.run_stage("mixture", lambda: mixture_sample(
+            scrubbed, idc, config.mixture_domain_col,
+            config.mixture_targets,
+            weight_col=(config.weight_col if config.mixture_by_weight
+                        else None)))
+        out["mixture"] = scrubbed
 
     split = runner.run_stage("split", lambda: hash_split(
         scrubbed, idc, config.splits))

@@ -220,3 +220,43 @@ def test_curation_repetition_filter(spark, tmp_path):
     kept_on = {r["doc_id"] for r in out_on["quality"].select("doc_id").collect()}
     assert 900 not in kept_on                      # boilerplate dropped
     assert kept_on == kept_off - {900}             # nothing else touched
+
+
+def test_curation_mixture_stage(spark, tmp_path):
+    """The optional mixture stage resamples the SURVIVING corpus to target
+    domain shares between scrub and split: binding domain fully kept,
+    untargeted domains dropped, and the shard stage sees only the mixed
+    cohort. OFF by default."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+
+    rows = []
+    for i in range(400):
+        # per-doc-unique tokens: no shingle overlap, so the dedup stages
+        # are no-ops and the mixture math sees exactly 300/80/20 rows
+        toks = [f"d{i}w{j}" for j in range(20)]
+        dom = "web" if i < 300 else ("wiki" if i < 380 else "junk")
+        rows.append((i, " ".join(toks), 120, dom))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, source string")
+
+    base = dict(quality_min=0.0, splits={"train": 1.0}, shard_budget=5000)
+    cfg_off = CurationConfig(**base)
+    assert cfg_off.mixture_targets is None         # default OFF
+    out_off = run_curation_pipeline(spark, docs, cfg_off,
+                                    str(tmp_path / "off"))
+    assert "mixture" not in out_off
+
+    cfg_on = CurationConfig(**base,
+                            mixture_targets={"web": 0.5, "wiki": 0.5})
+    out_on = run_curation_pipeline(spark, docs, cfg_on, str(tmp_path / "on"))
+    mixed = out_on["mixture"].groupBy("source").count() \
+        .toPandas().set_index("source")["count"]
+    # wiki binds (80 rows vs a 0.5 share): all kept; web cut to ~80; junk out
+    assert mixed.get("wiki", 0) == 80
+    assert mixed.get("junk", 0) == 0
+    assert 60 < mixed.get("web", 0) < 100
+    # downstream shard stage operates on the mixed cohort only
+    shard_ids = {r["doc_id"] for r in out_on["shard"].select("doc_id").collect()}
+    mixed_ids = {r["doc_id"] for r in out_on["mixture"].select("doc_id").collect()}
+    assert shard_ids == mixed_ids
