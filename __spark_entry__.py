@@ -1842,7 +1842,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, round(pri, 6) AS priority
             FROM p ORDER BY pri, doc_id LIMIT 100""",
         # same double-precision op order as sampling.mixture_sample:
-        # T = min(n/share) over targeted sources, cut = floor(share*T/n*1e4)
+        # T = min(n/share) over targeted sources,
+        # cut = least(ceil(share*T/n*1e4), 1e4) — ceil+clamp pin the
+        # binding domain's cut to exactly BUCKETS for any shares
         "mixture_sample": """
             WITH c AS (
               SELECT source, CAST(count(*) AS DOUBLE) AS n,
@@ -1854,8 +1856,8 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT min(n / share) AS t FROM c WHERE share > 0),
             cuts AS (
               SELECT source,
-                     CAST(floor(share * (SELECT t FROM m) / n * 10000.0)
-                          AS BIGINT) AS cut
+                     least(CAST(ceil(share * (SELECT t FROM m) / n * 10000.0)
+                                AS BIGINT), 10000) AS cut
               FROM c)
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN cuts USING (source)

@@ -67,6 +67,17 @@ def hash_split(df: DataFrame, key_col: str,
     return df.withColumn(out_col, expr)
 
 
+def _case_map(col: Column, mapping: dict, default) -> Column:
+    """Literal CASE chain ``WHEN col = k THEN v ... ELSE default`` over a
+    dict — the shared builder for the per-stratum / per-domain samplers.
+    Catalyst folds it; values and default must be plain literals."""
+    expr = None
+    for key, val in mapping.items():
+        cond = col == key
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return F.lit(default) if expr is None else expr.otherwise(default)
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       fractions: dict, default: float = 0.0) -> DataFrame:
     """Per-stratum deterministic sample: keep a row iff its hash bucket
@@ -75,13 +86,9 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     fraction map rides the plan as a literal CASE, so Catalyst folds it and
     the filter pushes down."""
     b = hash_bucket(F.col(key_col))
-    thr = None
-    for stratum, frac in fractions.items():
-        cut = int(round(frac * BUCKETS))
-        cond = F.col(strata_col) == stratum
-        thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
-    thr = thr.otherwise(int(round(default * BUCKETS))) if thr is not None \
-        else F.lit(int(round(default * BUCKETS)))
+    thr = _case_map(F.col(strata_col),
+                    {s: int(round(f * BUCKETS)) for s, f in fractions.items()},
+                    int(round(default * BUCKETS)))
     return df.filter(b < thr)
 
 
@@ -117,19 +124,37 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
     Scale shape: one map-side-combined count aggregate over #domains
     groups, a scalar min, and a broadcast join of the #domains-row cuts
     table back onto the corpus; the bucket filter is pure Catalyst. The
-    cut expression ``floor(share * T / n * BUCKETS)`` is evaluated in
-    double precision with the identical operation order in the DuckDB
-    oracle twin, so the kept cohort is bit-reproducible cross-engine.
+    cut expression ``least(ceil(share * T / n * BUCKETS), BUCKETS)`` is
+    evaluated in double precision with the identical operation order in
+    the DuckDB oracle twin, so the kept cohort is bit-reproducible
+    cross-engine. ceil + the least() clamp pin the BINDING domain's cut
+    to exactly BUCKETS for any shares: its mathematical value is exactly
+    BUCKETS, fp evaluation lands within ±ε of it, and ceil rounds the
+    9999.99… case up while least() catches the 10000.00…1 case — with
+    floor, non-dyadic shares could silently drop the binding domain's
+    top bucket. Non-binding domains over-keep at most one bucket
+    (1/BUCKETS) versus the exact real-arithmetic cut.
     """
     if not targets or all(v <= 0 for v in targets.values()):
         raise ValueError("targets must give at least one domain a "
                          "positive share")
-    share = None
-    for name, frac in targets.items():
-        cond = F.col(domain_col) == name
-        lit = F.lit(float(frac))
-        share = F.when(cond, lit) if share is None else share.when(cond, lit)
-    share = share.otherwise(F.lit(0.0))
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("negative target shares are not meaningful — "
+                         "use 0 (or omit the domain) to drop it")
+    if weight_col is not None:
+        import pyspark.sql.types as T
+        dt = df.schema[weight_col].dataType
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integer type "
+                f"(token/char/byte counts), got {dt.simpleString()} — a "
+                "fractional column would truncate per-row (weights < 1 "
+                "become 0 and can silently empty the output); cast with "
+                "explicit rounding first")
+    share = _case_map(F.col(domain_col),
+                      {name: float(frac) for name, frac in targets.items()},
+                      0.0)
     mass = (F.sum(F.col(weight_col).cast("long")) if weight_col
             else F.count("*"))
     # lazy-checkpoint the #domains-row counts table: both consumers below
@@ -144,13 +169,15 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
                   .agg(F.min(F.col("_n") / F.col("_share")).alias("_T")))
     cuts = (counts.crossJoin(F.broadcast(tmax))
                   .withColumn("_cut",
-                              F.floor(F.col("_share") * F.col("_T")
-                                      / F.col("_n") * F.lit(float(BUCKETS)))
-                               .cast("long"))
+                              F.least(F.ceil(F.col("_share") * F.col("_T")
+                                             / F.col("_n")
+                                             * F.lit(float(BUCKETS))),
+                                      F.lit(BUCKETS).cast("long")))
                   .select(domain_col, "_cut"))
     return (df.join(F.broadcast(cuts), domain_col)
               .filter(hash_bucket(F.col(key_col)) < F.col("_cut"))
-              .drop("_cut"))
+              .drop("_cut")
+              .select(*df.columns))
 
 
 def hash_uniform(key: Column) -> Column:

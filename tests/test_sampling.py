@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from geospatialtools_spark.functions.sampling import (BUCKETS, hash_bucket,
@@ -101,6 +102,43 @@ def test_mixture_sample_weighted_targets_token_mass(spark):
     got = out.groupBy("dom").count().toPandas().set_index("dom")["count"]
     assert got.get("b", 0) == 250          # binding domain BY MASS: all kept
     assert 400 < got.get("a", 0) < 600     # ~half of a's docs (= half its mass)
+
+
+def test_mixture_sample_nondyadic_shares_keep_binding_domain(spark):
+    # review regression: with floor() the binding domain's cut evaluated to
+    # 9999 for non-dyadic shares (fp puts share*T/n*BUCKETS at 10000-eps),
+    # silently dropping its top hash bucket; ceil + least() pin it to
+    # BUCKETS exactly, so EVERY binding-domain row must survive.
+    pdf = pd.DataFrame({"doc_id": range(62345),
+                        "dom": ["a"] * 50000 + ["b"] * 12345})
+    d = spark.createDataFrame(pdf)
+    out = mixture_sample(d, "doc_id", "dom", {"a": 0.67, "b": 0.33})
+    got = out.groupBy("dom").count().toPandas().set_index("dom")["count"]
+    assert got.get("b", 0) == 12345        # binding domain: every row
+    # a's cut = ceil(0.67 * (12345/0.33) / 50000 * 1e4) ~ 5013 buckets
+    assert 4000 < got.get("a", 0) < 30000
+
+
+def test_mixture_sample_rejects_bad_inputs(spark):
+    pdf = pd.DataFrame({"doc_id": range(10), "dom": ["a"] * 10,
+                        "frac_w": [0.5] * 10})
+    d = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="negative"):
+        mixture_sample(d, "doc_id", "dom", {"a": 0.7, "b": -0.3})
+    with pytest.raises(ValueError, match="positive share"):
+        mixture_sample(d, "doc_id", "dom", {"a": 0.0})
+    # a fractional weight column would truncate to 0 per-row and could
+    # silently empty the output — rejected up front
+    with pytest.raises(ValueError, match="integer type"):
+        mixture_sample(d, "doc_id", "dom", {"a": 1.0}, weight_col="frac_w")
+
+
+def test_mixture_sample_preserves_input_schema_order(spark):
+    pdf = pd.DataFrame({"doc_id": range(20), "text": ["x"] * 20,
+                        "n": [1] * 20, "dom": ["a"] * 20})
+    d = spark.createDataFrame(pdf)
+    out = mixture_sample(d, "doc_id", "dom", {"a": 1.0})
+    assert out.columns == d.columns       # join must not hoist dom to col 0
 
 
 def test_mixture_sample_shares_need_not_sum_to_one(spark):
@@ -247,8 +285,12 @@ def test_curation_mixture_stage(spark, tmp_path):
                                     str(tmp_path / "off"))
     assert "mixture" not in out_off
 
+    # mixture_by_weight exercises the weight_col pass-through; weights are
+    # constant (n_chars = 120) so mass-targets == count-targets and the
+    # expected kept counts below stay exact
     cfg_on = CurationConfig(**base,
-                            mixture_targets={"web": 0.5, "wiki": 0.5})
+                            mixture_targets={"web": 0.5, "wiki": 0.5},
+                            mixture_by_weight=True)
     out_on = run_curation_pipeline(spark, docs, cfg_on, str(tmp_path / "on"))
     mixed = out_on["mixture"].groupBy("source").count() \
         .toPandas().set_index("source")["count"]
