@@ -433,6 +433,20 @@ def q_stratified_sample(spark, sf_dir):
                                    F.sum("n_chars").alias("chars"))
 
 
+def q_weighted_sample_grouped(spark, sf_dir):
+    """Per-group weighted sample (functions/sampling.py:
+    weighted_sample_per_group): top-20 docs per language by
+    Efraimidis-Spirakis priority, salted two-phase top-k so the dominant
+    language never becomes a single-task sort; result identical to the
+    direct per-group rank (which is exactly what the DuckDB twin runs)."""
+    from geospatialtools_spark.functions.sampling import \
+        weighted_sample_per_group
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    out = weighted_sample_per_group(d, "doc_id", "n_chars", "lang", k=20)
+    return out.select("doc_id", "lang", "n_chars",
+                      F.round("priority", 6).alias("priority"))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Domain-mixture resampling (functions/sampling.py:mixture_sample —
     Pile/Dolma-style source reweighting): keep as much data as possible
@@ -1425,7 +1439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_rmse": q_cluster_rmse,
         "span_invariant": q_span_invariant,
         "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
+        # weighted_sample_grouped is new in round 5 (fresh-entry rule);
+        # frame_sample demotes to the tail — the media family keeps
+        # media_decode in-window and frame_sample has green driver history.
+        "weighted_sample_grouped": q_weighted_sample_grouped,
         "doc_cell_ids": q_doc_cell_ids,
         # -- zone / ML golden twins (inside the window since round 4) ------
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -1440,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "frame_sample": q_frame_sample,
         "normalize_minmax": q_normalize_minmax,
         "topk_smallest": q_topk_smallest,
         "dense_relabel": q_dense_relabel,
@@ -1841,6 +1859,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars > 0)
             SELECT doc_id, lang, n_chars, round(pri, 6) AS priority
             FROM p ORDER BY pri, doc_id LIMIT 100""",
+        # the direct per-group rank — the salted two-phase Spark plan is
+        # provably identical (a group's true top-k survives every salt
+        # bucket's local top-k)
+        "weighted_sample_grouped": """
+            WITH p AS (
+              SELECT doc_id, lang, n_chars,
+                     -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::UBIGINT + 0.5) / 4294967296.0)
+                       / n_chars AS pri
+              FROM documents WHERE n_chars > 0),
+            r AS (
+              SELECT doc_id, lang, n_chars, pri,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY pri, doc_id) AS rn
+              FROM p)
+            SELECT doc_id, lang, n_chars, round(pri, 6) AS priority
+            FROM r WHERE rn <= 20""",
         # same double-precision op order as sampling.mixture_sample:
         # T = min(n/share) over targeted sources,
         # cut = least(ceil(share*T/n*1e4), 1e4) — ceil+clamp pin the

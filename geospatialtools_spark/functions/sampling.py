@@ -223,6 +223,60 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
               .limit(k))
 
 
+def weighted_sample_per_group(df: DataFrame, key_col: str, weight_col: str,
+                              group_col: str, k: int,
+                              salt_buckets: int = 32,
+                              out_col: str = "priority") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows PER
+    GROUP (per language, per source, ...), inclusion probability
+    proportional to ``weight_col`` within each group — the per-stratum
+    quality-weighted subcorpus draw (same Efraimidis-Spirakis priority as
+    ``weighted_sample``, so the cohort is a pure function of corpus
+    content: stable across retries, partitionings and engines).
+
+    Scale shape, two independent skew/width guards:
+
+    - The ranking runs on a NARROW projection ``(key, group, priority)``
+      and the winners (<= k rows per group) re-attach to the corpus by a
+      broadcast semi-join on the key — the document payload (text, spans,
+      media) NEVER shuffles, only three scalar columns per row do.
+    - A single window rank over ``group_col`` would still sort each
+      group's narrow rows inside ONE task — the dominant group (often
+      most of a web corpus) becomes a single-task sort at 100 TB.
+      Instead, salted two-phase top-k: rank within ``(group, salt)`` —
+      ``salt_buckets`` deterministic sub-partitions of every group, each
+      keeping its local top ``k`` — then rank the <= k * salt_buckets
+      survivors per group. Phase 2's input is bounded per group
+      regardless of corpus size, so skew never concentrates.
+
+    The result is IDENTICAL to the direct single-window rank: every row
+    of a group's true top-k is also top-k within its salt bucket, so
+    phase 1 can never evict it (asserted against the unsalted plan in
+    tests, and the DuckDB oracle twin IS the direct form). On one box
+    the salting costs a second (tiny) exchange and wins nothing — its
+    value is cluster-side task-size bounding; set ``salt_buckets=1`` to
+    get the plain two-exchange plan.
+    """
+    from pyspark.sql import Window
+    pri = weighted_priority(F.col(key_col), F.col(weight_col))
+    narrow = df.select(F.col(key_col), F.col(group_col),
+                       pri.alias(out_col))
+    if salt_buckets > 1:
+        # any deterministic sub-partition gives the identical result (the
+        # true top-k survives every salt bucket), so use cheap xxhash64
+        # here rather than a second md5 per row
+        salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(group_col, "_salt").orderBy(out_col, key_col)
+        narrow = (narrow.withColumn("_salt", salt)
+                        .withColumn("_r", F.row_number().over(w1))
+                        .filter(F.col("_r") <= k).drop("_r", "_salt"))
+    w2 = Window.partitionBy(group_col).orderBy(out_col, key_col)
+    winners = (narrow.withColumn("_r", F.row_number().over(w2))
+                     .filter(F.col("_r") <= k)
+                     .select(key_col, out_col))
+    return df.join(F.broadcast(winners), key_col).select(*df.columns, out_col)
+
+
 def pack_sequences(df: DataFrame, key_col: str, weight_col: str,
                    capacity: int, shard_budget: int | None = None,
                    out_cols: tuple[str, str] = ("shard", "pack")) -> DataFrame:

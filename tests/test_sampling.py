@@ -152,6 +152,38 @@ def test_mixture_sample_shares_need_not_sum_to_one(spark):
            sorted(r["doc_id"] for r in b.select("doc_id").collect())
 
 
+def test_weighted_sample_per_group_matches_reference_and_unsalted(spark):
+    import math
+
+    from geospatialtools_spark.functions.sampling import \
+        weighted_sample_per_group
+
+    # skewed groups: 'big' has 400 rows, 'small' 40, 'tiny' 3 (< k)
+    rows = [(i, (i * 37) % 90 + 10,
+             "big" if i <= 400 else ("small" if i <= 440 else "tiny"))
+            for i in range(1, 444)]
+    df = spark.createDataFrame(rows, "id long, w long, g string")
+
+    def pri(key, w):
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+        return -math.log((h + 0.5) / 2**32) / w
+
+    expect = set()
+    for g in ("big", "small", "tiny"):
+        grp = sorted((r for r in rows if r[2] == g),
+                     key=lambda r: (pri(r[0], r[1]), r[0]))[:10]
+        expect |= {r[0] for r in grp}
+
+    got = weighted_sample_per_group(df, "id", "w", "g", k=10)
+    assert {r["id"] for r in got.select("id").collect()} == expect
+    # tiny group (3 < k rows) survives whole
+    assert got.filter(F.col("g") == "tiny").count() == 3
+    # salted two-phase == direct single-window rank, and repartition-stable
+    direct = weighted_sample_per_group(df.repartition(7), "id", "w", "g",
+                                       k=10, salt_buckets=1)
+    assert {r["id"] for r in direct.select("id").collect()} == expect
+
+
 def test_shard_by_budget_bounds_and_order(spark):
     budget = 20_000
     d = _docs(spark).select("doc_id", "n_chars")
