@@ -433,6 +433,16 @@ def q_stratified_sample(spark, sf_dir):
                                    F.sum("n_chars").alias("chars"))
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-size overlapping character chunking (functions/lines.py:
+    chunk_text — the RAG/embedding complement of pack_sequences): pure
+    per-row sequence→posexplode→substring, zero shuffle; last chunk ends
+    at the text's end, empty docs yield zero chunks."""
+    from geospatialtools_spark.functions.lines import chunk_text
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(d, chunk_chars=64, overlap_chars=16)
+
+
 def q_weighted_sample_grouped(spark, sf_dir):
     """Per-group weighted sample (functions/sampling.py:
     weighted_sample_per_group): top-20 docs per language by
@@ -1393,7 +1403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all four demoted entries have 4+ rounds of green driver history.
         "line_dedup": q_line_dedup,
         "clean_lines": q_clean_lines,
-        "token_stats": q_token_stats,
+        # chunk_docs is new in round 5 (fresh-entry rule); token_stats
+        # demotes to the tail — the textstats family keeps lang_id,
+        # quality_score and repetition_stats in-window, token_stats has
+        # 3+ rounds of green driver history.
+        "chunk_docs": q_chunk_docs,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
         # mixture_sample is new in round 5 (fresh-entry rule: first round
@@ -1457,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "token_stats": q_token_stats,
         "frame_sample": q_frame_sample,
         "normalize_minmax": q_normalize_minmax,
         "topk_smallest": q_topk_smallest,
@@ -1876,6 +1891,25 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT doc_id, lang, n_chars, round(pri, 6) AS priority
             FROM r WHERE rn <= 20""",
+        # same integer-ceil chunk count and 1-based substr as
+        # lines.chunk_text (chunk 64, overlap 16 -> stride 48)
+        "chunk_docs": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS L
+              FROM documents WHERE length(text) > 0),
+            n AS (
+              SELECT doc_id, text,
+                     CASE WHEN L <= 64 THEN 1
+                          ELSE 1 + (L - 64 + 47) // 48 END AS nc
+              FROM d),
+            e AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0, nc - 1)) AS i
+              FROM n)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i AS INTEGER) * 48 + 1, 64)
+                     AS chunk_text
+            FROM e""",
         # same double-precision op order as sampling.mixture_sample:
         # T = min(n/share) over targeted sources,
         # cut = least(ceil(share*T/n*1e4), 1e4) — ceil+clamp pin the

@@ -186,3 +186,49 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                            F.lit(None).cast("string"))
                      .otherwise(F.coalesce(F.col(out_col), F.lit("")))
                      .alias(out_col)))
+
+
+def chunk_text(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", chunk_chars: int = 2048,
+               overlap_chars: int = 0,
+               out_cols: tuple[str, str] = ("chunk_id", "chunk_text")
+               ) -> DataFrame:
+    """Split each document into fixed-size overlapping character chunks —
+    the complement of ``sampling.pack_sequences``: packing fills context
+    windows with short documents, chunking cuts documents LONGER than the
+    window (RAG indexing, embedding corpora, long-doc training shards).
+
+    Chunk starts are ``0, stride, 2*stride, ...`` with
+    ``stride = chunk_chars - overlap_chars``; every chunk is
+    ``chunk_chars`` long except the last, which ends at the text's end
+    (chunk count = ``1 + ceil((len - chunk) / stride)`` for
+    ``len > chunk``, else 1). NULL or empty text yields ZERO chunks (the
+    row drops out — mirror of the emptied-doc drops in the lines stage).
+
+    Scale shape: pure per-row Catalyst (sequence -> posexplode ->
+    substring) — zero shuffle, stateless, streaming-safe; output rows
+    carry every input column except ``text_col`` plus
+    ``(chunk_id, chunk_text)``, and ``(id_col, chunk_id)`` is the global
+    chunk key with in-document order preserved.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be smaller than chunk_chars "
+                         "(stride would be <= 0 and chunking would never "
+                         "advance)")
+    stride = int(chunk_chars - overlap_chars)
+    cid, ctext = out_cols
+    ln = F.length(F.col(text_col))
+    # integer ceil: (len - chunk + stride - 1) div stride — identical in
+    # DuckDB with // so the twin stays exact
+    n = F.when(ln <= chunk_chars, F.lit(1)) \
+         .otherwise(F.lit(1) + F.expr(
+             f"(length({text_col}) - {int(chunk_chars)} + {stride - 1}) "
+             f"div {stride}"))
+    arr = F.when(ln > 0, F.sequence(F.lit(0), (n - 1).cast("int")))
+    keep = [c for c in df.columns if c != text_col]
+    d = df.select(*df.columns, F.posexplode(arr).alias("_p", "_i"))
+    return d.select(*keep,
+                    F.col("_i").cast("long").alias(cid),
+                    F.substring(F.col(text_col),
+                                F.col("_i") * stride + 1,
+                                F.lit(chunk_chars)).alias(ctext))

@@ -334,19 +334,26 @@ def test_streaming_quality_ops_match_batch(spark, tmp_path):
         out = LN.clean_lines(
             df.withColumn("text", wrapped), min_words=6,
             blacklist=["slow", "lorem"])
-        return out.select(
+        scored = out.select(
             "doc_id", "n_lines", "n_kept",
-            F.md5(F.col("clean_text")).alias("clean_md5"),
+            F.col("clean_text").alias("text"),
             F.round(logreg_score([ntok], [0.05], -1.5), 6).alias("p"))
+        # chunking is a stateless generator (sequence -> posexplode) —
+        # streaming-safe like the scalar expressions above
+        chunked = LN.chunk_text(scored, chunk_chars=40, overlap_chars=8)
+        return chunked.select(
+            "doc_id", "n_lines", "n_kept", "p", "chunk_id",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"))
 
     stream = transform(ST.read_docs_stream(spark, sf_dir))
     out_dir = str(tmp_path / "out")
     ST.run_available_now(stream, str(tmp_path / "ck"), out_dir)
+    keys = ["doc_id", "chunk_id"]
     got = spark.read.parquet(out_dir).toPandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+        .sort_values(keys).reset_index(drop=True)
 
     want = transform(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
-        .toPandas().sort_values("doc_id").reset_index(drop=True)
+        .toPandas().sort_values(keys).reset_index(drop=True)
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want)
 
@@ -358,3 +365,40 @@ def test_pack_sequences_stable_under_repartition(spark):
     b = sorted(map(tuple, pack_sequences(
         df.repartition(11), "id", "w", 500, 4_000).collect()))
     assert a == b
+
+
+def test_chunk_text_matches_python_reference(spark):
+    rows = [(i, "x" * ((i * 53) % 400)) for i in range(1, 80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+
+    def ref(text):
+        if not text:
+            return []
+        n = 1 if len(text) <= chunk else \
+            1 + -(-(len(text) - chunk) // stride)
+        return [(j, text[j * stride:j * stride + chunk]) for j in range(n)]
+
+    expect = [(i, j, c) for i, t in rows for j, c in ref(t)]
+    got = sorted(map(tuple, LN.chunk_text(
+        df, chunk_chars=chunk, overlap_chars=overlap).collect()))
+    assert got == sorted(expect)
+    # reconstruction: dropping each chunk's leading overlap (except chunk 0)
+    # and concatenating in order rebuilds the document exactly
+    by_doc = {}
+    for i, j, c in got:
+        by_doc.setdefault(i, []).append((j, c))
+    for (i, t) in rows:
+        if not t:
+            assert i not in by_doc
+            continue
+        parts = [c if j == 0 else c[overlap:]
+                 for j, c in sorted(by_doc[i])]
+        assert "".join(parts) == t
+
+
+def test_chunk_text_rejects_nonpositive_stride(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        LN.chunk_text(df, chunk_chars=8, overlap_chars=8)
