@@ -188,9 +188,8 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                      .alias(out_col)))
 
 
-def chunk_text(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", chunk_chars: int = 2048,
-               overlap_chars: int = 0,
+def chunk_text(df: DataFrame, text_col: str = "text",
+               chunk_chars: int = 2048, overlap_chars: int = 0,
                out_cols: tuple[str, str] = ("chunk_id", "chunk_text")
                ) -> DataFrame:
     """Split each document into fixed-size overlapping character chunks —
@@ -205,11 +204,11 @@ def chunk_text(df: DataFrame, id_col: str = "doc_id",
     ``len > chunk``, else 1). NULL or empty text yields ZERO chunks (the
     row drops out — mirror of the emptied-doc drops in the lines stage).
 
-    Scale shape: pure per-row Catalyst (sequence -> posexplode ->
+    Scale shape: pure per-row Catalyst (sequence -> explode ->
     substring) — zero shuffle, stateless, streaming-safe; output rows
     carry every input column except ``text_col`` plus
-    ``(chunk_id, chunk_text)``, and ``(id_col, chunk_id)`` is the global
-    chunk key with in-document order preserved.
+    ``(chunk_id, chunk_text)``, so (your row key, chunk_id) is the
+    global chunk key with in-document order preserved.
     """
     if overlap_chars >= chunk_chars:
         raise ValueError("overlap_chars must be smaller than chunk_chars "
@@ -218,17 +217,18 @@ def chunk_text(df: DataFrame, id_col: str = "doc_id",
     stride = int(chunk_chars - overlap_chars)
     cid, ctext = out_cols
     ln = F.length(F.col(text_col))
-    # integer ceil: (len - chunk + stride - 1) div stride — identical in
-    # DuckDB with // so the twin stays exact
-    n = F.when(ln <= chunk_chars, F.lit(1)) \
-         .otherwise(F.lit(1) + F.expr(
-             f"(length({text_col}) - {int(chunk_chars)} + {stride - 1}) "
-             f"div {stride}"))
+    # integer ceil((len - chunk) / stride) via the +stride-1 trick, in
+    # pure Column ops (no F.expr string interpolation — quoted column
+    # names stay safe): a - a%stride is exactly divisible by stride, so
+    # the double division is exact and the truncating cast is the floor
+    a = ln - F.lit(chunk_chars) + F.lit(stride - 1)
+    fdiv = ((a - a % stride) / stride).cast("long")
+    n = F.when(ln <= chunk_chars, F.lit(1)).otherwise(F.lit(1) + fdiv)
     arr = F.when(ln > 0, F.sequence(F.lit(0), (n - 1).cast("int")))
     keep = [c for c in df.columns if c != text_col]
-    d = df.select(*df.columns, F.posexplode(arr).alias("_p", "_i"))
+    d = df.select(*df.columns, F.explode(arr).alias("_chunk_i"))
     return d.select(*keep,
-                    F.col("_i").cast("long").alias(cid),
+                    F.col("_chunk_i").cast("long").alias(cid),
                     F.substring(F.col(text_col),
-                                F.col("_i") * stride + 1,
+                                F.col("_chunk_i") * stride + 1,
                                 F.lit(chunk_chars)).alias(ctext))

@@ -256,11 +256,24 @@ def weighted_sample_per_group(df: DataFrame, key_col: str, weight_col: str,
     the salting costs a second (tiny) exchange and wins nothing — its
     value is cluster-side task-size bounding; set ``salt_buckets=1`` to
     get the plain two-exchange plan.
+
+    Eligibility (differs from ``weighted_sample``, which never joins):
+    rows with a NULL key, a NULL group or a NULL/non-positive weight are
+    EXCLUDED before ranking — a NULL key/group cannot be equi-joined
+    back (it would win a rank slot and then vanish, leaving the group
+    under k), and
+    ``weighted_priority``'s contract is that non-positive weights are
+    never sampled (they would otherwise pad sub-k groups with
+    priority = +inf rows). The winners join keys on (key, group), so a
+    key duplicated across groups attaches only to its own group's row.
     """
     from pyspark.sql import Window
     pri = weighted_priority(F.col(key_col), F.col(weight_col))
-    narrow = df.select(F.col(key_col), F.col(group_col),
-                       pri.alias(out_col))
+    narrow = (df.filter(F.col(key_col).isNotNull() &
+                        F.col(group_col).isNotNull() &
+                        (F.col(weight_col) > 0))
+                .select(F.col(key_col), F.col(group_col),
+                        pri.alias(out_col)))
     if salt_buckets > 1:
         # any deterministic sub-partition gives the identical result (the
         # true top-k survives every salt bucket), so use cheap xxhash64
@@ -273,8 +286,9 @@ def weighted_sample_per_group(df: DataFrame, key_col: str, weight_col: str,
     w2 = Window.partitionBy(group_col).orderBy(out_col, key_col)
     winners = (narrow.withColumn("_r", F.row_number().over(w2))
                      .filter(F.col("_r") <= k)
-                     .select(key_col, out_col))
-    return df.join(F.broadcast(winners), key_col).select(*df.columns, out_col)
+                     .select(key_col, group_col, out_col))
+    return (df.join(F.broadcast(winners), [key_col, group_col])
+              .select(*df.columns, out_col))
 
 
 def pack_sequences(df: DataFrame, key_col: str, weight_col: str,

@@ -334,16 +334,38 @@ def test_streaming_quality_ops_match_batch(spark, tmp_path):
         out = LN.clean_lines(
             df.withColumn("text", wrapped), min_words=6,
             blacklist=["slow", "lorem"])
-        scored = out.select(
+        return out.select(
             "doc_id", "n_lines", "n_kept",
-            F.col("clean_text").alias("text"),
+            F.md5(F.col("clean_text")).alias("clean_md5"),
             F.round(logreg_score([ntok], [0.05], -1.5), 6).alias("p"))
-        # chunking is a stateless generator (sequence -> posexplode) —
-        # streaming-safe like the scalar expressions above
-        chunked = LN.chunk_text(scored, chunk_chars=40, overlap_chars=8)
+
+    stream = transform(ST.read_docs_stream(spark, sf_dir))
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(stream, str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    want = transform(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_text is a stateless generator (sequence -> explode ->
+    substring), so the same operator tree runs unchanged through
+    readStream. Raw documents all have non-empty text, so every doc is
+    represented in the compared frames (the doc-level parity test above
+    keeps its full per-doc coverage including emptied/NULL docs)."""
+    from geospatialtools_spark.streaming import ingest as ST
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def transform(df):
+        chunked = LN.chunk_text(df.select("doc_id", "text"),
+                                chunk_chars=40, overlap_chars=8)
         return chunked.select(
-            "doc_id", "n_lines", "n_kept", "p", "chunk_id",
-            F.md5(F.col("chunk_text")).alias("chunk_md5"))
+            "doc_id", "chunk_id", F.md5(F.col("chunk_text")).alias("md5"))
 
     stream = transform(ST.read_docs_stream(spark, sf_dir))
     out_dir = str(tmp_path / "out")
@@ -351,7 +373,6 @@ def test_streaming_quality_ops_match_batch(spark, tmp_path):
     keys = ["doc_id", "chunk_id"]
     got = spark.read.parquet(out_dir).toPandas() \
         .sort_values(keys).reset_index(drop=True)
-
     want = transform(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
         .toPandas().sort_values(keys).reset_index(drop=True)
     assert len(got) == len(want) > 0
@@ -368,7 +389,13 @@ def test_pack_sequences_stable_under_repartition(spark):
 
 
 def test_chunk_text_matches_python_reference(spark):
-    rows = [(i, "x" * ((i * 53) % 400)) for i in range(1, 80)]
+    # position-dependent characters (not uniform fill) so a start-offset
+    # bug that preserves chunk LENGTHS still fails the content compare
+    def mktext(n):
+        alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+        return "".join(alpha[j % len(alpha)] for j in range(n))
+
+    rows = [(i, mktext((i * 53) % 400)) for i in range(1, 80)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     chunk, overlap = 64, 16
     stride = chunk - overlap

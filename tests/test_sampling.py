@@ -184,6 +184,32 @@ def test_weighted_sample_per_group_matches_reference_and_unsalted(spark):
     assert {r["id"] for r in direct.select("id").collect()} == expect
 
 
+def test_weighted_sample_per_group_duplicate_keys_and_null_eligibility(spark):
+    from geospatialtools_spark.functions.sampling import \
+        weighted_sample_per_group
+
+    # review regression #1: key 7 exists in BOTH groups but is top-k only
+    # where it wins — the (key, group) join must not attach the other
+    # group's row (a key-only join returned k+1 rows for the other group)
+    rows = [(i, 10, "en") for i in range(1, 30)] + \
+           [(7, 3, "de"), (8, 3, "de"), (9, 3, "de")]
+    df = spark.createDataFrame(rows, "id long, w long, g string")
+    out = weighted_sample_per_group(df, "id", "w", "g", k=5).collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["g"], []).append((r["id"], r["w"]))
+    assert len(per_group["en"]) == 5
+    assert sorted(per_group["de"]) == [(7, 3), (8, 3), (9, 3)]  # all, once
+    # review regression #2/#3: NULL keys and non-positive/NULL weights are
+    # ineligible — they must neither appear nor occupy rank slots
+    rows2 = [(i, 10, "g") for i in range(1, 5)] + \
+            [(None, 10, "g"), (99, 0, "g"), (98, None, "g")]
+    df2 = spark.createDataFrame(rows2, "id long, w long, g string")
+    got = weighted_sample_per_group(df2, "id", "w", "g", k=10).collect()
+    assert sorted(r["id"] for r in got) == [1, 2, 3, 4]
+    assert all(r["priority"] != float("inf") for r in got)
+
+
 def test_shard_by_budget_bounds_and_order(spark):
     budget = 20_000
     d = _docs(spark).select("doc_id", "n_chars")
