@@ -630,6 +630,44 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(words, "w", k=20, capacity=4096)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """K-Minimum-Values distinct-count sketch (functions/sketch.py:
+    kmv_distinct; Bar-Yossef et al. 2002, unbiased (k-1)/u_k form per
+    Beyer et al. 2007): how many distinct documents does the corpus hold,
+    from the k=64 smallest md5 hashes of the text. At the gate sf the
+    sketch runs in its ESTIMATE regime (distinct texts >> k), and the
+    DuckDB twin reproduces the approximate answer bit-for-bit because the
+    estimator is a pure function of md5 order (k-th smallest hash read as
+    a [0,1) fraction). The corpus-sized distinct set never shuffles: one
+    mapInPandas summary pass emitting <= k rows per partition, then a
+    <= k*partitions merge."""
+    from geospatialtools_spark.functions.sketch import kmv_distinct
+    d = _t(spark, sf_dir, "documents")
+    return kmv_distinct(d, "text", k=64)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Distributed BPE tokenizer induction + encode (functions/bpe.py):
+    learn 12 merges on the deterministic fixture corpus
+    (oracle/bpe_twin.py — one corpus word-count aggregation, then
+    per-iteration pair-count argmax + Arrow re-segmentation over the
+    bounded vocab table), then rank-priority-encode every sf document in
+    one Arrow pass. The output fingerprints the FULL token sequence per
+    doc (md5 of the separator-joined tokens), so the gate value-checks
+    BOTH train and encode against the independent python reference
+    trainer + in-SQL order-replay encode twin."""
+    from geospatialtools_spark.functions.bpe import bpe_encode, bpe_train
+    from geospatialtools_spark.oracle.bpe_twin import (FIXTURE_TEXTS,
+                                                       N_MERGES, SEP)
+    fix = spark.createDataFrame(list(enumerate(FIXTURE_TEXTS)),
+                                "doc_id long, text string")
+    merges = bpe_train(fix, n_merges=N_MERGES)
+    enc = bpe_encode(_t(spark, sf_dir, "documents"), merges)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.md5(F.concat_ws(SEP, F.col("tokens"))).alias("tokens_fp"))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity filter (Wenzek et al. 2020;
     functions/classifier.py:fit_unigram + unigram_nll): a unigram model is
@@ -1424,7 +1462,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised in-window via the shingle/simhash/minhash entries and
         # doc_fingerprint has four rounds of green driver history.
         "repetition_stats": q_repetition_stats,
-        "cosine_topk": q_cosine_topk,
+        # bpe_tokens + kmv_distinct are new in round 5 (fresh-entry rule:
+        # first round driver-recorded). They take the slots of cosine_topk
+        # (the embedding family keeps embedding_dups + ann_lsh_topk +
+        # ann_ivf_topk in-window; the brute path stays THE pytest verifier
+        # for both, 4 green driver rounds) and cluster_rmse (the clustering
+        # family keeps its stronger golden twins tiles_kmeans +
+        # reduce_basins in-window, 4 green rounds).
+        "bpe_tokens": q_bpe_tokens,
+        "kmv_distinct": q_kmv_distinct,
         "embedding_dups": q_embedding_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1450,7 +1496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "events_sessions": q_events_sessions,
         "polygon_adjacency": q_polygon_adjacency,
-        "cluster_rmse": q_cluster_rmse,
         "span_invariant": q_span_invariant,
         "media_decode": q_media_decode,
         # weighted_sample_grouped is new in round 5 (fresh-entry rule);
@@ -1471,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "cosine_topk": q_cosine_topk,
+        "cluster_rmse": q_cluster_rmse,
         "token_stats": q_token_stats,
         "frame_sample": q_frame_sample,
         "normalize_minmax": q_normalize_minmax,
@@ -1498,6 +1545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nd_histogram": q_nd_histogram,
         "fit_metrics": q_fit_metrics,
     }
+
+
+def _bpe_twin_sql() -> str:
+    from geospatialtools_spark.oracle.bpe_twin import bpe_tokens_twin_sql
+    return bpe_tokens_twin_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1787,6 +1839,25 @@ def oracle_sql() -> dict[str, str]:
                    item, est, CAST(0 AS BIGINT) AS err_bound
             FROM counts
             QUALIFY rank <= 20""",
+        # kmv_distinct: the ESTIMATE itself is cross-engine deterministic
+        # (pure function of md5 order: k-th smallest hash's first 15 hex
+        # chars as a [0,1) fraction, identical IEEE double arithmetic),
+        # so the twin checks the approximate answer bit-for-bit — unlike
+        # heavy_hitters, which oracles only its exact regime.
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT md5(CAST(text AS VARCHAR)) AS h
+              FROM documents WHERE text IS NOT NULL),
+            top AS (SELECT h FROM h ORDER BY h LIMIT 64),
+            a AS (SELECT count(*) AS n_kept, max(h) AS kth FROM top)
+            SELECT CAST(n_kept AS BIGINT) AS n_kept,
+                   CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                        ELSE round(63.0 /
+                               (CAST(('0x' || substr(kth, 1, 15)) AS BIGINT)
+                                / 1152921504606846976.0), 6) END AS est,
+                   CAST(n_kept < 64 AS INTEGER) AS is_exact
+            FROM a""",
+        "bpe_tokens": _bpe_twin_sql(),
         "lm_perplexity": f"""
             WITH words AS (
               SELECT doc_id, unnest(list_filter(regexp_split_to_array(

@@ -1,6 +1,15 @@
-"""Mergeable heavy-hitters sketch (Misra-Gries / frequent-items) for
-corpus-scale frequency questions — "which boilerplate phrases / tokens /
-domains dominate this 100 TB corpus" — without a full-cardinality shuffle.
+"""Mergeable sketches for corpus-scale summary questions.
+
+Two sketches live here, both with the same execution discipline (one
+narrow ``mapInPandas`` pass building an O(capacity) per-partition
+summary, then a merge over summaries — the corpus-sized distinct set
+never shuffles, the driver never sees raw items):
+
+- ``heavy_hitters`` — Misra-Gries frequent items ("which boilerplate
+  phrases / tokens / domains dominate this 100 TB corpus");
+- ``kmv_distinct`` — K-Minimum-Values cardinality ("how many distinct
+  shingles / URLs / n-grams does this corpus hold", the number that
+  sizes a dedup or vocabulary job before you run it).
 
 Why a sketch: an exact ``groupBy(item).count()`` shuffles one row per
 DISTINCT item. For word-level questions that is fine (bounded vocab);
@@ -131,3 +140,80 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int,
     return (ranked.crossJoin(F.broadcast(errs))
             .select(F.col("rank").cast("int").alias("rank"),
                     "item", "est", "err_bound"))
+
+
+# ---------------------------------------------------------------------------
+# K-Minimum-Values distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HEX15_DEN = float(1 << 60)  # 16^15: first 15 md5 hex chars as a [0,1) frac
+
+
+def kmv_summaries(df: DataFrame, item_col: str, k: int = 1024) -> DataFrame:
+    """Per-partition KMV summaries: the <= k smallest DISTINCT md5 hashes
+    of ``item_col`` in each partition, one ``h`` row each.
+
+    The hash is computed ENGINE-SIDE (``F.md5(cast(item as string))``)
+    before the Arrow pass, so the sketch is reproducible in any engine
+    with md5 — the DuckDB oracle twin computes the identical estimate.
+    NULL items are ignored (COUNT(DISTINCT ...) semantics). Memory is
+    O(k) per task: each batch's unique hashes union-merge into a sorted
+    accumulator that is re-capped at k.
+    """
+    hashed = df.select(F.md5(F.col(item_col).cast("string")).alias("h"))
+    schema = TY.StructType([TY.StructField("h", TY.StringType())])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            u = pdf["h"].dropna().unique()
+            if not len(u):
+                continue
+            u = np.sort(u.astype(object))[:k]
+            acc = u if acc is None else np.union1d(acc, u)[:k]
+        if acc is not None:
+            yield pd.DataFrame({"h": acc})
+
+    return hashed.mapInPandas(fold, schema=schema)
+
+
+def kmv_finalize(summaries: DataFrame, k: int) -> DataFrame:
+    """Merge KMV summaries (union -> k smallest distinct hashes) and emit
+    one row ``(n_kept, est, is_exact)``.
+
+    Mergeability is structural: the k smallest distinct hashes of a union
+    are a function of each side's k smallest, so summaries from different
+    partitions, tables, or days combine by plain union before this call.
+    """
+    top = summaries.distinct().orderBy("h").limit(k)
+    agg = top.agg(F.count("*").alias("n_kept"), F.max("h").alias("_kth"))
+    u = (F.conv(F.substring(F.col("_kth"), 1, 15), 16, 10).cast("long")
+         / F.lit(_HEX15_DEN))
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")) \
+           .otherwise(F.round(F.lit(float(k - 1)) / u, 6))
+    return agg.select(
+        "n_kept", est.alias("est"),
+        (F.col("n_kept") < k).cast("int").alias("is_exact"))
+
+
+def kmv_distinct(df: DataFrame, item_col: str, k: int = 1024) -> DataFrame:
+    """Distinct-count estimate for ``item_col`` via the K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002; unbiased (k-1)/u_k form per Beyer et
+    al. 2007, "On Synopses for Distinct-Value Estimation").
+
+    Hash every item to md5; keep the k smallest distinct hash values; if
+    fewer than k exist the count is EXACT (``is_exact = 1``); otherwise
+    the k-th smallest hash, read as a uniform [0,1) fraction u_k (first
+    15 hex chars / 16^15), estimates the cardinality as (k-1)/u_k with
+    relative standard error ~ 1/sqrt(k-2).
+
+    Plan shape: narrow md5 projection -> one mapInPandas pass emitting
+    <= k rows per partition -> distinct + TakeOrdered over <= k *
+    n_partitions rows -> one-row aggregate. The corpus-sized distinct set
+    NEVER shuffles (an exact ``countDistinct`` shuffles one row per
+    distinct item — at shingle/URL granularity that is the corpus).
+    Unlike heavy_hitters' exact-regime-only oracle, the ESTIMATE itself
+    is deterministic cross-engine (md5 + IEEE double division), so the
+    DuckDB gate twin checks the approximate answer bit-for-bit.
+    """
+    return kmv_finalize(kmv_summaries(df, item_col, k), k)
