@@ -552,6 +552,21 @@ def q_contamination(spark, sf_dir):
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
 
 
+def q_contamination_fp(spark, sf_dir):
+    """Decontamination, scale path (functions/decontaminate.py): broadcast
+    fingerprint-set prefilter (eval shingles xxhash64'd ENGINE-side into a
+    sorted int64 array, corpus probed by one Arrow searchsorted pass — no
+    explode, no shuffle) + exact string verify of the maybe-docs only.
+    Zero false negatives by construction and collisions die in the verify,
+    so the result is bit-identical to the inverted-index join — the twin
+    is the SAME SQL as `contamination`, not a weaker contract."""
+    from geospatialtools_spark.functions.decontaminate import \
+        contamination_exact
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_exact(d, ev)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-hit language ID heuristic."""
     d = _t(spark, sf_dir, "documents")
@@ -1453,7 +1468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "shard_budget": q_shard_budget,
         "redact_pii": q_redact_pii,
-        "contamination": q_contamination,
+        # contamination_fp is new in round 5 (fresh-entry rule: first round
+        # driver-recorded) — it takes the inverted-index form's slot; the
+        # demoted `contamination` keeps 4 green driver rounds and the SAME
+        # oracle SQL checks both (the fp path is exact by construction).
+        "contamination_fp": q_contamination_fp,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         # repetition_stats is new in round 5 — it takes doc_fingerprint's
@@ -1518,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: micro-entries past the 50-entry recording window --------
         "cosine_topk": q_cosine_topk,
         "cluster_rmse": q_cluster_rmse,
+        "contamination": q_contamination,
         "token_stats": q_token_stats,
         "frame_sample": q_frame_sample,
         "normalize_minmax": q_normalize_minmax,
@@ -1554,7 +1574,7 @@ def _bpe_twin_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     hav = SY.SQL_HAVERSINE
-    return {
+    sql = {
         "groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,
@@ -1808,6 +1828,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM b GROUP BY 1, 2""",
         "redact_pii": _sql_redact_pii(),
+        # contamination_fp: the fingerprint-prefilter path is EXACT (no
+        # false negatives; collisions verified away), so its twin is the
+        # inverted-index SQL verbatim — appended after the literal below.
         "contamination": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             sh AS (SELECT doc_id, unnest({_GRAMS}) AS shingle FROM tok),
@@ -2443,6 +2466,11 @@ def oracle_sql() -> dict[str, str]:
         # vs the reference's sequential recursion, value-hashed per row.
         **_terrain_twins(),
     }
+    # contamination_fp is exact by construction (see q_contamination_fp):
+    # the prefilter has zero false negatives and the verify removes
+    # collisions, so its twin is the inverted-index SQL verbatim.
+    sql["contamination_fp"] = sql["contamination"]
+    return sql
 
 
 def _terrain_twins() -> dict[str, str]:

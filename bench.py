@@ -686,6 +686,194 @@ def main_mixture():
     }))
 
 
+def main_decon():
+    """Decontamination scale evidence (BASELINE.md): the broadcast
+    fingerprint-prefilter path (functions/decontaminate.py) vs the
+    inverted-index explode+join, at SPARK_GRAFT_DECON_DOCS corpus docs x
+    SPARK_GRAFT_DECON_EVAL eval docs. Ground truth is exact and closed
+    form: 1 in 1000 corpus docs gets one eval doc's 4-word text appended,
+    so exactly docs/1000 rows come back with n_hits == 2 (each eval doc
+    yields two 3-shingles; boundary shingles mix corpus+eval words and
+    cannot match). Both paths must return the SAME rows — the fp path is
+    exact by construction (zero false negatives; collisions die in the
+    string verify)."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.decontaminate import \
+        contamination_exact
+    from geospatialtools_spark.functions.dedup import shingles_pudf
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-decon")
+    n = int(os.environ.get("SPARK_GRAFT_DECON_DOCS", "5000000"))
+    ne = int(os.environ.get("SPARK_GRAFT_DECON_EVAL", "10000"))
+    step = 1000
+
+    def ev_text(e):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit("ev"), e.cast("string"), F.lit(f"w{j}"))
+            for j in range(4)])
+
+    body = F.concat_ws(" ", F.array(*[
+        F.concat(F.lit("w"), F.pmod(
+            F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(99991))
+            .cast("string")) for i in range(12)]))
+    ev_id = F.pmod((F.col("doc_id") / step).cast("long"), F.lit(ne))
+    docs = (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.when(
+                F.col("doc_id") % step == 0,
+                F.concat(body, F.lit(" "), ev_text(ev_id)))
+                .otherwise(body))
+            .localCheckpoint(eager=True))
+    ev = spark.range(ne).select(F.col("id").alias("doc_id"),
+                                ev_text(F.col("id")).alias("text"))
+
+    def inverted(d, e):
+        sh = d.select("doc_id", F.explode(
+            shingles_pudf(3)(F.col("text"))).alias("shingle"))
+        evs = e.select(F.explode(
+            shingles_pudf(3)(F.col("text"))).alias("shingle")).distinct()
+        return (sh.join(F.broadcast(evs), "shingle")
+                .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+    inverted(docs.limit(2000), ev).count()   # warm both paths
+    contamination_exact(docs.limit(2000), ev).count()
+    inv_reps, fp_reps = [], []
+    for _ in range(2):
+        t0 = time.time()
+        n_inv = inverted(docs, ev).count()
+        inv_reps.append(round(time.time() - t0, 2))
+        t0 = time.time()
+        n_fp = contamination_exact(docs, ev).count()
+        fp_reps.append(round(time.time() - t0, 2))
+    t_inv, t_fp = min(inv_reps), min(fp_reps)
+
+    got_inv = {r["doc_id"]: r["n_hits"]
+               for r in inverted(docs, ev).collect()}
+    got_fp = {r["doc_id"]: r["n_hits"]
+              for r in contamination_exact(docs, ev).collect()}
+    expected = n // step
+    print(json.dumps({
+        "metric": "exact decontamination: fp prefilter vs inverted index",
+        "docs": n, "eval_docs": ne, "planted_contaminated": expected,
+        "fp_wall_s": t_fp, "fp_reps_s": fp_reps,
+        "fp_docs_per_sec": round(n / t_fp, 1),
+        "inverted_wall_s": t_inv, "inverted_reps_s": inv_reps,
+        "inverted_docs_per_sec": round(n / t_inv, 1),
+        "speedup": round(t_inv / t_fp, 2),
+        "rows_fp": n_fp, "rows_inverted": n_inv,
+        "outputs_identical": got_inv == got_fp,
+        "all_expected_found": (len(got_fp) == expected
+                               and set(got_fp.values()) == {2}),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+def main_tokens():
+    """BPE tokenizer + KMV sketch scale evidence (BASELINE.md).
+
+    BPE (functions/bpe.py): a Zipf-skewed synthetic corpus of
+    SPARK_GRAFT_TOKEN_DOCS docs x 12 letter-encoded words (product of two
+    uniform hashes -> low word ids dominate, so merges learn real digram
+    structure; vocab <= 20k by construction). Train wall covers the one
+    corpus word-count pass + n_merges bounded-vocab iterations; encode
+    wall is the single Arrow pass. Ground truth is EXACT char
+    conservation: the concatenated tokens of every doc must reproduce its
+    text minus whitespace, checked corpus-wide as one aggregate
+    (sum(len(concat(tokens))) == sum(len(text)) - #spaces) plus a
+    zero-token-loss doc count.
+
+    KMV (functions/sketch.py:kmv_distinct): SPARK_GRAFT_KMV_ROWS rows over
+    exactly SPARK_GRAFT_KMV_DISTINCT distinct items (id % D covers all D
+    when rows >= D — true cardinality known exactly), k=1024: sketch wall
+    + relative error vs the exact countDistinct wall. The sketch ships
+    <= k rows per partition where exact ships one row per distinct key."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.bpe import bpe_encode, bpe_train
+    from geospatialtools_spark.functions.sketch import kmv_distinct
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-tokens")
+    n = int(os.environ.get("SPARK_GRAFT_TOKEN_DOCS", "5000000"))
+    n_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "48"))
+
+    def word(i):
+        h1 = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), F.lit("a")),
+                    F.lit(141))
+        h2 = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), F.lit("b")),
+                    F.lit(141))
+        rank = (h1 * h2 / F.lit(141)).cast("long")  # skewed low: 0..140
+        return F.translate(F.conv(rank.cast("string"), 10, 16),
+                           "0123456789ABCDEF", "abcdefghijklmnop")
+
+    docs = (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.concat_ws(
+                " ", F.array(*[word(i) for i in range(12)])))
+            .localCheckpoint(eager=True))
+
+    t0 = time.time()
+    merges = bpe_train(docs, n_merges=n_merges, vocab_cap=20000)
+    t_train = round(time.time() - t0, 2)
+
+    bpe_encode(docs.limit(2000), merges).count()  # warm
+    enc_reps = []
+    for _ in range(2):
+        t0 = time.time()
+        enc = bpe_encode(docs, merges).localCheckpoint(eager=True)
+        n_enc = enc.count()
+        enc_reps.append(round(time.time() - t0, 2))
+    t_enc = min(enc_reps)
+    tok = enc.agg(
+        F.sum("n_tokens").alias("toks"),
+        F.sum(F.length(F.concat_ws("", F.col("tokens")))).alias("tok_chars"),
+    ).head()
+    src = docs.agg(F.sum(
+        F.length(F.translate(F.col("text"), " ", ""))).alias("chars")).head()
+    lossless = int(tok["tok_chars"]) == int(src["chars"])
+
+    d = int(os.environ.get("SPARK_GRAFT_KMV_DISTINCT", "25000000"))
+    rows = int(os.environ.get("SPARK_GRAFT_KMV_ROWS", "40000000"))
+    items = spark.range(rows).select(
+        F.concat(F.lit("item-"), (F.col("id") % d).cast("string"))
+         .alias("w")).localCheckpoint(eager=True)
+    kmv_distinct(items.limit(2000), "w", k=1024).count()  # warm
+    kmv_reps, exact_reps = [], []
+    for _ in range(2):
+        t0 = time.time()
+        est = kmv_distinct(items, "w", k=1024).head()
+        kmv_reps.append(round(time.time() - t0, 2))
+        t0 = time.time()
+        exact = items.agg(F.countDistinct("w").alias("n")).head()["n"]
+        exact_reps.append(round(time.time() - t0, 2))
+    t_kmv, t_exact = min(kmv_reps), min(exact_reps)
+
+    print(json.dumps({
+        "metric": "BPE train/encode + KMV distinct sketch at scale",
+        "bpe": {
+            "docs": n, "words": 12 * n, "n_merges": len(merges),
+            "train_wall_s": t_train,
+            "encode_wall_s": t_enc, "encode_reps_s": enc_reps,
+            "encode_docs_per_sec": round(n / t_enc, 1),
+            "encode_tokens_per_sec": round(int(tok["toks"]) / t_enc, 1),
+            "tokens_out": int(tok["toks"]),
+            "chars_in_tokens": int(tok["tok_chars"]),
+            "chars_in_text": int(src["chars"]),
+            "char_conservation_exact": lossless,
+            "docs_encoded": n_enc,
+            "compression_tokens_per_word": round(int(tok["toks"]) / (12 * n), 3),
+        },
+        "kmv": {
+            "rows": rows, "true_distinct": d, "k": 1024,
+            "sketch_wall_s": t_kmv, "sketch_reps_s": kmv_reps,
+            "est": est["est"], "is_exact": est["is_exact"],
+            "rel_err": round(abs(est["est"] - exact) / exact, 5),
+            "exact_count_distinct_wall_s": t_exact,
+            "exact_reps_s": exact_reps,
+            "exact_count": int(exact),
+        },
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_flagship_only():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-flagship")
@@ -709,6 +897,10 @@ if __name__ == "__main__":
         main_lines()
     elif "--mixture" in sys.argv:
         main_mixture()
+    elif "--tokens" in sys.argv:
+        main_tokens()
+    elif "--decon" in sys.argv:
+        main_decon()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

@@ -1,0 +1,117 @@
+"""Benchmark decontamination at scale: exact per-document eval-set shingle
+hits WITHOUT exploding or shuffling the corpus.
+
+The inverted-index shape (``__spark_entry__.q_contamination``) explodes
+every corpus document into its shingles and broadcast-joins the eval set —
+correct, but the explode multiplies corpus rows ~|tokens|-fold and the
+per-doc hit aggregation shuffles them. At 100 TB the corpus side dominates
+and almost every document is clean, so the work is wasted on non-matches.
+
+This module's two-stage shape keeps the corpus narrow:
+
+1. **Broadcast fingerprint prefilter** — the eval set's distinct shingles
+   hash ENGINE-side (``xxhash64``) into a sorted int64 array (8 bytes per
+   eval shingle: ~80 MB for a 10M-shingle suite) that ships to every task
+   once. Each corpus document's shingle fingerprints are likewise computed
+   engine-side (``transform(shingles, xxhash64)`` — the JVM does all
+   hashing), and one Arrow-vectorized ``searchsorted`` per batch counts
+   candidate hits. No explode, no shuffle, no per-row python hashing.
+2. **Exact verify of the maybe-docs only** — documents with >= 1 candidate
+   hit (the contaminated sliver + 64-bit collision noise) re-run the exact
+   inverted-index join against the eval shingle STRINGS. False positives
+   (fingerprint collisions) die here; false negatives cannot exist (equal
+   strings hash equal), so the result is EXACTLY the inverted-index
+   answer — the gate twin is the same SQL, not a weaker contract.
+
+Expected cost at a clean corpus: one narrow scan + searchsorted at memory
+bandwidth; the explode/join/groupBy runs only over ``P(contaminated) * N``
+documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+from .dedup import shingles_pudf
+
+
+def eval_fingerprints(eval_docs: DataFrame, text_col: str = "text",
+                      k: int = 3) -> np.ndarray:
+    """Sorted distinct int64 xxhash64 fingerprints of the eval set's word
+    k-shingles. Driver-side numpy array — the eval set is the BOUNDED side
+    (benchmark suites), 8 bytes per distinct shingle."""
+    fps = (eval_docs
+           .select(F.explode(shingles_pudf(k)(F.col(text_col))).alias("s"))
+           .select(F.xxhash64(F.col("s")).alias("fp")).distinct())
+    arr = fps.toPandas()["fp"].to_numpy(dtype=np.int64)
+    arr.sort()
+    return arr
+
+
+def candidate_hits(docs: DataFrame, eval_fps: np.ndarray,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3, out_col: str = "n_maybe") -> DataFrame:
+    """Per-document count of shingles whose xxhash64 fingerprint appears in
+    ``eval_fps`` (sorted int64). Zero false negatives; false positives only
+    via 64-bit collisions. One narrow projection + one Arrow pass — the
+    corpus never explodes or shuffles."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(eval_fps,
+                                                           dtype=np.int64))
+
+    @F.pandas_udf(TY.IntegerType())
+    def probe(fp_arrays: pd.Series) -> pd.Series:
+        ev = bc.value
+        if not len(ev):
+            return pd.Series(np.zeros(len(fp_arrays), dtype=np.int32))
+        lens = np.fromiter((len(a) if a is not None else 0
+                            for a in fp_arrays), dtype=np.int64,
+                           count=len(fp_arrays))
+        if not lens.sum():
+            return pd.Series(np.zeros(len(fp_arrays), dtype=np.int32))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in fp_arrays
+             if a is not None and len(a)])
+        idx = np.searchsorted(ev, flat)
+        hit = np.where(idx < len(ev), ev[np.minimum(idx, len(ev) - 1)] == flat,
+                       False).astype(np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sums = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        sums[nz] = np.add.reduceat(hit, starts[nz])
+        return pd.Series(sums.astype(np.int32))
+
+    fp_arr = F.transform(shingles_pudf(k)(F.col(text_col)),
+                         lambda s: F.xxhash64(s))
+    return docs.select(F.col(id_col), probe(fp_arr).alias(out_col))
+
+
+def contamination_exact(docs: DataFrame, eval_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3) -> DataFrame:
+    """Exact per-document eval-shingle hit counts ``(id_col, n_hits)`` for
+    contaminated documents (n_hits >= 1) — bit-identical to the
+    inverted-index join, at prefiltered cost (see module docstring).
+
+    The maybe-docs (candidate_hits > 0) are the only rows that explode and
+    join; the verify runs against the eval shingle STRINGS, so fingerprint
+    collisions are removed and the output is exact."""
+    fps = eval_fingerprints(eval_docs, text_col, k)
+    maybe = (docs.join(
+        candidate_hits(docs, fps, id_col, text_col, k)
+        .filter(F.col("n_maybe") > 0).select(id_col), id_col, "left_semi"))
+    ev = (eval_docs
+          .select(F.explode(shingles_pudf(k)(F.col(text_col))).alias("shingle"))
+          .distinct())
+    sh = maybe.select(F.col(id_col),
+                      F.explode(shingles_pudf(k)(F.col(text_col)))
+                       .alias("shingle"))
+    return (sh.join(F.broadcast(ev), "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))

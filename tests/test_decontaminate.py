@@ -1,0 +1,102 @@
+"""Broadcast fingerprint-set decontamination: exact parity with the
+inverted-index join, zero false negatives by construction, collision
+false positives removed by the verify stage, and a shuffle-free corpus
+prefilter plan."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.functions.decontaminate import (candidate_hits,
+                                                           contamination_exact,
+                                                           eval_fingerprints)
+from geospatialtools_spark.functions.dedup import shingles_pudf
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox eats five dozen liquor jugs"),  # hits both
+        (3, "completely unrelated clean text about spark plans"),
+        (4, None),
+        (5, ""),
+        (6, "the quick brown fox jumps over the lazy dog"),      # dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _eval(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps high"),
+         (101, "five dozen liquor jugs on a shelf")],
+        "doc_id long, text string")
+
+
+def _inverted_index(docs, ev):
+    sh = docs.select("doc_id",
+                     F.explode(shingles_pudf(3)(F.col("text"))).alias("shingle"))
+    evs = ev.select(
+        F.explode(shingles_pudf(3)(F.col("text"))).alias("shingle")).distinct()
+    return (sh.join(F.broadcast(evs), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+
+def test_contamination_exact_matches_inverted_index(spark):
+    docs, ev = _docs(spark), _eval(spark)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contamination_exact(docs, ev).collect()}
+    ref = {r["doc_id"]: r["n_hits"]
+           for r in _inverted_index(docs, ev).collect()}
+    assert got == ref
+    assert set(got) == {0, 1, 2, 6}          # doc 3 clean, 4/5 empty
+    assert got[0] == got[6]                  # identical docs, identical hits
+
+
+def test_candidate_hits_counts_and_nulls(spark):
+    docs, ev = _docs(spark), _eval(spark)
+    fps = eval_fingerprints(ev)
+    assert fps.dtype == np.int64 and (np.diff(fps) > 0).all()
+    got = {r["doc_id"]: r["n_maybe"]
+           for r in candidate_hits(docs, fps).collect()}
+    # prefilter counts == exact counts here (no planted collisions), and
+    # every doc gets a row — clean docs 0, empty/null docs 0
+    ref = {r["doc_id"]: r["n_hits"]
+           for r in _inverted_index(docs, ev).collect()}
+    assert got == {**{i: 0 for i in range(7)}, **ref}
+
+
+def test_collision_false_positives_removed_by_verify(spark):
+    # poison the fingerprint set with hashes of NON-eval shingles (the
+    # 64-bit-collision stand-in): candidate_hits must rise, but
+    # contamination_exact is unchanged because the string verify kills them
+    docs, ev = _docs(spark), _eval(spark)
+    fps = eval_fingerprints(ev)
+    poison = eval_fingerprints(docs.filter("doc_id = 3"))
+    fps_bad = np.unique(np.concatenate([fps, poison]))
+    maybe = {r["doc_id"]: r["n_maybe"]
+             for r in candidate_hits(docs, fps_bad).collect()}
+    assert maybe[3] > 0                      # prefilter now flags doc 3
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contamination_exact(docs, ev).collect()}
+    ref = {r["doc_id"]: r["n_hits"]
+           for r in _inverted_index(docs, ev).collect()}
+    assert got == ref and 3 not in got
+
+
+def test_empty_eval_set_flags_nothing(spark):
+    docs = _docs(spark)
+    empty = docs.filter("doc_id < 0")
+    fps = eval_fingerprints(empty)
+    assert len(fps) == 0
+    got = candidate_hits(docs, fps).agg(F.sum("n_maybe")).head()[0]
+    assert got == 0
+    assert contamination_exact(docs, empty).count() == 0
+
+
+def test_prefilter_plan_has_no_exchange(spark):
+    docs, ev = _docs(spark), _eval(spark)
+    fps = eval_fingerprints(ev)
+    plan = candidate_hits(docs, fps)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan            # corpus never shuffles
