@@ -751,7 +751,7 @@ def main_decon():
                for r in inverted(docs, ev).collect()}
     got_fp = {r["doc_id"]: r["n_hits"]
               for r in contamination_exact(docs, ev).collect()}
-    expected = n // step
+    expected = -(-n // step)  # doc 0 is always planted: ceil, not floor
     print(json.dumps({
         "metric": "exact decontamination: fp prefilter vs inverted index",
         "docs": n, "eval_docs": ne, "planted_contaminated": expected,
@@ -815,8 +815,10 @@ def main_tokens():
     t_train = round(time.time() - t0, 2)
 
     bpe_encode(docs.limit(2000), merges).count()  # warm
-    enc_reps = []
+    enc_reps, enc = [], None
     for _ in range(2):
+        if enc is not None:
+            enc.unpersist()  # don't pin the stale rep's tokens in memory
         t0 = time.time()
         enc = bpe_encode(docs, merges).localCheckpoint(eager=True)
         n_enc = enc.count()

@@ -102,14 +102,24 @@ def contamination_exact(docs: DataFrame, eval_docs: DataFrame,
 
     The maybe-docs (candidate_hits > 0) are the only rows that explode and
     join; the verify runs against the eval shingle STRINGS, so fingerprint
-    collisions are removed and the output is exact."""
-    fps = eval_fingerprints(eval_docs, text_col, k)
-    maybe = (docs.join(
-        candidate_hits(docs, fps, id_col, text_col, k)
-        .filter(F.col("n_maybe") > 0).select(id_col), id_col, "left_semi"))
+    collisions are removed and the output is exact.
+
+    The eval side is shingled ONCE (checkpointed distinct-shingle frame):
+    the fingerprint array and the verify join both derive from it. Both
+    joins against the corpus carry explicit broadcast hints — the
+    candidate-id set is tiny by construction but its size ESTIMATE derives
+    from the corpus plan, so without the hint the planner would sort-merge
+    the semi-join and shuffle the whole corpus (the exact cost this module
+    exists to avoid)."""
     ev = (eval_docs
           .select(F.explode(shingles_pudf(k)(F.col(text_col))).alias("shingle"))
-          .distinct())
+          .distinct().localCheckpoint(eager=True))
+    fps = ev.select(F.xxhash64(F.col("shingle")).alias("fp")) \
+            .toPandas()["fp"].to_numpy(dtype=np.int64)
+    fps.sort()
+    maybe_ids = (candidate_hits(docs, fps, id_col, text_col, k)
+                 .filter(F.col("n_maybe") > 0).select(id_col))
+    maybe = docs.join(F.broadcast(maybe_ids), id_col, "left_semi")
     sh = maybe.select(F.col(id_col),
                       F.explode(shingles_pudf(k)(F.col(text_col)))
                        .alias("shingle"))

@@ -100,3 +100,25 @@ def test_prefilter_plan_has_no_exchange(spark):
     fps = eval_fingerprints(ev)
     plan = candidate_hits(docs, fps)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan            # corpus never shuffles
+
+
+def test_verify_joins_broadcast_without_stats(spark):
+    # the candidate-id semi-join and the verify shingle join carry explicit
+    # broadcast hints: with auto-broadcast off (the large-corpus regime,
+    # where size ESTIMATES derive from the corpus plan) the corpus must
+    # still never sort-merge — a dropped hint regresses to shuffling the
+    # whole corpus by doc_id
+    docs, ev = _docs(spark), _eval(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = contamination_exact(docs, ev)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        got = {r["doc_id"]: r["n_hits"] for r in q.collect()}
+        ref = {r["doc_id"]: r["n_hits"]
+               for r in _inverted_index(docs, ev).collect()}
+        assert got == ref
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
