@@ -320,29 +320,14 @@ def main_polys():
 
 
 def synth_planted_docs(spark, n: int):
-    """Controlled corpus with planted duplicate CLUSTERS — per 20-doc
-    block, docs m/m+1/m+2 form a transitive 3-cluster (m+1 = exact copy of
-    m, m+2 = m plus one appended token, jaccard ≈ 0.91 at 3-shingles), docs
-    m+10/m+11 a near 2-cluster — bodies are hash-random (xxhash64 tokens),
-    so the ONLY similar pairs are the planted ones and precision/recall are
-    exact ground truth, not estimates. (A linear-LCG body draft planted ~1M
-    accidental shift-overlap near-dups, which MinHash also found.)"""
-    from pyspark.sql import functions as F
-    mod = F.col("doc_id") % 20
-    src = F.when(mod == 1, F.col("doc_id") - 1) \
-           .when(mod == 2, F.col("doc_id") - 2) \
-           .when(mod == 11, F.col("doc_id") - 1) \
-           .otherwise(F.col("doc_id"))
-    body = F.concat_ws(" ", F.transform(
-        F.sequence(F.lit(0), F.lit(11)),
-        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(
-            F.concat(src.cast("string"), F.lit("_"), i.cast("string"))),
-            F.lit(999983)).cast("string"))))
-    return (spark.range(n).select(F.col("id").alias("doc_id"))
-            .withColumn("text", F.when((mod == 2) | (mod == 11),
-                                       F.concat(body, F.lit(" extraword")))
-                        .otherwise(body))
-            .localCheckpoint(eager=True))
+    """Planted duplicate-cluster corpus — now lives in the package
+    (``fixtures.planted_docs``) so spark-submit jobs can ship it; text is
+    the same xxhash64-token construction, so all committed dedup numbers
+    still describe this generator. Kept as the (doc_id, text) projection
+    the dedup benches always used."""
+    from geospatialtools_spark.fixtures import planted_docs
+    return planted_docs(spark, n, checkpoint=False) \
+        .select("doc_id", "text").localCheckpoint(eager=True)
 
 
 def main_dedup():

@@ -204,3 +204,41 @@ def saxton_golden() -> dict[str, np.ndarray]:
         "theta33": np.array([10., 12., 18., 28., 31., 30., 27., 36., 38., 41., 36., 42.]) / 100,
         "theta1500": np.array([5., 5., 8., 14., 11., 6., 17., 22., 22., 27., 25., 30.]) / 100,
     }
+
+
+def planted_docs(spark, n: int, checkpoint: bool = True):
+    """F9: controlled doc corpus with planted duplicate CLUSTERS — the
+    dedup/curation ground-truth generator (promoted from bench.py so
+    spark-submit jobs can ship it inside the package zip).
+
+    Per 20-doc block starting at m: docs m/m+1/m+2 form a transitive
+    3-cluster (m+1 = exact copy of m, m+2 = m plus one appended token,
+    jaccard ~= 0.91 at 3-shingles) and docs m+10/m+11 a near 2-cluster.
+    Bodies are hash-random (xxhash64 tokens), so the ONLY similar pairs
+    are the planted ones and dedup precision/recall are exact ground
+    truth, not estimates. Columns: doc_id, text, n_chars (curation
+    weight), source (web/wiki/code at ~70/20/10% by id hash — the
+    domain-mixture knob's input).
+    """
+    from pyspark.sql import functions as F
+    mod = F.col("doc_id") % 20
+    src = F.when(mod == 1, F.col("doc_id") - 1) \
+           .when(mod == 2, F.col("doc_id") - 2) \
+           .when(mod == 11, F.col("doc_id") - 1) \
+           .otherwise(F.col("doc_id"))
+    body = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(
+            F.concat(src.cast("string"), F.lit("_"), i.cast("string"))),
+            F.lit(999983)).cast("string"))))
+    dom = F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("dom")),
+                 F.lit(10))
+    d = (spark.range(n).select(F.col("id").alias("doc_id"))
+         .withColumn("text", F.when((mod == 2) | (mod == 11),
+                                    F.concat(body, F.lit(" extraword")))
+                     .otherwise(body))
+         .withColumn("n_chars", F.length("text").cast("long"))
+         .withColumn("source", F.when(dom < 7, "web")
+                                .when(dom < 9, "wiki")
+                                .otherwise("code")))
+    return d.localCheckpoint(eager=True) if checkpoint else d
