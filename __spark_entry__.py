@@ -573,6 +573,22 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", TS.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_bm25_docs(spark, sf_dir):
+    """BM25 top-5 retrieval (functions/retrieval.py — Lucene-idf BM25 over
+    the normalize_text token set; inverted-index build, broadcast-query
+    probe, one candidate-row shuffle). Queries are the first 6 normalized
+    tokens of docs 3/41/87; ranks are fully deterministic (score rounded
+    to 6 decimals desc, doc_id asc), and avgdl is one exact-integer
+    division so both engines score bit-identically."""
+    from geospatialtools_spark.functions.retrieval import _tokens, bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    q = (d.filter(F.col("doc_id").isin(3, 41, 87))
+         .select(F.col("doc_id").alias("query_id"),
+                 F.array_join(F.slice(_tokens(F.col("text")), 1, 6), " ")
+                 .alias("q_text")))
+    return bm25_topk(d, q, k=5)
+
+
 def q_quality_score(spark, sf_dir):
     """Composite document quality score."""
     d = _t(spark, sf_dir, "documents")
@@ -1473,7 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted `contamination` keeps 4 green driver rounds and the SAME
         # oracle SQL checks both (the fp path is exact by construction).
         "contamination_fp": q_contamination_fp,
-        "lang_id": q_lang_id,
+        # bm25_docs is new in round 5 (fresh-entry rule: first round
+        # driver-recorded) — lang_id demotes to the tail; the textstats
+        # family keeps quality_score + repetition_stats in-window and
+        # lang_id has 4 rounds of green driver history.
+        "bm25_docs": q_bm25_docs,
         "quality_score": q_quality_score,
         # repetition_stats is new in round 5 — it takes doc_fingerprint's
         # in-window slot so its first round is driver-recorded (the ADVICE
@@ -1564,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "nd_histogram": q_nd_histogram,
         "fit_metrics": q_fit_metrics,
+        "lang_id": q_lang_id,
     }
 
 
@@ -2064,6 +2085,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM p GROUP BY 1""",
+        # BM25: full independent recomputation — inverted index, Lucene
+        # idf, rank over (round(score,6) DESC, doc_id). Float-parity notes:
+        # avgdl is one exact-integer division in both engines (see
+        # retrieval.build_text_index), (1.2+1.0)/(1.0-0.75) are written as
+        # the same IEEE ops Spark's probe performs on its Python-computed
+        # literals, and the per-(query,doc) sum is rounded to 6 decimals
+        # before ranking so summation order can't flip a rank.
+        "bm25_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+            postings AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM toks GROUP BY 1),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+            ts AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY 1),
+            q AS (
+              SELECT doc_id AS query_id,
+                     unnest(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]+')[1:6])) AS term
+              FROM documents WHERE doc_id IN (3, 41, 87)),
+            scored AS (
+              SELECT q.query_id, p.doc_id,
+                     round(sum(
+                       ln(1 + (st.n - ts.df + 0.5) / (ts.df + 0.5))
+                       * p.tf * (1.2 + 1.0)
+                       / (p.tf + 1.2 * ((1.0 - 0.75)
+                                        + 0.75 * dl.dl / st.avgdl))), 6) AS score
+              FROM q JOIN ts USING (term) JOIN postings p USING (term)
+              JOIN dl ON p.doc_id = dl.doc_id
+              CROSS JOIN st
+              GROUP BY 1, 2)
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM (SELECT query_id, doc_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5""",
         "lang_id": f"""
             WITH h AS (
               SELECT doc_id, lang,

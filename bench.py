@@ -861,6 +861,114 @@ def main_tokens():
     }))
 
 
+def main_retrieval():
+    """BM25 inverted-index retrieval scale evidence (BASELINE.md).
+
+    Corpus: SPARK_GRAFT_RETR_DOCS docs (default 5M) x 12 Zipf-skewed
+    tokens from a 100k vocab (h1*h2 product hash — low ids dominate, so
+    postings lists have a realistic hot head) + every 1000th doc carries
+    one globally UNIQUE token. Ground truth is exact by construction:
+    a unique-token query's top-1 hit MUST be its planted doc (it is the
+    only doc containing the term).
+
+    Measures the build/probe split (same shape as the IVF evidence):
+    index build wall (the one corpus pass), then a 100-query unique-token
+    probe and a 100-query 3-common-token probe (candidate-heavy path),
+    each run twice — the second probe pays ONLY the probe, proving no
+    hidden corpus recompute hides in the index lineage."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.retrieval import (bm25_probe,
+                                                           build_text_index)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-retrieval")
+    n = int(os.environ.get("SPARK_GRAFT_RETR_DOCS", "5000000"))
+    vocab = 100_000
+
+    def word(i):
+        h1 = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), F.lit("ra")),
+                    F.lit(317))
+        h2 = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), F.lit("rb")),
+                    F.lit(317))
+        return F.concat(F.lit("w"), ((h1 * h2) % vocab).cast("string"))
+
+    body = F.concat_ws(" ", F.array(*[word(i) for i in range(12)]))
+    docs = (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.when(
+                F.col("doc_id") % 1000 == 0,
+                F.concat(body, F.lit(" uniq"),
+                         F.col("doc_id").cast("string")))
+                .otherwise(body))
+            .localCheckpoint(eager=True))
+
+    t0 = time.time()
+    idx = build_text_index(docs)
+    t_build = round(time.time() - t0, 2)
+    n_postings = idx.postings.count()
+    n_terms = idx.term_stats.count()
+    hot_df = idx.term_stats.agg(F.max("df")).first()[0]
+
+    q_uniq = (spark.range(100)
+              .select((F.col("id") * 1000).alias("query_id"),
+                      F.concat(F.lit("uniq"), (F.col("id") * 1000)
+                               .cast("string")).alias("q_text"))
+              .localCheckpoint(eager=True))
+    qc = [F.concat(F.lit("w"), ((F.pmod(F.xxhash64(F.col("id"), F.lit(j),
+                                                   F.lit("qa")), F.lit(317))
+                                 * F.pmod(F.xxhash64(F.col("id"), F.lit(j),
+                                                     F.lit("qb")),
+                                          F.lit(317))) % vocab)
+                   .cast("string")) for j in range(3)]
+    q_common = (spark.range(100)
+                .select(F.col("id").alias("query_id"),
+                        F.concat_ws(" ", F.array(*qc)).alias("q_text"))
+                .localCheckpoint(eager=True))
+
+    out = {"metric": "bm25 inverted-index build/probe on zipf corpus with planted unique terms",
+           "docs": n, "vocab": vocab, "postings_rows": int(n_postings),
+           "distinct_terms": int(n_terms), "hottest_term_df": int(hot_df),
+           "build_wall_s": t_build}
+    for label, q in (("uniq", q_uniq), ("common3", q_common)):
+        reps = []
+        hits = None
+        for _ in range(2):
+            t0 = time.time()
+            res = bm25_probe(idx, q, k=5).localCheckpoint(eager=True)
+            top1 = (res.filter(F.col("rank") == 1)
+                    .filter(F.col("doc_id") == F.col("query_id")).count())
+            reps.append(round(time.time() - t0, 2))
+            hits = top1
+        out[f"probe_{label}_reps_s"] = reps
+        if label == "uniq":
+            out["uniq_top1_is_planted_doc"] = f"{hits}/100"
+            out["ground_truth_ok"] = hits == 100
+
+    # persisted layout: the bucket-partitioned parquet index — the probe
+    # is now a PartitionFilters-pruned READ of <=100/256 of the postings
+    import shutil
+    import tempfile
+
+    from geospatialtools_spark.functions.retrieval import (
+        load_text_index, persist_text_index)
+    tdir = tempfile.mkdtemp(prefix="bm25idx_")
+    try:
+        t0 = time.time()
+        persist_text_index(idx, tdir)
+        out["persist_wall_s"] = round(time.time() - t0, 2)
+        loaded = load_text_index(spark, tdir)
+        for label, q in (("uniq", q_uniq), ("common3", q_common)):
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                bm25_probe(loaded, q, k=5).localCheckpoint(eager=True)
+                reps.append(round(time.time() - t0, 2))
+            out[f"probe_{label}_pruned_reps_s"] = reps
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    out["cpus"] = spark.sparkContext.defaultParallelism
+    print(json.dumps(out))
+
+
 def main_flagship_only():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-flagship")
@@ -888,6 +996,8 @@ if __name__ == "__main__":
         main_tokens()
     elif "--decon" in sys.argv:
         main_decon()
+    elif "--retrieval" in sys.argv:
+        main_retrieval()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:
