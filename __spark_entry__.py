@@ -1473,9 +1473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "clean_lines": q_clean_lines,
         # chunk_docs is new in round 5 (fresh-entry rule); token_stats
-        # demotes to the tail — the textstats family keeps lang_id,
-        # quality_score and repetition_stats in-window, token_stats has
-        # 3+ rounds of green driver history.
+        # demotes to the tail — the textstats family keeps quality_score
+        # and repetition_stats in-window (lang_id demoted later in round
+        # 5 for bm25_docs, see below), token_stats has 3+ rounds of green
+        # driver history.
         "chunk_docs": q_chunk_docs,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,

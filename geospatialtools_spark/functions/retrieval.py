@@ -37,17 +37,13 @@ token is.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKEN_RE = "[a-z0-9]+"
-
-
-def _tokens(col):
-    """Token array of a text column — the normalize_text token set."""
-    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
+from .textstats import text_tokens as _tokens  # ONE canonical token def
 
 
 @dataclass
@@ -83,7 +79,9 @@ def build_text_index(docs: DataFrame, id_col: str = "doc_id",
               .agg(F.sum("tf").cast("long").alias("dl")))
     postings = (postings0.join(doclen, id_col)  # denormalize dl (build-time)
                 .localCheckpoint(eager=True))
-    postings0.unpersist()
+    # postings0's checkpoint blocks become unreachable here and are freed
+    # by the ContextCleaner (session.py pins periodicGC to 1 min);
+    # DataFrame.unpersist would be a no-op on a localCheckpointed frame
     term_stats = (postings.groupBy("term")
                   .agg(F.count("*").cast("long").alias("df"))
                   .localCheckpoint(eager=True))
@@ -98,10 +96,17 @@ def build_text_index(docs: DataFrame, id_col: str = "doc_id",
     n_docs = int(stats["n"])
     avgdl = (float(stats["tot"]) / n_docs) if n_docs else 0.0
     if max_df_frac is not None:
-        cap = int(max_df_frac * n_docs)
+        # floor with an epsilon: the contract is "drop terms in MORE than
+        # this fraction of docs", and int(0.7 * 90) == 62 would wrongly
+        # drop a term sitting at exactly the allowed fraction (63/90)
+        cap = math.floor(max_df_frac * n_docs + 1e-9)
         term_stats = term_stats.filter(F.col("df") <= cap)
-        postings = postings.join(F.broadcast(
+        # materialize the guarded postings too — left lazy, EVERY probe
+        # would re-run the full-postings semi join this branch exists to
+        # amortize (the unfiltered path is already checkpointed above)
+        postings = (postings.join(F.broadcast(
             term_stats.select("term")), "term", "left_semi")
+            .localCheckpoint(eager=True))
     return TextIndex(postings, term_stats, n_docs, avgdl, id_col)
 
 

@@ -166,9 +166,16 @@ def normalize_text(text: Column) -> Column:
     normalize_text sits under EVERY fingerprint/MinHash/SimHash/shingle
     path. The DuckDB oracle keeps the replace-chain formulation as an
     independent twin."""
-    return F.array_join(
-        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0)),
-        " ")
+    return F.array_join(text_tokens(text), " ")
+
+
+def text_tokens(text: Column) -> Column:
+    """THE canonical token definition — the lowercase [a-z0-9]+ runs of a
+    text column. normalize_text (and through it every fingerprint /
+    MinHash / SimHash / shingle path) and retrieval's BM25 index are both
+    defined in terms of this one expression, so what counts as a token
+    can never silently diverge between dedup and retrieval."""
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0))
 
 
 def fingerprint(text: Column) -> Column:

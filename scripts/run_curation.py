@@ -75,19 +75,32 @@ def main() -> int:
     rows = {name: df.count() for name, df in out.items()
             if name != "_metrics"}
     wall = round(time.time() - t0, 2)
-    # planted ground truth: exact dedup drops m+1 per block (19/20 rows
-    # survive — bit-identical copies, EXACT); near-dup group resolution
-    # then drops m and m+10 (17/20 — jaccard ~0.91 pairs, ~99% LSH recall)
+    # planted ground truth, checked by IDENTITY, not by count (a count
+    # check would score false-positive drops of regular docs as "recall"):
+    # exact dedup drops exactly the m+1 copies; near-dup group resolution
+    # drops the m / m+10 non-keepers (jaccard ~0.91 pairs, ~99% LSH
+    # recall) and must keep every keeper (m+2, m+11) and regular doc.
+    from pyspark.sql import functions as F
     expect = {"dedup": args.docs // 20 * 19, "near_dedup": args.docs // 20 * 17}
-    near_drops_expected = expect["dedup"] - expect["near_dedup"]
-    near_drops = rows["dedup"] - rows["near_dedup"]
-    recall = near_drops / near_drops_expected if near_drops_expected else 1.0
+    mod = F.col("doc_id") % 20
+    chk = out["near_dedup"].agg(
+        F.sum((mod == 1).cast("long")).alias("exact_dup_leaks"),
+        F.sum(mod.isin(0, 10).cast("long")).alias("near_dup_survivors"),
+        F.sum((~mod.isin(0, 1, 10)).cast("long")).alias("keepers_and_regulars"),
+    ).first()
+    planted_drops = args.docs // 20 * 2            # m and m+10 per block
+    recall = 1.0 - chk["near_dup_survivors"] / planted_drops
+    false_drops = expect["near_dedup"] - int(chk["keepers_and_regulars"])
     print(json.dumps({
         "stages": out["_metrics"], "rows": rows, "wall_s": wall,
         "docs": args.docs,
         "expected": expect,
         "near_dup_recall": round(recall, 4),
+        "exact_dup_leaks": int(chk["exact_dup_leaks"]),
+        "false_positive_drops": false_drops,
         "ground_truth_ok": (rows["dedup"] == expect["dedup"]
+                            and chk["exact_dup_leaks"] == 0
+                            and false_drops == 0
                             and recall >= 0.98),
     }, default=str))
     return 0

@@ -126,10 +126,11 @@ def test_bm25_persist_load_roundtrip(spark, tmp_path):
 
 
 def test_bm25_max_df_frac_drops_stop_terms(spark):
-    """'the' appears in 4/6 token-bearing docs; max_df_frac=0.5 must drop
-    it from the index, and the scores must equal a python twin computed on
-    a corpus with 'the' deleted — i.e. the guard removes the hottest,
-    lowest-signal postings list without touching any other term."""
+    """'the' appears in 5 of the 6 token-bearing docs (all but doc 4);
+    max_df_frac=0.5 (cap = floor(0.5*6) = 3 < 5) must drop it from the
+    index, and the scores must equal a python twin computed with 'the'
+    unqueryable — i.e. the guard removes the hottest, lowest-signal
+    postings list without touching any other term."""
     idx = build_text_index(_spark_corpus(spark), max_df_frac=0.5)
     assert idx.term_stats.filter(F.col("term") == "the").count() == 0
     got = sorted(tuple(r) for r in bm25_probe(
