@@ -325,6 +325,20 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(d)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup pairs (the daily-ingest operation): index the
+    doc_id % 5 != 0 history once (build_minhash_index — same banding code
+    as the full run), probe the % 5 == 0 increment — all (old,new) and
+    (new,new) candidate pairs, never (old,old). Equals the full band join
+    minus old-old pairs by construction; the oracle recomputes the FULL
+    MinHash pair set in SQL and applies exactly that restriction."""
+    d = _t(spark, sf_dir, "documents")
+    idx = DD.build_minhash_index(d.filter(F.col("doc_id") % 5 != 0))
+    pairs, _nb = DD.incremental_dup_pairs(
+        idx, d.filter(F.col("doc_id") % 5 == 0))
+    return pairs
+
+
 def q_dedup_groups(spark, sf_dir):
     """Dedup group resolution: MinHash-LSH pairs -> connected components
     (min-label propagation + pointer doubling over the pair nodes only) ->
@@ -1447,7 +1461,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- relational / functions (oracled) ------------------------------
         "groupby_agg": q_groupby_agg,
-        "join_broadcast": q_join_broadcast,
         # normalize_minmax demoted round 5 (trivial Catalyst P3 expression,
         # 4 green driver rounds; the P-family keeps width_bins/semi/anti in
         # the locally-checked tail) for the new mixture_sample below.
@@ -1461,6 +1474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline ----------------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
+        # dedup_incremental is new in round 5 (fresh-entry rule: first
+        # round driver-recorded); join_broadcast demotes to the tail — the
+        # broadcast-join family stays represented in-window by
+        # doc_tile_attach (BroadcastHashJoin asserted in PLANS.md) and
+        # join_broadcast has 4 rounds of green driver history.
+        "dedup_incremental": q_dedup_incremental,
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         # line_dedup / clean_lines / weighted_sample / pack_sequences are
@@ -1586,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nd_histogram": q_nd_histogram,
         "fit_metrics": q_fit_metrics,
         "lang_id": q_lang_id,
+        "join_broadcast": q_join_broadcast,
     }
 
 
@@ -1763,6 +1783,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH {_SQL_MINHASH_PAIRS}
             SELECT id_a, id_b FROM pairs""",
+        # the incremental operator's contract IS this restriction: the
+        # full-run pair set (same CTE) minus pairs internal to the history
+        "dedup_incremental": f"""
+            WITH {_SQL_MINHASH_PAIRS}
+            SELECT id_a, id_b FROM pairs
+            WHERE id_a % 5 = 0 OR id_b % 5 = 0""",
         "dedup_groups": f"""
             WITH RECURSIVE {_SQL_MINHASH_PAIRS},
             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

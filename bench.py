@@ -861,6 +861,62 @@ def main_tokens():
     }))
 
 
+def main_incdedup():
+    """Incremental-dedup scale evidence (BASELINE.md): the daily-ingest
+    cost vs a full re-dedup, on the planted-cluster corpus with the
+    increment cut ACROSS the planted clusters (new = doc_id % 20 in
+    {0, 10}) so every block contributes exactly 3 ground-truth
+    increment pairs: (m, m+1) exact, (m, m+2) near, (m+10, m+11) near —
+    recall and false positives are exact, not estimated."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.fixtures import planted_docs
+    from geospatialtools_spark.functions.dedup import (build_minhash_index,
+                                                       incremental_dup_pairs,
+                                                       minhash_lsh_pairs)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-incdedup")
+    n = int(os.environ.get("SPARK_GRAFT_INCDEDUP_DOCS", "5000000"))
+    docs = planted_docs(spark, n).select("doc_id", "text")
+    mod = F.col("doc_id") % 20
+    old = docs.filter(~mod.isin(0, 10)).localCheckpoint(eager=True)
+    new = docs.filter(mod.isin(0, 10)).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    full_pairs = minhash_lsh_pairs(docs).count()
+    t_full = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    idx = build_minhash_index(old)
+    t_build = round(time.time() - t0, 2)
+    t0 = time.time()
+    pairs, _nb = incremental_dup_pairs(idx, new)
+    pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    t_probe = round(time.time() - t0, 2)
+
+    same_block = (F.col("id_a") - F.col("id_a") % 20
+                  == F.col("id_b") - F.col("id_b") % 20)
+    in3 = (F.col("id_a") % 20 <= 2) & (F.col("id_b") % 20 <= 2)
+    in2 = (F.col("id_a") % 20).isin(10, 11) & (F.col("id_b") % 20).isin(10, 11)
+    planted = pairs.filter(same_block & (in3 | in2)).count()
+    expected = n // 20 * 3
+    print(json.dumps({
+        "metric": "incremental dedup (index probe) vs full re-dedup, planted-cluster corpus",
+        "docs": n, "increment_docs": n // 10,
+        "full_rerun_wall_s": t_full, "full_pairs": int(full_pairs),
+        "index_build_wall_s": t_build,
+        "increment_probe_wall_s": t_probe,
+        "increment_pairs": int(n_pairs),
+        "planted_increment_pairs_found": int(planted),
+        "planted_increment_pairs_expected": expected,
+        "false_positives": int(n_pairs - planted),
+        "recall": round(planted / expected, 4),
+        "probe_vs_full_speedup": round(t_full / t_probe, 2),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_retrieval():
     """BM25 inverted-index retrieval scale evidence (BASELINE.md).
 
@@ -998,6 +1054,8 @@ if __name__ == "__main__":
         main_decon()
     elif "--retrieval" in sys.argv:
         main_retrieval()
+    elif "--incdedup" in sys.argv:
+        main_incdedup()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

@@ -159,6 +159,32 @@ def minhash_signature_pudf(k: int = 3, n_hashes: int = N_MINHASH):
     return sig
 
 
+def _minhash_banded(docs: DataFrame, text_col: str, id_col: str,
+                    k: int, n_hashes: int, bands: int) -> DataFrame:
+    """Shared banding step: docs -> MinHash signature (Arrow pandas UDF)
+    -> (band, band-hash) rows, materialized — the full-run pair join
+    (``minhash_lsh_pairs``) and the incremental index
+    (``build_minhash_index``) both consume exactly this table, so the two
+    paths can never hash differently."""
+    r = n_hashes // bands
+    sig = _widen(docs).select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_pudf(k, n_hashes)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *[F.col("sig")[b * r + i] for i in range(r)]))
+                      .alias("bhash"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    # materialize before any join: otherwise both join sides re-scan the
+    # source and re-evaluate the full signature expression
+    return banded.localCheckpoint(eager=True)
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
@@ -179,23 +205,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     only the sub-threshold buckets pay the quadratic join. Default None
     preserves exact clique emission (the gate-oracle semantics).
     """
-    r = n_hashes // bands
-    sig = _widen(docs).select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_pudf(k, n_hashes)(F.col(text_col)).alias("sig"),
-    )
-    banded = sig.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *[F.col("sig")[b * r + i] for i in range(r)]))
-                      .alias("bhash"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
-    # materialize before the self-join: otherwise both sides re-scan the
-    # source and re-evaluate the full signature expression
-    banded = banded.localCheckpoint(eager=True)
+    banded = _minhash_banded(docs, text_col, id_col, k, n_hashes, bands)
     star = None
     if star_threshold is not None:
         from pyspark.sql import Window
@@ -221,6 +231,140 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     if star is not None:
         pairs = pairs.unionByName(star)
     return pairs.distinct()
+
+
+class MinhashIndex:
+    """A built MinHash band index: the (doc_id, band, band-hash) table plus
+    per-bucket counts — what a 100 TB ingest pipeline keeps BETWEEN
+    batches so a daily increment never re-signatures the history. The
+    banding parameters travel with the index; probing with different ones
+    would silently produce garbage, so they are checked."""
+
+    def __init__(self, banded: DataFrame, bucket_counts: DataFrame,
+                 k: int, n_hashes: int, bands: int):
+        self.banded = banded
+        self.bucket_counts = bucket_counts
+        self.k, self.n_hashes, self.bands = k, n_hashes, bands
+
+
+def build_minhash_index(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        n_hashes: int = N_MINHASH,
+                        bands: int = LSH_BANDS) -> MinhashIndex:
+    """One signature pass over the corpus into a materialized band table
+    (exactly ``minhash_lsh_pairs``' banding — shared code) plus per-bucket
+    counts (the clique guard's old-side sizes, so probes never re-count
+    the history)."""
+    banded = _minhash_banded(docs, text_col, id_col, k, n_hashes, bands)
+    counts = (banded.groupBy("band", "bhash")
+              .agg(F.count("*").cast("long").alias("_oc"))
+              .localCheckpoint(eager=True))
+    return MinhashIndex(banded, counts, k, n_hashes, bands)
+
+
+def extend_minhash_index(index: MinhashIndex,
+                         new_banded: DataFrame) -> MinhashIndex:
+    """Fold a probed batch's band rows into the index so the NEXT batch
+    dedups against history + this batch. The union is lazy over two
+    materialized tables; counts merge by addition (mergeable by
+    construction — the property every sketch in this engine keeps)."""
+    counts = (index.bucket_counts
+              .unionByName(new_banded.groupBy("band", "bhash")
+                           .agg(F.count("*").cast("long").alias("_oc")))
+              .groupBy("band", "bhash")
+              .agg(F.sum("_oc").cast("long").alias("_oc")))
+    return MinhashIndex(index.banded.unionByName(new_banded), counts,
+                        index.k, index.n_hashes, index.bands)
+
+
+def persist_minhash_index(index: MinhashIndex, path: str) -> None:
+    """Parquet layout: band rows partitioned by band (the join key's high
+    digit; bucket hashes are uniform, so finer pruning buys nothing for
+    batch probes), counts + params as sidecars."""
+    (index.banded.write.mode("overwrite").partitionBy("band")
+     .parquet(path + "/banded"))
+    index.bucket_counts.write.mode("overwrite").parquet(path + "/counts")
+    spark = index.banded.sparkSession
+    (spark.createDataFrame([(index.k, index.n_hashes, index.bands)],
+                           "k int, n_hashes int, bands int")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
+
+
+def load_minhash_index(spark, path: str) -> MinhashIndex:
+    p = spark.read.parquet(path + "/params").first()
+    return MinhashIndex(spark.read.parquet(path + "/banded"),
+                        spark.read.parquet(path + "/counts"),
+                        int(p["k"]), int(p["n_hashes"]), int(p["bands"]))
+
+
+def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          star_threshold: int | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs of an INCREMENT against a built index: all
+    (old, new) and (new, new) candidate pairs, never (old, old) — the
+    daily-ingest operation. Equal by construction to
+    ``minhash_lsh_pairs(old UNION new)`` minus its old-old pairs
+    (asserted in ``test_incremental_pairs_match_full_run``): the band
+    rows come from the SAME ``_minhash_banded`` code, and a pair survives
+    a full-run band join iff it survives the old-new or new-new join
+    here. Returns (pairs, new_banded); feed ``new_banded`` to
+    ``extend_minhash_index`` so the next increment sees this one.
+
+    ``star_threshold`` is the same clique guard as ``minhash_lsh_pairs``:
+    a bucket whose COMBINED (old + new) size exceeds the threshold emits
+    hub-star pairs — hub = the bucket's min new id, every other new
+    member and every old member links to it: O(B_old + B_new) rows with
+    identical transitive connectivity, where the unguarded join emits
+    B_old*B_new + B_new^2/2. Old-side sizes come from the index's
+    materialized bucket counts — the probe never re-counts the history.
+    """
+    nb = _minhash_banded(new_docs, text_col, id_col,
+                         index.k, index.n_hashes, index.bands)
+    star = None
+    new_side = nb
+    if star_threshold is not None:
+        from pyspark.sql import Window
+        wb = Window.partitionBy("band", "bhash")
+        nbc = (nb.withColumn("_nn", F.count("*").over(wb))
+               .withColumn("_hub", F.min("_id").over(wb)))
+        # old-side sizes for the buckets this batch touches only: the tiny
+        # new-bucket table broadcasts INTO the counts lookup, then the
+        # (small) per-bucket result broadcasts back onto the batch rows
+        oc = (index.bucket_counts.join(
+            F.broadcast(nbc.select("band", "bhash").distinct()),
+            ["band", "bhash"]))
+        nbc = (nbc.join(F.broadcast(oc), ["band", "bhash"], "left")
+               .withColumn("_oc", F.coalesce(F.col("_oc"), F.lit(0)))
+               .localCheckpoint(eager=True))
+        guarded = nbc.filter(F.col("_nn") + F.col("_oc") > star_threshold)
+        # new members -> hub (skip the hub itself)
+        star_new = (guarded.filter(F.col("_id") != F.col("_hub"))
+                    .select(F.col("_hub").alias("id_a"),
+                            F.col("_id").alias("id_b")))
+        # old members -> hub: enumerate the guarded buckets' old rows once
+        gb = guarded.select("band", "bhash", "_hub").distinct()
+        star_old = (index.banded.join(F.broadcast(gb), ["band", "bhash"])
+                    .select(F.col("_id").alias("id_a"),
+                            F.col("_hub").alias("id_b")))
+        star = star_new.unionByName(star_old)
+        new_side = (nbc.filter(F.col("_nn") + F.col("_oc") <= star_threshold)
+                    .select("_id", "band", "bhash"))
+    old_new = (index.banded.alias("o")
+               .join(new_side.alias("n"), ["band", "bhash"])
+               .select(F.col("o._id").alias("id_a"),
+                       F.col("n._id").alias("id_b")))
+    nn = (new_side.alias("l").join(new_side.alias("r"), ["band", "bhash"])
+          .filter(F.col("l._id") < F.col("r._id"))
+          .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")))
+    pairs = old_new.unionByName(nn)
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = (pairs.select(F.least("id_a", "id_b").alias("id_a"),
+                          F.greatest("id_a", "id_b").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b"))
+             .distinct())
+    return pairs, nb
 
 
 def dedup_groups(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
