@@ -290,10 +290,41 @@ def persist_minhash_index(index: MinhashIndex, path: str) -> None:
      .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
 
 
+def append_minhash_batch(index_path: str, new_banded: DataFrame,
+                         batch_id: int) -> None:
+    """Append-only index growth for streaming ingest: a probed batch's
+    band rows and count DELTAS land under ``inc/batch=N`` as an
+    OVERWRITE of that one directory — so a replayed micro-batch (the
+    Structured Streaming at-least-once window) rewrites its own
+    increment instead of double-counting it. ``load_minhash_index``
+    folds every increment back in; a periodic ``persist_minhash_index``
+    of the loaded index compacts the increments away (the Iceberg
+    snapshot-compaction shape)."""
+    base = f"{index_path}/inc/batch={int(batch_id)}"
+    new_banded.write.mode("overwrite").parquet(base + "/banded")
+    (new_banded.groupBy("band", "bhash")
+     .agg(F.count("*").cast("long").alias("_oc"))
+     .write.mode("overwrite").parquet(base + "/counts"))
+
+
 def load_minhash_index(spark, path: str) -> MinhashIndex:
+    """Load a persisted index plus any streaming increments; counts are
+    the groupBy-sum of the base table and every increment's deltas (lazy —
+    one bucket-level aggregation per load, smaller than the band table)."""
     p = spark.read.parquet(path + "/params").first()
-    return MinhashIndex(spark.read.parquet(path + "/banded"),
-                        spark.read.parquet(path + "/counts"),
+    banded = spark.read.parquet(path + "/banded")
+    counts = spark.read.parquet(path + "/counts")
+    from pyspark.errors import AnalysisException
+    try:
+        inc_b = spark.read.parquet(path + "/inc/batch=*/banded")
+        inc_c = spark.read.parquet(path + "/inc/batch=*/counts")
+        banded = banded.unionByName(inc_b)
+        counts = counts.unionByName(inc_c)
+    except AnalysisException:
+        pass  # no streaming increments yet (PATH_NOT_FOUND on the glob)
+    counts = counts.groupBy("band", "bhash") \
+                   .agg(F.sum("_oc").cast("long").alias("_oc"))
+    return MinhashIndex(banded, counts,
                         int(p["k"]), int(p["n_hashes"]), int(p["bands"]))
 
 

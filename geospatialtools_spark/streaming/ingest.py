@@ -246,3 +246,66 @@ def streaming_tile_attach(docs: DataFrame, burned_cells: DataFrame, meta,
     with_ij = attach_grid_cell(docs, meta, res=res,
                                lat_col=lat_col, lon_col=lon_col)
     return attach_tile(with_ij, burned_cells)
+
+
+# ------------------------------------------------------- incremental dedup
+
+def dedup_batch_handler(index_path: str, pairs_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        star_threshold: int | None = 64):
+    """The foreachBatch body of ``incremental_dedup_stream``, exposed so
+    tests can drive (and REPLAY) it directly: load the index (base +
+    streaming increments), probe the micro-batch, write its pairs, fold
+    its band rows into the index.
+
+    Idempotent under micro-batch replay (the Structured Streaming
+    at-least-once window) by construction:
+
+    - the pair output and the index increment both land as OVERWRITEs of
+      batch-id-keyed directories, so a replay rewrites rather than
+      duplicates;
+    - a replay that finds its own rows already appended (crash between
+      the index append and the checkpoint commit) still emits the
+      IDENTICAL pair set: self-pairs die on the id_a != id_b filter, and
+      the batch's (new, new) pairs arriving a second time through the
+      old-new join collapse in the least/greatest + distinct
+      normalization.
+    """
+    from ..functions.dedup import (append_minhash_batch,
+                                   incremental_dup_pairs,
+                                   load_minhash_index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = load_minhash_index(spark, index_path)
+        pairs, nb = incremental_dup_pairs(idx, batch_df, text_col=text_col,
+                                          id_col=id_col,
+                                          star_threshold=star_threshold)
+        (pairs.write.mode("overwrite")
+         .parquet(f"{pairs_dir}/batch={int(batch_id)}"))
+        append_minhash_batch(index_path, nb, batch_id)
+
+    return handle
+
+
+def incremental_dedup_stream(docs: DataFrame, index_path: str,
+                             pairs_dir: str, checkpoint_dir: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             star_threshold: int | None = 64) -> None:
+    """Continuous-crawl dedup: every arriving micro-batch is probed
+    against the persisted MinHash index (all old-new + new-new candidate
+    pairs, never old-old) and then folded into it, so the index always
+    covers everything ingested so far — the streaming face of
+    ``incremental_dup_pairs``, state kept in the index's parquet layout
+    rather than the state store (it must outlive the query and be
+    shareable with batch jobs). ``availableNow`` drains the backlog; the
+    identical plan serves a continuous trigger."""
+    q = (docs.writeStream
+         .foreachBatch(dedup_batch_handler(index_path, pairs_dir,
+                                           text_col, id_col,
+                                           star_threshold))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

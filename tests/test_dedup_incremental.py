@@ -90,3 +90,55 @@ def test_incremental_persist_load_roundtrip(spark, tmp_path):
     a, _ = DD.incremental_dup_pairs(idx, new)
     b, _ = DD.incremental_dup_pairs(loaded, new)
     assert _pairset(a) == _pairset(b)
+
+
+def test_streaming_incremental_dedup_matches_full_run(spark, tmp_path):
+    """The streaming face: micro-batches (file source, maxFilesPerTrigger=1)
+    probed against the persisted index via foreachBatch, each batch folded
+    in afterwards — the union of all batch pair outputs must equal the
+    full-run pair set minus the indexed history's internal pairs,
+    REGARDLESS of batch arrival order (every cross-batch pair lands when
+    its later endpoint arrives). Then a manual REPLAY of the last batch
+    (the Structured Streaming at-least-once window) must leave both the
+    pair output and the index counts unchanged."""
+    from geospatialtools_spark.streaming.ingest import (
+        dedup_batch_handler, incremental_dedup_stream)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    streamed = d.filter(F.col("doc_id") % 2 != 0)
+
+    idx_path = str(tmp_path / "mhidx")
+    DD.persist_minhash_index(DD.build_minhash_index(base), idx_path)
+
+    src = str(tmp_path / "arriving")
+    for i in range(3):
+        (streamed.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(streamed.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    pairs_dir = str(tmp_path / "pairs")
+    incremental_dedup_stream(stream, idx_path, pairs_dir,
+                             str(tmp_path / "ck"), star_threshold=None)
+
+    full = _pairset(DD.minhash_lsh_pairs(d))
+    base_internal = _pairset(DD.minhash_lsh_pairs(base))
+    got = _pairset(spark.read.parquet(pairs_dir + "/batch=*"))
+    assert got == full - base_internal
+
+    # replay the last committed batch by hand: outputs and index stable
+    import glob
+    batches = sorted(int(p.rsplit("=", 1)[1]) for p in
+                     glob.glob(pairs_dir + "/batch=*"))
+    last = batches[-1]
+    last_banded = spark.read.parquet(f"{idx_path}/inc/batch={last}/banded")
+    last_ids = [r["_id"] for r in last_banded.select("_id").distinct().collect()]
+    replay_df = streamed.filter(F.col("doc_id").isin(last_ids))
+    before_counts = DD.load_minhash_index(spark, idx_path) \
+        .bucket_counts.agg(F.sum("_oc")).first()[0]
+    dedup_batch_handler(idx_path, pairs_dir, star_threshold=None)(
+        replay_df, last)
+    after_counts = DD.load_minhash_index(spark, idx_path) \
+        .bucket_counts.agg(F.sum("_oc")).first()[0]
+    assert after_counts == before_counts                 # no double count
+    assert _pairset(spark.read.parquet(pairs_dir + "/batch=*")) == got
