@@ -877,6 +877,7 @@ def main_incdedup():
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-incdedup")
     n = int(os.environ.get("SPARK_GRAFT_INCDEDUP_DOCS", "5000000"))
+    n = n // 20 * 20   # whole planted blocks only, so `expected` is exact
     docs = planted_docs(spark, n).select("doc_id", "text")
     mod = F.col("doc_id") % 20
     old = docs.filter(~mod.isin(0, 10)).localCheckpoint(eager=True)

@@ -233,12 +233,25 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.distinct()
 
 
+MH_BHASH_BUCKETS = 64
+
+
+def _mh_bucket(bhash) -> Column:
+    """Persisted-layout partition key: a 64-way hash of the band hash, so
+    small probes prune files (same design as retrieval's term buckets)."""
+    return F.pmod(F.xxhash64(bhash), F.lit(MH_BHASH_BUCKETS)).cast("int")
+
+
 class MinhashIndex:
     """A built MinHash band index: the (doc_id, band, band-hash) table plus
     per-bucket counts — what a 100 TB ingest pipeline keeps BETWEEN
     batches so a daily increment never re-signatures the history. The
-    banding parameters travel with the index; probing with different ones
-    would silently produce garbage, so they are checked."""
+    banding parameters travel with the index: probes derive their banding
+    FROM the index (misuse is unrepresentable there), and
+    ``extend_minhash_index`` validates the band range of what it folds in
+    (a differently-parameterized band table cannot be checked any deeper
+    than that — its hashes are just strings — so extend only accepts the
+    ``new_banded`` handles this module itself produced)."""
 
     def __init__(self, banded: DataFrame, bucket_counts: DataFrame,
                  k: int, n_hashes: int, bands: int):
@@ -265,29 +278,66 @@ def build_minhash_index(docs: DataFrame, text_col: str = "text",
 def extend_minhash_index(index: MinhashIndex,
                          new_banded: DataFrame) -> MinhashIndex:
     """Fold a probed batch's band rows into the index so the NEXT batch
-    dedups against history + this batch. The union is lazy over two
-    materialized tables; counts merge by addition (mergeable by
-    construction — the property every sketch in this engine keeps)."""
+    dedups against history + this batch. Counts merge by addition
+    (mergeable by construction — the property every sketch in this engine
+    keeps) and are MATERIALIZED: a long extend chain would otherwise
+    stack one lazy groupBy-sum per day, re-executed on every guarded
+    probe. The fold validates the band range — the one banding-parameter
+    mismatch detectable from rows alone."""
+    rng = new_banded.agg(F.min("band").alias("lo"),
+                         F.max("band").alias("hi")).first()
+    if rng["lo"] is not None and not (0 <= rng["lo"] and
+                                      rng["hi"] < index.bands):
+        raise ValueError(
+            f"new_banded has band ids [{rng['lo']}, {rng['hi']}] but the "
+            f"index was built with bands={index.bands} — it was banded "
+            f"with different parameters")
+    if "_bkt" in index.banded.columns and "_bkt" not in new_banded.columns:
+        new_banded = new_banded.withColumn("_bkt", _mh_bucket(F.col("bhash")))
     counts = (index.bucket_counts
               .unionByName(new_banded.groupBy("band", "bhash")
                            .agg(F.count("*").cast("long").alias("_oc")))
               .groupBy("band", "bhash")
-              .agg(F.sum("_oc").cast("long").alias("_oc")))
+              .agg(F.sum("_oc").cast("long").alias("_oc"))
+              .localCheckpoint(eager=True))
     return MinhashIndex(index.banded.unionByName(new_banded), counts,
                         index.k, index.n_hashes, index.bands)
 
 
 def persist_minhash_index(index: MinhashIndex, path: str) -> None:
-    """Parquet layout: band rows partitioned by band (the join key's high
-    digit; bucket hashes are uniform, so finer pruning buys nothing for
-    batch probes), counts + params as sidecars."""
-    (index.banded.write.mode("overwrite").partitionBy("band")
+    """Parquet layout: band rows partitioned by (band, _bkt) where _bkt is
+    a 64-way hash of the band hash — a probe touching few buckets reads
+    few files (PartitionFilters, the retrieval-index design); counts +
+    params as sidecars. Compaction of streaming increments goes through
+    ``compact_minhash_index`` — persisting a LOADED index back onto its
+    own path would read and overwrite the same files."""
+    banded = index.banded
+    if "_bkt" not in banded.columns:
+        banded = banded.withColumn("_bkt", _mh_bucket(F.col("bhash")))
+    (banded.write.mode("overwrite").partitionBy("band", "_bkt")
      .parquet(path + "/banded"))
     index.bucket_counts.write.mode("overwrite").parquet(path + "/counts")
     spark = index.banded.sparkSession
     (spark.createDataFrame([(index.k, index.n_hashes, index.bands)],
                            "k int, n_hashes int, bands int")
      .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
+
+
+def compact_minhash_index(spark, src_path: str, dst_path: str) -> None:
+    """Consolidate a persisted index and its streaming increments into a
+    fresh path (base tables only, no inc/) — the Iceberg
+    snapshot-compaction shape, done as write-to-new-location + caller
+    retargets, because an in-place overwrite would read and rewrite the
+    same files mid-job. ``dst_path`` must differ from ``src_path``."""
+    if dst_path == src_path:
+        raise ValueError("compact_minhash_index writes a NEW consolidated "
+                         "index; dst_path must differ from src_path")
+    idx = load_minhash_index(spark, src_path)
+    # counts is the lazy fold of base + deltas; materialize through the
+    # write. banded keeps _bkt from the partitioned read.
+    persist_minhash_index(MinhashIndex(
+        idx.banded, idx.bucket_counts.localCheckpoint(eager=True),
+        idx.k, idx.n_hashes, idx.bands), dst_path)
 
 
 def append_minhash_batch(index_path: str, new_banded: DataFrame,
@@ -297,10 +347,15 @@ def append_minhash_batch(index_path: str, new_banded: DataFrame,
     OVERWRITE of that one directory — so a replayed micro-batch (the
     Structured Streaming at-least-once window) rewrites its own
     increment instead of double-counting it. ``load_minhash_index``
-    folds every increment back in; a periodic ``persist_minhash_index``
-    of the loaded index compacts the increments away (the Iceberg
-    snapshot-compaction shape)."""
+    folds every increment back in; periodically,
+    ``compact_minhash_index`` consolidates base + increments into a
+    fresh path. Increments are written UNPARTITIONED with _bkt as a
+    data column (a 4x64-directory tree per micro-batch would be a
+    small-file explosion); probes prune the partitioned base by file
+    and the small increments by row."""
     base = f"{index_path}/inc/batch={int(batch_id)}"
+    if "_bkt" not in new_banded.columns:
+        new_banded = new_banded.withColumn("_bkt", _mh_bucket(F.col("bhash")))
     new_banded.write.mode("overwrite").parquet(base + "/banded")
     (new_banded.groupBy("band", "bhash")
      .agg(F.count("*").cast("long").alias("_oc"))
@@ -318,7 +373,8 @@ def load_minhash_index(spark, path: str) -> MinhashIndex:
     try:
         inc_b = spark.read.parquet(path + "/inc/batch=*/banded")
         inc_c = spark.read.parquet(path + "/inc/batch=*/counts")
-        banded = banded.unionByName(inc_b)
+        banded = banded.select(*inc_b.columns) \
+                       .unionByName(inc_b.select(*inc_b.columns))
         counts = counts.unionByName(inc_c)
     except AnalysisException:
         pass  # no streaming increments yet (PATH_NOT_FOUND on the glob)
@@ -330,7 +386,9 @@ def load_minhash_index(spark, path: str) -> MinhashIndex:
 
 def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
-                          star_threshold: int | None = None
+                          star_threshold: int | None = None,
+                          exclude_new_from_history: bool = False,
+                          static_prune: bool = True
                           ) -> tuple[DataFrame, DataFrame]:
     """Near-dup pairs of an INCREMENT against a built index: all
     (old, new) and (new, new) candidate pairs, never (old, old) — the
@@ -342,16 +400,45 @@ def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
     here. Returns (pairs, new_banded); feed ``new_banded`` to
     ``extend_minhash_index`` so the next increment sees this one.
 
+    ``static_prune`` (default on): when the index came from
+    ``load_minhash_index`` (carries the _bkt partition column), the
+    probe collects the increment's distinct bucket keys — at most 64,
+    the key space is that small by design — into a literal isin, so the
+    partitioned base shows the restriction as PartitionFilters: a small
+    probe reads only the files of its own buckets instead of scanning
+    the whole history.
+
+    ``exclude_new_from_history`` (the streaming handler sets it): drop
+    history rows whose id appears in the increment BEFORE counting or
+    joining, so probing a batch that was already appended (micro-batch
+    replay, accidental double-ingestion) behaves exactly like the first
+    run — same guard decisions, same pairs — at the cost of computing
+    the guard's old-side sizes from the (pruned) band table instead of
+    the materialized counts.
+
     ``star_threshold`` is the same clique guard as ``minhash_lsh_pairs``:
     a bucket whose COMBINED (old + new) size exceeds the threshold emits
     hub-star pairs — hub = the bucket's min new id, every other new
     member and every old member links to it: O(B_old + B_new) rows with
     identical transitive connectivity, where the unguarded join emits
     B_old*B_new + B_new^2/2. Old-side sizes come from the index's
-    materialized bucket counts — the probe never re-counts the history.
+    materialized bucket counts — the probe never re-counts the history
+    (except under ``exclude_new_from_history``, where stale counts would
+    break replay idempotence). Join strategies are left to
+    Catalyst/AQE — the increment side is small in the intended use, but
+    a forced broadcast would be an OOM cliff for bulk backfills.
     """
     nb = _minhash_banded(new_docs, text_col, id_col,
                          index.k, index.n_hashes, index.bands)
+    hist = index.banded
+    if static_prune and "_bkt" in hist.columns:
+        bkts = [r["b"] for r in
+                nb.select(_mh_bucket(F.col("bhash")).alias("b"))
+                .distinct().collect()]
+        hist = hist.filter(F.col("_bkt").isin(bkts))
+    if exclude_new_from_history:
+        hist = hist.join(nb.select("_id").distinct(), "_id", "left_anti")
+    hist = hist.select("_id", "band", "bhash")
     star = None
     new_side = nb
     if star_threshold is not None:
@@ -359,13 +446,16 @@ def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
         wb = Window.partitionBy("band", "bhash")
         nbc = (nb.withColumn("_nn", F.count("*").over(wb))
                .withColumn("_hub", F.min("_id").over(wb)))
-        # old-side sizes for the buckets this batch touches only: the tiny
-        # new-bucket table broadcasts INTO the counts lookup, then the
-        # (small) per-bucket result broadcasts back onto the batch rows
-        oc = (index.bucket_counts.join(
-            F.broadcast(nbc.select("band", "bhash").distinct()),
-            ["band", "bhash"]))
-        nbc = (nbc.join(F.broadcast(oc), ["band", "bhash"], "left")
+        touched = nbc.select("band", "bhash").distinct()
+        if exclude_new_from_history:
+            # stale materialized counts would include the batch itself on
+            # a replay — count the (pruned, excluded) history directly
+            oc = (hist.join(touched, ["band", "bhash"], "left_semi")
+                  .groupBy("band", "bhash")
+                  .agg(F.count("*").cast("long").alias("_oc")))
+        else:
+            oc = index.bucket_counts.join(touched, ["band", "bhash"])
+        nbc = (nbc.join(oc, ["band", "bhash"], "left")
                .withColumn("_oc", F.coalesce(F.col("_oc"), F.lit(0)))
                .localCheckpoint(eager=True))
         guarded = nbc.filter(F.col("_nn") + F.col("_oc") > star_threshold)
@@ -375,13 +465,13 @@ def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
                             F.col("_id").alias("id_b")))
         # old members -> hub: enumerate the guarded buckets' old rows once
         gb = guarded.select("band", "bhash", "_hub").distinct()
-        star_old = (index.banded.join(F.broadcast(gb), ["band", "bhash"])
+        star_old = (hist.join(gb, ["band", "bhash"])
                     .select(F.col("_id").alias("id_a"),
                             F.col("_hub").alias("id_b")))
         star = star_new.unionByName(star_old)
         new_side = (nbc.filter(F.col("_nn") + F.col("_oc") <= star_threshold)
                     .select("_id", "band", "bhash"))
-    old_new = (index.banded.alias("o")
+    old_new = (hist.alias("o")
                .join(new_side.alias("n"), ["band", "bhash"])
                .select(F.col("o._id").alias("id_a"),
                        F.col("n._id").alias("id_b")))

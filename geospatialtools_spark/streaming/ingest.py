@@ -264,12 +264,13 @@ def dedup_batch_handler(index_path: str, pairs_dir: str,
     - the pair output and the index increment both land as OVERWRITEs of
       batch-id-keyed directories, so a replay rewrites rather than
       duplicates;
-    - a replay that finds its own rows already appended (crash between
-      the index append and the checkpoint commit) still emits the
-      IDENTICAL pair set: self-pairs die on the id_a != id_b filter, and
-      the batch's (new, new) pairs arriving a second time through the
-      old-new join collapse in the least/greatest + distinct
-      normalization.
+    - the probe runs with ``exclude_new_from_history=True``, so a replay
+      that finds its own rows already appended (crash between the index
+      append and the checkpoint commit) sees EXACTLY the first run's
+      history — same clique-guard decisions, same pair set, at any
+      ``star_threshold`` (without the exclusion, the batch's own rows
+      would inflate the old-side bucket counts on replay and could flip
+      a straddling bucket from clique pairs to star rows).
     """
     from ..functions.dedup import (append_minhash_batch,
                                    incremental_dup_pairs,
@@ -280,7 +281,8 @@ def dedup_batch_handler(index_path: str, pairs_dir: str,
         idx = load_minhash_index(spark, index_path)
         pairs, nb = incremental_dup_pairs(idx, batch_df, text_col=text_col,
                                           id_col=id_col,
-                                          star_threshold=star_threshold)
+                                          star_threshold=star_threshold,
+                                          exclude_new_from_history=True)
         (pairs.write.mode("overwrite")
          .parquet(f"{pairs_dir}/batch={int(batch_id)}"))
         append_minhash_batch(index_path, nb, batch_id)

@@ -142,3 +142,86 @@ def test_streaming_incremental_dedup_matches_full_run(spark, tmp_path):
         .bucket_counts.agg(F.sum("_oc")).first()[0]
     assert after_counts == before_counts                 # no double count
     assert _pairset(spark.read.parquet(pairs_dir + "/batch=*")) == got
+
+
+def test_incremental_guarded_replay_idempotent(spark, tmp_path):
+    """The at-least-once crash window WITH the clique guard armed: a
+    bucket of 40 indexed + 20 new identical docs sits UNDER threshold 64
+    (990 clique pairs). If the batch is already appended (crash between
+    index append and checkpoint commit), a naive replay would count the
+    batch's own rows into the old side (60+20 > 64) and flip the bucket
+    to 59 star rows — exclude_new_from_history (what the streaming
+    handler passes) must keep the replay bit-identical instead."""
+    boiler = "terms of service apply to all users of this site"
+    old = spark.createDataFrame([(i, boiler) for i in range(40)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1000 + i, boiler) for i in range(20)],
+                                "doc_id long, text string")
+    idx_path = str(tmp_path / "mh")
+    DD.persist_minhash_index(DD.build_minhash_index(old), idx_path)
+    idx = DD.load_minhash_index(spark, idx_path)
+    first, nb = DD.incremental_dup_pairs(idx, new, star_threshold=64,
+                                         exclude_new_from_history=True)
+    first = _pairset(first)
+    assert len(first) == 40 * 20 + 19 * 20 / 2          # clique, not star
+
+    DD.append_minhash_batch(idx_path, nb, 0)            # the crash window
+    replay_idx = DD.load_minhash_index(spark, idx_path)
+    replay, _ = DD.incremental_dup_pairs(replay_idx, new, star_threshold=64,
+                                         exclude_new_from_history=True)
+    assert _pairset(replay) == first
+    # and WITHOUT the exclusion the guard would indeed have flipped
+    naive, _ = DD.incremental_dup_pairs(replay_idx, new, star_threshold=64)
+    assert len(_pairset(naive)) == 59
+
+
+def test_incremental_persisted_index_partition_pruned_probe(spark, tmp_path):
+    """The persisted layout (banded partitioned by band + 64-way bhash
+    bucket) must answer identically to the in-memory index AND carry the
+    probe's bucket restriction as PartitionFilters on the parquet scan."""
+    old, new, _ = _split(spark)
+    idx = DD.build_minhash_index(old)
+    idx_path = str(tmp_path / "mh")
+    DD.persist_minhash_index(idx, idx_path)
+    loaded = DD.load_minhash_index(spark, idx_path)
+    mem, _ = DD.incremental_dup_pairs(idx, new)
+    disk_df, _ = DD.incremental_dup_pairs(loaded, new)
+    assert _pairset(disk_df) == _pairset(mem)
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    assert any("_bkt" in ln and ("INSET" in ln or " IN " in ln or "In(" in ln)
+               for ln in scan_lines), "\n".join(scan_lines)
+
+
+def test_incremental_compaction(spark, tmp_path):
+    """compact_minhash_index consolidates base + streaming increments into
+    a fresh path whose probes answer identically with no inc/ left."""
+    import os
+    old, new, _ = _split(spark)
+    b1 = new.filter(F.col("doc_id") % 2 == 0)
+    b2 = new.filter(F.col("doc_id") % 2 != 0)
+    src = str(tmp_path / "src")
+    DD.persist_minhash_index(DD.build_minhash_index(old), src)
+    idx = DD.load_minhash_index(spark, src)
+    _, nb1 = DD.incremental_dup_pairs(idx, b1)
+    DD.append_minhash_batch(src, nb1, 0)
+    dst = str(tmp_path / "dst")
+    DD.compact_minhash_index(spark, src, dst)
+    assert not os.path.exists(dst + "/inc")
+    a, _ = DD.incremental_dup_pairs(DD.load_minhash_index(spark, src), b2)
+    b, _ = DD.incremental_dup_pairs(DD.load_minhash_index(spark, dst), b2)
+    assert _pairset(a) == _pairset(b)
+    import pytest
+    with pytest.raises(ValueError):
+        DD.compact_minhash_index(spark, src, src)
+
+
+def test_extend_rejects_foreign_band_range(spark):
+    old, _, _ = _split(spark)
+    idx = DD.build_minhash_index(old)
+    bad = spark.createDataFrame([(1, idx.bands + 3, "ff")],
+                                "_id long, band int, bhash string")
+    import pytest
+    with pytest.raises(ValueError, match="band"):
+        DD.extend_minhash_index(idx, bad)
