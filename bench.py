@@ -902,6 +902,28 @@ def main_incdedup():
     in2 = (F.col("id_a") % 20).isin(10, 11) & (F.col("id_b") % 20).isin(10, 11)
     planted = pairs.filter(same_block & (in3 | in2)).count()
     expected = n // 20 * 3
+
+    # persisted layout: (band, bhash-bucket)-partitioned parquet — the
+    # probe prunes partitions (a 10%-of-corpus increment touches every
+    # bucket, so this measures the disk-backed probe, not best-case prune)
+    import shutil
+    import tempfile
+
+    from geospatialtools_spark.functions.dedup import (load_minhash_index,
+                                                       persist_minhash_index)
+    tdir = tempfile.mkdtemp(prefix="mhidx_")
+    t_persist = t_pruned = pruned_pairs = None
+    try:
+        t0 = time.time()
+        persist_minhash_index(idx, tdir)
+        t_persist = round(time.time() - t0, 2)
+        loaded = load_minhash_index(spark, tdir)
+        t0 = time.time()
+        p2, _ = incremental_dup_pairs(loaded, new)
+        pruned_pairs = p2.count()
+        t_pruned = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
     print(json.dumps({
         "metric": "incremental dedup (index probe) vs full re-dedup, planted-cluster corpus",
         "docs": n, "increment_docs": n // 10,
@@ -914,6 +936,9 @@ def main_incdedup():
         "false_positives": int(n_pairs - planted),
         "recall": round(planted / expected, 4),
         "probe_vs_full_speedup": round(t_full / t_probe, 2),
+        "persist_wall_s": t_persist,
+        "disk_probe_wall_s": t_pruned,
+        "disk_probe_pairs_identical": (pruned_pairs == n_pairs),
         "cpus": spark.sparkContext.defaultParallelism,
     }))
 
