@@ -603,6 +603,14 @@ def q_bm25_docs(spark, sf_dir):
     return bm25_topk(d, q, k=5)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Dataset-card summary (textstats.corpus_stats): ROLLUP over source —
+    per-source rows + the corpus TOTAL in one aggregation pass; GROUPING()
+    keeps a real NULL source distinct from the rollup total."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.corpus_stats(d)
+
+
 def q_quality_score(spark, sf_dir):
     """Composite document quality score."""
     d = _t(spark, sf_dir, "documents")
@@ -1460,7 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checkpointed stages.
     return {
         # -- relational / functions (oracled) ------------------------------
-        "groupby_agg": q_groupby_agg,
         # normalize_minmax demoted round 5 (trivial Catalyst P3 expression,
         # 4 green driver rounds; the P-family keeps width_bins/semi/anti in
         # the locally-checked tail) for the new mixture_sample below.
@@ -1514,6 +1521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps quality_score + repetition_stats in-window and
         # lang_id has 4 rounds of green driver history.
         "bm25_docs": q_bm25_docs,
+        # corpus_stats is new in round 5 (fresh-entry rule: first round
+        # driver-recorded); groupby_agg demotes to the tail — the
+        # aggregation family keeps hillslope/hru props + corpus_stats
+        # itself in-window and groupby_agg has 4 rounds of green history.
+        "corpus_stats": q_corpus_stats,
         "quality_score": q_quality_score,
         # repetition_stats is new in round 5 — it takes doc_fingerprint's
         # in-window slot so its first round is driver-recorded (the ADVICE
@@ -1606,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_metrics": q_fit_metrics,
         "lang_id": q_lang_id,
         "join_broadcast": q_join_broadcast,
+        "groupby_agg": q_groupby_agg,
     }
 
 
@@ -1843,6 +1856,21 @@ def oracle_sql() -> dict[str, str]:
         # \s shorthand is written out as the explicit Java set
         # [ \t\n\x0B\f\r] everywhere below (review fix): RE2's \s lacks
         # \x0B, the one character where the engines' shorthands diverge
+        "corpus_stats": r"""
+            SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
+                        ELSE coalesce(source, '(null)') END AS source,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(length(text)) AS BIGINT) AS chars,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                 '[ ' || chr(9) || chr(10) || chr(11)
+                                 || chr(12) || chr(13) || ']+')) END)
+                        AS BIGINT) AS tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT)
+                     AS distinct_texts,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY ROLLUP(source)""",
         "token_stats": r"""
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -11,7 +11,7 @@ DuckDB oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -399,3 +399,34 @@ def repetition_stats_fast(text: Column) -> tuple[Column, Column, Column]:
             .otherwise(F.least(F.lit(1.0),
                                F.round(c.cover3.cast("double") / n, 6)))
     return dup, top2, top3
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 source_col: str = "source",
+                 lang_col: str = "lang") -> DataFrame:
+    """Dataset-card summary in ONE aggregation pass: per-source rows plus
+    the corpus TOTAL via ROLLUP — docs, chars, whitespace tokens, distinct
+    languages, distinct texts (the exact-dup signal: docs - distinct_texts
+    = exactly removable rows), mean length. One shuffle, map-side
+    combined; the count-distincts expand internally (Spark rewrites
+    multi-distinct aggregates), still one pass over the corpus. A real
+    NULL source keeps its own '(null)' row — GROUPING() separates it from
+    the rollup TOTAL row, which a bare coalesce would conflate.
+
+    NULL text contributes to ``docs`` only (length/md5/token NULLs are
+    skipped by sum/avg/count-distinct in both Spark and the DuckDB twin —
+    parity pinned in the gate oracle)."""
+    t = F.col(text_col)
+    agg = docs.rollup(source_col).agg(
+        F.grouping(F.col(source_col)).alias("_g"),
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.length(t)).cast("long").alias("chars"),
+        F.sum(token_count(t)).cast("long").alias("tokens"),
+        F.count_distinct(F.col(lang_col)).alias("langs"),
+        F.count_distinct(F.md5(t)).alias("distinct_texts"),
+        F.round(F.avg(F.length(t)), 4).alias("avg_chars"))
+    return (agg.withColumn(source_col,
+                           F.when(F.col("_g") == 1, F.lit("TOTAL"))
+                           .otherwise(F.coalesce(F.col(source_col),
+                                                 F.lit("(null)"))))
+            .drop("_g"))

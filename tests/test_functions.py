@@ -678,3 +678,33 @@ def test_lsh_arrow_assign_parity(spark):
                                         arrow_assign=True).toPandas()
     assert key(c) == key(d)
     assert (40.0, 50.0, 1.0) in set(map(tuple, d.to_numpy().tolist()))
+
+
+def test_corpus_stats_rollup_total_and_null_semantics(spark):
+    """corpus_stats: the TOTAL row's additive columns equal the sum of the
+    per-source rows; a real NULL source gets its own '(null)' row distinct
+    from TOTAL (GROUPING()); NULL text counts toward docs only."""
+    import pandas as pd
+
+    from geospatialtools_spark.functions.textstats import corpus_stats
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en", "web"),
+         (2, "one two three", "en", "web"),     # exact dup of 1
+         (3, "vier funf", "de", "wiki"),
+         (4, None, "en", "wiki"),               # NULL text
+         (5, "  ", "fr", None)],                # blank text, NULL source
+        "doc_id long, text string, lang string, source string")
+    out = corpus_stats(docs).toPandas().set_index("source")
+    assert set(out.index) == {"TOTAL", "web", "wiki", "(null)"}
+    t = out.loc["TOTAL"]
+    per = out.drop("TOTAL")
+    for c in ("docs", "chars", "tokens"):
+        assert t[c] == per[c].sum()
+    assert t["docs"] == 5
+    assert out.loc["web", "distinct_texts"] == 1      # exact dup collapses
+    assert t["distinct_texts"] == 3                   # NULL text not counted
+    assert out.loc["wiki", "docs"] == 2 and out.loc["wiki", "tokens"] == 2
+    assert out.loc["(null)", "tokens"] == 0           # blank -> 0 tokens
+    assert t["langs"] == 3
+    # TOTAL avg_chars is the global mean over non-NULL texts
+    assert t["avg_chars"] == round((13 + 13 + 9 + 2) / 4, 4)
