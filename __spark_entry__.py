@@ -1859,13 +1859,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": r"""
             SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
                         ELSE coalesce(source, '(null)') END AS source,
+                   CAST(GROUPING(source) AS INT) AS is_total,
                    CAST(count(*) AS BIGINT) AS docs,
                    CAST(sum(length(text)) AS BIGINT) AS chars,
-                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text),
+                   CAST(sum(len(list_filter(regexp_split_to_array(text,
                                  '[ ' || chr(9) || chr(10) || chr(11)
-                                 || chr(12) || chr(13) || ']+')) END)
-                        AS BIGINT) AS tokens,
+                                 || chr(12) || chr(13) || ']+'),
+                            x -> length(x) > 0))) AS BIGINT) AS tokens,
                    CAST(count(DISTINCT lang) AS BIGINT) AS langs,
                    CAST(count(DISTINCT md5(text)) AS BIGINT)
                      AS distinct_texts,

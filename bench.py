@@ -912,7 +912,6 @@ def main_incdedup():
     from geospatialtools_spark.functions.dedup import (load_minhash_index,
                                                        persist_minhash_index)
     tdir = tempfile.mkdtemp(prefix="mhidx_")
-    t_persist = t_pruned = pruned_pairs = None
     try:
         t0 = time.time()
         persist_minhash_index(idx, tdir)
@@ -920,8 +919,12 @@ def main_incdedup():
         loaded = load_minhash_index(spark, tdir)
         t0 = time.time()
         p2, _ = incremental_dup_pairs(loaded, new)
+        p2 = p2.localCheckpoint(eager=True)
         pruned_pairs = p2.count()
         t_pruned = round(time.time() - t0, 2)
+        # SET equality, not just counts — the claim is bit-for-bit
+        sym_diff = (p2.exceptAll(pairs).count()
+                    + pairs.exceptAll(p2).count())
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
     print(json.dumps({
@@ -938,7 +941,8 @@ def main_incdedup():
         "probe_vs_full_speedup": round(t_full / t_probe, 2),
         "persist_wall_s": t_persist,
         "disk_probe_wall_s": t_pruned,
-        "disk_probe_pairs_identical": (pruned_pairs == n_pairs),
+        "disk_probe_pairs_identical": (pruned_pairs == n_pairs
+                                       and sym_diff == 0),
         "cpus": spark.sparkContext.defaultParallelism,
     }))
 

@@ -411,22 +411,25 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
     combined; the count-distincts expand internally (Spark rewrites
     multi-distinct aggregates), still one pass over the corpus. A real
     NULL source keeps its own '(null)' row — GROUPING() separates it from
-    the rollup TOTAL row, which a bare coalesce would conflate.
+    the rollup TOTAL row — and STAYS in the output as ``is_total``, since
+    relabeling alone would collapse a corpus whose source column really
+    contains the string 'TOTAL' (or '(null)') into the synthetic rows.
 
-    NULL text contributes to ``docs`` only (length/md5/token NULLs are
-    skipped by sum/avg/count-distinct in both Spark and the DuckDB twin —
-    parity pinned in the gate oracle)."""
+    Tokens count via ``words_array`` (filter-after-split), not the raw
+    split — newline/tab-bounded text must not inflate a dataset-card
+    total with phantom empty tokens. NULL text contributes to ``docs``
+    only (length/md5/token NULLs are skipped by sum/avg/count-distinct in
+    both Spark and the DuckDB twin — parity pinned in the gate oracle)."""
     t = F.col(text_col)
     agg = docs.rollup(source_col).agg(
-        F.grouping(F.col(source_col)).alias("_g"),
+        F.grouping(F.col(source_col)).cast("int").alias("is_total"),
         F.count("*").cast("long").alias("docs"),
         F.sum(F.length(t)).cast("long").alias("chars"),
-        F.sum(token_count(t)).cast("long").alias("tokens"),
+        F.sum(F.size(words_array(t))).cast("long").alias("tokens"),
         F.count_distinct(F.col(lang_col)).alias("langs"),
         F.count_distinct(F.md5(t)).alias("distinct_texts"),
         F.round(F.avg(F.length(t)), 4).alias("avg_chars"))
-    return (agg.withColumn(source_col,
-                           F.when(F.col("_g") == 1, F.lit("TOTAL"))
-                           .otherwise(F.coalesce(F.col(source_col),
-                                                 F.lit("(null)"))))
-            .drop("_g"))
+    return agg.withColumn(source_col,
+                          F.when(F.col("is_total") == 1, F.lit("TOTAL"))
+                          .otherwise(F.coalesce(F.col(source_col),
+                                                F.lit("(null)"))))

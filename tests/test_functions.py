@@ -684,8 +684,6 @@ def test_corpus_stats_rollup_total_and_null_semantics(spark):
     """corpus_stats: the TOTAL row's additive columns equal the sum of the
     per-source rows; a real NULL source gets its own '(null)' row distinct
     from TOTAL (GROUPING()); NULL text counts toward docs only."""
-    import pandas as pd
-
     from geospatialtools_spark.functions.textstats import corpus_stats
     docs = spark.createDataFrame(
         [(1, "one two three", "en", "web"),
@@ -696,7 +694,9 @@ def test_corpus_stats_rollup_total_and_null_semantics(spark):
         "doc_id long, text string, lang string, source string")
     out = corpus_stats(docs).toPandas().set_index("source")
     assert set(out.index) == {"TOTAL", "web", "wiki", "(null)"}
+    assert out["is_total"].sum() == 1                 # exactly one TOTAL row
     t = out.loc["TOTAL"]
+    assert t["is_total"] == 1
     per = out.drop("TOTAL")
     for c in ("docs", "chars", "tokens"):
         assert t[c] == per[c].sum()
