@@ -603,6 +603,40 @@ def q_bm25_docs(spark, sf_dir):
     return bm25_topk(d, q, k=5)
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC web-archive ingest (sources/warc.py): deterministic fixture
+    archives (idempotent bytes, generator-known records) parsed by the
+    distributed binaryFile -> mapInPandas reader; the oracle is the
+    golden-twin VALUES literal the GENERATOR computes — parser and
+    generator share no code path, so the value hash checks a real parse."""
+    import tempfile
+
+    from geospatialtools_spark.sources import warc as W
+    root = W.write_warc_fixture(
+        tempfile.gettempdir() + "/spark_graft_warc_gate",
+        n_files=3, n_records=25)
+    return (W.read_warc(spark, root)
+            .select("target_uri", "http_status", "content_type",
+                    F.md5(F.col("payload")).alias("payload_md5"),
+                    "n_bytes"))
+
+
+def _warc_gate_oracle_sql() -> str:
+    import hashlib
+
+    from geospatialtools_spark.sources import warc as W
+    rows = []
+    for f in range(3):
+        for r in W.make_warc_records(f, 25):
+            body = r["payload"].encode()
+            rows.append(
+                f"('{r['target_uri']}', {r['http_status']}, "
+                f"'{r['content_type']}', "
+                f"'{hashlib.md5(body).hexdigest()}', {len(body)})")
+    return (f"SELECT * FROM (VALUES {', '.join(rows)}) AS t(target_uri, "
+            "http_status, content_type, payload_md5, n_bytes)")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Dataset-card summary (textstats.corpus_stats): ROLLUP over source —
     per-source rows + the corpus TOTAL in one aggregation pass; GROUPING()
@@ -1509,7 +1543,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture_sample is new in round 5 (fresh-entry rule: first round
         # driver-recorded) — takes normalize_minmax's slot above.
         "mixture_sample": q_mixture_sample,
-        "shard_budget": q_shard_budget,
+        # warc_ingest is new in round 5 (fresh-entry rule: first round
+        # driver-recorded); shard_budget demotes to the tail — the
+        # sampling/packing family keeps weighted_sample, pack_sequences
+        # and mixture_sample in-window, shard_budget has 4 green rounds.
+        "warc_ingest": q_warc_ingest,
         "redact_pii": q_redact_pii,
         # contamination_fp is new in round 5 (fresh-entry rule: first round
         # driver-recorded) — it takes the inverted-index form's slot; the
@@ -1619,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "join_broadcast": q_join_broadcast,
         "groupby_agg": q_groupby_agg,
+        "shard_budget": q_shard_budget,
     }
 
 
@@ -1856,6 +1895,9 @@ def oracle_sql() -> dict[str, str]:
         # \s shorthand is written out as the explicit Java set
         # [ \t\n\x0B\f\r] everywhere below (review fix): RE2's \s lacks
         # \x0B, the one character where the engines' shorthands diverge
+        # golden twin: the fixture GENERATOR computes the expected rows
+        # (record list + python md5); DuckDB only transports the literal
+        "warc_ingest": _warc_gate_oracle_sql(),
         "corpus_stats": r"""
             SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
                         ELSE coalesce(source, '(null)') END AS source,

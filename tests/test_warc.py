@@ -1,0 +1,74 @@
+"""WARC ingest (sources/warc.py) vs the generator-known ground truth —
+the parser and the fixture generator share no code path."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geospatialtools_spark.sources import warc as W
+
+
+def _expected(n_files, n_records):
+    rows = []
+    for f in range(n_files):
+        for r in W.make_warc_records(f, n_records):
+            rows.append((r["target_uri"], r["http_status"],
+                         r["content_type"], r["payload"]))
+    return sorted(rows)
+
+
+def test_warc_roundtrip_matches_generator(spark, tmp_path):
+    root = W.write_warc_fixture(str(tmp_path / "warc"), n_files=3,
+                                n_records=25)
+    got = (W.read_warc(spark, root)
+           .select("target_uri", "http_status", "content_type", "payload")
+           .collect())
+    assert sorted(map(tuple, got)) == _expected(3, 25)
+
+
+def test_warc_type_filter(spark, tmp_path):
+    """Default keeps responses only; each fetch also wrote a request record
+    and each file a warcinfo record — all present when asked for."""
+    root = W.write_warc_fixture(str(tmp_path / "warc"), n_files=2,
+                                n_records=10)
+    resp = W.read_warc(spark, root)
+    allr = W.read_warc(spark, root, types=())
+    counts = {r["warc_type"]: r["n"] for r in
+              allr.groupBy("warc_type").agg(F.count("*").alias("n"))
+              .collect()}
+    assert resp.count() == 20
+    assert counts == {"warcinfo": 2, "request": 20, "response": 20}
+    # request records carry no HTTP status and keep their raw block
+    reqs = allr.filter(F.col("warc_type") == "request")
+    assert reqs.filter(F.col("http_status").isNotNull()).count() == 0
+
+
+def test_warc_truncated_tail_drops_cleanly(tmp_path):
+    """A torn final record (declared Content-Length past EOF) is dropped
+    with every complete record before it intact — a torn transfer must
+    not fabricate a short payload."""
+    blob = W.make_warc_bytes(0, 5)
+    torn = blob[:len(blob) - 30]               # cut into the last record
+    whole = W.parse_warc_records(blob)
+    cut = W.parse_warc_records(torn)
+    assert len(cut) == len(whole) - 1
+    assert cut == whole[:-1]
+
+
+def test_warc_parse_is_pure_and_status_parsed():
+    recs = W.parse_warc_records(W.make_warc_bytes(1, 14))
+    resp = [r for r in recs if r["warc_type"] == "response"]
+    want = W.make_warc_records(1, 14)
+    assert [r["http_status"] for r in resp] == \
+        [w["http_status"] for w in want]
+    assert [r["n_bytes"] for r in resp] == \
+        [len(w["payload"].encode()) for w in want]
+
+
+def test_warc_plan_no_shuffle(spark, tmp_path):
+    """Ingest is scan -> mapInPandas: no Exchange anywhere (files are the
+    parallelism unit; a 100k-file crawl spreads by input split)."""
+    root = W.write_warc_fixture(str(tmp_path / "warc"), n_files=2,
+                                n_records=5)
+    plan = W.read_warc(spark, root)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
