@@ -947,6 +947,65 @@ def main_incdedup():
     }))
 
 
+def main_warc():
+    """WARC ingest scale evidence: generate SPARK_GRAFT_WARC_FILES
+    deterministic archives x SPARK_GRAFT_WARC_RECORDS fetches each
+    (generator-known ground truth), then measure the distributed parse —
+    wall, records/s, MB/s, and an exact record-count + per-record
+    payload-byte-sum check against the generator."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.session import get_spark
+    from geospatialtools_spark.sources import warc as W
+    spark = get_spark("bench-warc")
+    n_files = int(os.environ.get("SPARK_GRAFT_WARC_FILES", "256"))
+    n_recs = int(os.environ.get("SPARK_GRAFT_WARC_RECORDS", "2000"))
+    import tempfile
+    root = tempfile.mkdtemp(prefix="warcbench_")
+    try:
+        t0 = time.time()
+        for f in range(n_files):
+            with open(_os.path.join(root, f"crawl-{f:03d}.warc"), "wb") as fh:
+                fh.write(W.make_warc_bytes(f, n_recs))
+        t_gen = round(time.time() - t0, 2)
+        total_mb = sum(_os.path.getsize(_os.path.join(root, p))
+                       for p in _os.listdir(root)) / 1e6
+        reps = []
+        agg = None
+        for _ in range(2):
+            t0 = time.time()
+            agg = (W.read_warc(spark, root)
+                   .agg(F.count("*").alias("n"),
+                        F.sum("n_bytes").alias("payload_bytes"),
+                        F.count_distinct("target_uri").alias("uris"))
+                   .first())
+            reps.append(round(time.time() - t0, 2))
+        t_parse = min(reps)
+        # generator ground truth: every response record present exactly
+        # once, payload byte sum exact
+        want_bytes = sum(
+            len(r["payload"].encode())
+            for f in range(n_files) for r in W.make_warc_records(f, n_recs))
+        print(json.dumps({
+            "metric": "warc ingest parse throughput (binaryFile -> mapInPandas)",
+            "files": n_files, "records": n_files * n_recs,
+            "archive_mb": round(total_mb, 1),
+            "gen_wall_s": t_gen,
+            "parse_reps_s": reps, "parse_wall_s": t_parse,
+            "records_per_sec": round(n_files * n_recs / t_parse, 1),
+            "mb_per_sec": round(total_mb / t_parse, 1),
+            "ground_truth_ok": (int(agg["n"]) == n_files * n_recs
+                                and int(agg["uris"]) == n_files * n_recs
+                                and int(agg["payload_bytes"]) == want_bytes),
+            "cpus": spark.sparkContext.defaultParallelism,
+        }))
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main_retrieval():
     """BM25 inverted-index retrieval scale evidence (BASELINE.md).
 
@@ -1084,6 +1143,8 @@ if __name__ == "__main__":
         main_decon()
     elif "--retrieval" in sys.argv:
         main_retrieval()
+    elif "--warc" in sys.argv:
+        main_warc()
     elif "--incdedup" in sys.argv:
         main_incdedup()
     elif "--flagship-only" in sys.argv:
