@@ -953,8 +953,6 @@ def main_warc():
     (generator-known ground truth), then measure the distributed parse —
     wall, records/s, MB/s, and an exact record-count + per-record
     payload-byte-sum check against the generator."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from geospatialtools_spark.session import get_spark
@@ -967,11 +965,11 @@ def main_warc():
     try:
         t0 = time.time()
         for f in range(n_files):
-            with open(_os.path.join(root, f"crawl-{f:03d}.warc"), "wb") as fh:
+            with open(os.path.join(root, f"crawl-{f:03d}.warc"), "wb") as fh:
                 fh.write(W.make_warc_bytes(f, n_recs))
         t_gen = round(time.time() - t0, 2)
-        total_mb = sum(_os.path.getsize(_os.path.join(root, p))
-                       for p in _os.listdir(root)) / 1e6
+        total_mb = sum(os.path.getsize(os.path.join(root, p))
+                       for p in os.listdir(root)) / 1e6
         reps = []
         agg = None
         for _ in range(2):

@@ -19,10 +19,13 @@ message: status line, headers, blank line, body. Gzip member-per-record
 the parse contract is identical after decompression; a production reader
 wraps the same ``parse_warc_records`` behind a gzip member splitter.
 
-Truncation policy: a record whose declared Content-Length runs past the
-file end is DROPPED along with everything after it (a torn tail from an
-interrupted transfer must not fabricate a short payload); complete records
-before the tear all parse. Asserted in tests.
+Truncation/corruption policy: a record whose declared Content-Length is
+negative, unparseable, or runs past the file end is DROPPED along with
+everything after it (a torn tail from an interrupted transfer must not
+fabricate a short payload, and resynchronizing after a corrupt length is
+guesswork); complete records before the damage all parse, and the drop is
+LOGGED with the file, offset and dropped byte count — mid-file corruption
+in a 1 GB archive must never be silent data loss. Asserted in tests.
 
 The synthetic fixture generator (``make_warc_bytes``) is the ground
 truth: it KNOWS every record it wrote, so parser tests and the
@@ -33,6 +36,7 @@ parser share no code path)."""
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterator
 
 import pandas as pd
@@ -53,6 +57,7 @@ WARC_SCHEMA = TY.StructType([
 ])
 
 _CRLF = b"\r\n"
+_log = logging.getLogger(__name__)
 
 
 def parse_warc_records(blob: bytes, src_file: str = "") -> list[dict]:
@@ -64,11 +69,21 @@ def parse_warc_records(blob: bytes, src_file: str = "") -> list[dict]:
     out: list[dict] = []
     pos = 0
     n = len(blob)
+
+    def _stop(reason: str) -> None:
+        if pos < n:
+            _log.warning("warc: %s at offset %d of %s — dropping the "
+                         "remaining %d bytes (%d records parsed)",
+                         reason, pos, src_file or "<bytes>", n - pos,
+                         len(out))
+
     while pos < n:
         if blob[pos:pos + 5] != b"WARC/":
-            break                      # garbage / torn tail: stop cleanly
+            _stop("non-WARC bytes")    # garbage / torn tail: stop cleanly
+            break
         hdr_end = blob.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
+            _stop("unterminated record header")
             break
         headers: dict[str, str] = {}
         for line in blob[pos:hdr_end].split(_CRLF)[1:]:
@@ -78,11 +93,17 @@ def parse_warc_records(blob: bytes, src_file: str = "") -> list[dict]:
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            break                      # unparseable length: stop cleanly
+            clen = -1
+        if clen < 0:
+            # unparseable OR negative: a negative length would move the
+            # cursor backwards and loop forever on the same record
+            _stop("bad Content-Length")
+            break
         block_start = hdr_end + 4
         block_end = block_start + clen
         if block_end > n:
-            break                      # truncated record: drop, stop
+            _stop("truncated record")  # drop, stop
+            break
         block = blob[block_start:block_end]
         status, ctype, payload = None, headers.get("content-type"), block
         if headers.get("warc-type") == "response" and \
@@ -125,12 +146,15 @@ def read_warc(spark, path: str,
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
-            rows: list[dict] = []
+            # one yield PER FILE: an Arrow batch can hold several archive
+            # rows, and accumulating them would hold every file's decoded
+            # records in memory at once — the per-task memory contract is
+            # one archive's records, not one batch's
             for p, content in zip(pdf["path"], pdf["content"]):
                 recs = parse_warc_records(bytes(content), src_file=str(p))
-                rows += [r for r in recs
-                         if not want or r["warc_type"] in want]
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(
+                    [r for r in recs if not want or r["warc_type"] in want],
+                    columns=cols)
 
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.warc").load(path)
@@ -212,7 +236,12 @@ def write_warc_fixture(root: str, n_files: int = 3,
     for f in range(n_files):
         p = os.path.join(root, f"crawl-{f:03d}.warc")
         data = make_warc_bytes(f, n_records)
-        if not (os.path.exists(p) and os.path.getsize(p) == len(data)):
-            with open(p, "wb") as fh:
-                fh.write(data)
+        # content compare, not size: a stale file from an older generator
+        # (or a torn write) of coincidentally equal size must be replaced
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                if fh.read() == data:
+                    continue
+        with open(p, "wb") as fh:
+            fh.write(data)
     return root

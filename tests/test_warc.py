@@ -72,3 +72,27 @@ def test_warc_plan_no_shuffle(spark, tmp_path):
     plan = W.read_warc(spark, root)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_warc_negative_content_length_terminates():
+    """Hostile/corrupt record with a negative Content-Length must stop the
+    parse (previously the cursor moved backwards and the parser looped
+    forever on the same record); everything before it still parses."""
+    good = W.make_warc_bytes(0, 3)
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -58\r\n\r\nxx\r\n\r\n")
+    recs = W.parse_warc_records(good + bad + W.make_warc_bytes(1, 3))
+    assert recs == W.parse_warc_records(good)   # stop AT the bad record
+
+
+def test_warc_fixture_rewrites_stale_same_size_file(tmp_path):
+    """write_warc_fixture must compare CONTENT, not size: a stale file of
+    coincidentally equal length is replaced, not silently reused."""
+    root = str(tmp_path / "warc")
+    W.write_warc_fixture(root, n_files=1, n_records=3)
+    import os
+    p = os.path.join(root, "crawl-000.warc")
+    data = open(p, "rb").read()
+    open(p, "wb").write(b"X" * len(data))       # stale, same size
+    W.write_warc_fixture(root, n_files=1, n_records=3)
+    assert open(p, "rb").read() == data
