@@ -621,6 +621,44 @@ def q_warc_ingest(spark, sf_dir):
                     "n_bytes"))
 
 
+def q_warc_docs(spark, sf_dir):
+    """Crawl -> documents bridge (sources/warc.py:warc_to_docs): 200-status
+    text/* responses only, markup stripped by the chained-replace pass,
+    md5-derived stable doc_id, URI host as source — the row shape the
+    curation pipeline ingests. Golden twin: the fixture generator
+    recomputes the whole projection in pure python."""
+    import tempfile
+
+    from geospatialtools_spark.sources import warc as W
+    root = W.write_warc_fixture(
+        tempfile.gettempdir() + "/spark_graft_warc_gate",
+        n_files=3, n_records=25)
+    return (W.warc_to_docs(W.read_warc(spark, root))
+            .select("doc_id", "source", "n_chars",
+                    F.md5(F.col("text")).alias("text_md5")))
+
+
+def _warc_docs_oracle_sql() -> str:
+    import hashlib
+    import re
+
+    from geospatialtools_spark.sources import warc as W
+    rows = []
+    for f in range(3):
+        for r in W.make_warc_records(f, 25):
+            if r["http_status"] != 200 or \
+                    not r["content_type"].startswith("text/"):
+                continue
+            text = re.sub(r"\s+", " ",
+                          re.sub("<[^>]*>", " ", r["payload"])).strip()
+            did = int(hashlib.md5(r["record_id"].encode())
+                      .hexdigest()[:15], 16)
+            rows.append(f"({did}, 'example.test', {len(text)}, "
+                        f"'{hashlib.md5(text.encode()).hexdigest()}')")
+    return (f"SELECT * FROM (VALUES {', '.join(rows)}) AS t(doc_id, "
+            "source, n_chars, text_md5)")
+
+
 def _warc_gate_oracle_sql() -> str:
     import hashlib
 
@@ -1548,6 +1586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling/packing family keeps weighted_sample, pack_sequences
         # and mixture_sample in-window, shard_budget has 4 green rounds.
         "warc_ingest": q_warc_ingest,
+        # warc_docs is new in round 5 (fresh-entry rule); ann_lsh_topk
+        # demotes to the tail — the ANN family keeps ann_ivf_topk (the
+        # bucketed path) + embedding_dups (which shares the multi-probe
+        # machinery) in-window, and ann_lsh_topk has 4 green rounds.
+        "warc_docs": q_warc_docs,
         "redact_pii": q_redact_pii,
         # contamination_fp is new in round 5 (fresh-entry rule: first round
         # driver-recorded) — it takes the inverted-index form's slot; the
@@ -1581,7 +1624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "kmv_distinct": q_kmv_distinct,
         "embedding_dups": q_embedding_dups,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # -- spatial / docs / streaming ------------------------------------
         "point_extract": q_point_extract,
@@ -1658,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast": q_join_broadcast,
         "groupby_agg": q_groupby_agg,
         "shard_budget": q_shard_budget,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -1898,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         # golden twin: the fixture GENERATOR computes the expected rows
         # (record list + python md5); DuckDB only transports the literal
         "warc_ingest": _warc_gate_oracle_sql(),
+        "warc_docs": _warc_docs_oracle_sql(),
         "corpus_stats": r"""
             SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
                         ELSE coalesce(source, '(null)') END AS source,

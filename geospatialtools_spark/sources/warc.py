@@ -245,3 +245,39 @@ def write_warc_fixture(root: str, n_files: int = 3,
         with open(p, "wb") as fh:
             fh.write(data)
     return root
+
+
+def warc_to_docs(records: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Bridge crawl records into the engine's ``documents`` schema
+    (doc_id, text, lang, source, n_chars) so the curation pipeline runs
+    straight off an archive: keep 200-status text/* responses, strip
+    markup (single chained regexp_replace pass: tags -> space, whitespace
+    collapse — the documented public-knowledge simplification of HTML
+    text extraction; a production pipeline swaps in a real parser at this
+    exact seam), and derive:
+
+    - ``doc_id``: first 60 bits of md5(record_id) as a long — stable
+      across re-ingests of the same crawl, recomputable by any engine
+      (the same construction as sampling.hash_bucket);
+    - ``source``: the URI host (the domain-mixture knob's input);
+    - ``lang``: 'und' — language ID is a downstream operator
+      (textstats.lang_id), not an ingest guess.
+
+    Pure Catalyst projection over the parsed records: zero shuffle, so
+    WARC -> docs -> curation adds nothing to the ingest's plan beyond the
+    parse itself."""
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("payload"), "<[^>]*>", " "), r"\s+", " "))
+    return (records
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200)
+                    & F.col("content_type").startswith("text/"))
+            .select(
+                F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
+                 .cast("long").alias("doc_id"),
+                text.alias("text"),
+                F.lit("und").alias("lang"),
+                F.parse_url(F.col("target_uri"), F.lit("HOST"))
+                 .alias("source"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .filter(F.col("n_chars") >= min_chars))

@@ -96,3 +96,62 @@ def test_warc_fixture_rewrites_stale_same_size_file(tmp_path):
     open(p, "wb").write(b"X" * len(data))       # stale, same size
     W.write_warc_fixture(root, n_files=1, n_records=3)
     assert open(p, "rb").read() == data
+
+
+def _expected_docs(n_files, n_records):
+    import hashlib
+    import re
+    rows = []
+    for f in range(n_files):
+        for r in W.make_warc_records(f, n_records):
+            if r["http_status"] != 200 or \
+                    not r["content_type"].startswith("text/"):
+                continue
+            text = re.sub(r"\s+", " ",
+                          re.sub("<[^>]*>", " ", r["payload"])).strip()
+            did = int(hashlib.md5(r["record_id"].encode())
+                      .hexdigest()[:15], 16)
+            rows.append((did, text, "und", "example.test", len(text)))
+    return sorted(rows)
+
+
+def test_warc_to_docs_matches_python_twin(spark, tmp_path):
+    """The crawl->documents bridge: 200-status text/* responses only,
+    markup stripped, md5-derived stable doc_id, URI host as source —
+    against an independent python twin of the whole projection."""
+    root = W.write_warc_fixture(str(tmp_path / "warc"), n_files=2,
+                                n_records=21)
+    got = sorted(tuple(r) for r in
+                 W.warc_to_docs(W.read_warc(spark, root)).collect())
+    want = _expected_docs(2, 21)
+    assert got == want
+    # the filter really dropped rows: 404s (i%7==0) and json (i%5==0)
+    assert 0 < len(want) < 2 * 21
+
+
+def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
+    """The full story: WARC archives -> warc_to_docs -> the one-call
+    curation pipeline -> budget-packed training shards, resumable. The
+    fixture's bodies are unique per record, so dedup keeps them all and
+    the shard stage sees the whole surviving cohort."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+    root = W.write_warc_fixture(str(tmp_path / "warc"), n_files=3,
+                                n_records=25)
+    docs = W.warc_to_docs(W.read_warc(spark, root))
+    cfg = CurationConfig(quality_min=0.0, shard_budget=2000,
+                         splits={"train": 1.0})
+    out = run_curation_pipeline(spark, docs, cfg,
+                                str(tmp_path / "cur"))
+    n_in = docs.count()
+    shard = out["shard"].toPandas()
+    # bodies are templated ("... content for record i of file f"), so
+    # MinHash legitimately collapses a few near-identical pages — the
+    # shard cohort must equal the pipeline's own surviving split exactly,
+    # and most of the crawl must make it through
+    assert len(shard) == out["split"].count()
+    assert 0.8 * n_in <= len(shard) < n_in + 1
+    assert shard["shard"].nunique() > 1         # actually packed
+    # resume recomputes nothing
+    out2 = run_curation_pipeline(spark, docs, cfg, str(tmp_path / "cur"))
+    assert all(m.get("resumed") for m in out2["_metrics"])
