@@ -14,10 +14,12 @@ Format essentials implemented (public spec): records begin with a
 ``WARC/1.0`` version line, followed by ``Name: value`` header lines, a
 blank line (CRLF CRLF), ``Content-Length`` octets of block, and a CRLF
 CRLF record terminator. For ``response`` records the block is an HTTP/1.x
-message: status line, headers, blank line, body. Gzip member-per-record
-(.warc.gz) is out of scope here — the container has no test corpus and
-the parse contract is identical after decompression; a production reader
-wraps the same ``parse_warc_records`` behind a gzip member splitter.
+message: status line, headers, blank line, body. ``.warc.gz`` archives —
+the Common Crawl layout, ONE gzip member per record so readers can seek —
+are handled too: stdlib zlib inflates the concatenated members into the
+identical byte stream and the same ``parse_warc_records`` runs (parity
+with the plain parse asserted in tests, fixture written member-per-record
+exactly like real crawls).
 
 Truncation/corruption policy: a record whose declared Content-Length is
 negative, unparseable, or runs past the file end is DROPPED along with
@@ -144,6 +146,8 @@ def read_warc(spark, path: str,
     want = set(types)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
             # one yield PER FILE: an Arrow batch can hold several archive
@@ -151,13 +155,18 @@ def read_warc(spark, path: str,
             # records in memory at once — the per-task memory contract is
             # one archive's records, not one batch's
             for p, content in zip(pdf["path"], pdf["content"]):
-                recs = parse_warc_records(bytes(content), src_file=str(p))
+                blob = bytes(content)
+                if str(p).endswith(".gz"):
+                    # member-per-record gzip (the Common Crawl layout):
+                    # stdlib decompress walks ALL concatenated members
+                    blob = gzip.decompress(blob)
+                recs = parse_warc_records(blob, src_file=str(p))
                 yield pd.DataFrame(
                     [r for r in recs if not want or r["warc_type"] in want],
                     columns=cols)
 
     binary = (spark.read.format("binaryFile")
-              .option("pathGlobFilter", "*.warc").load(path)
+              .option("pathGlobFilter", "*.warc*").load(path)
               .select("path", "content"))
     return binary.mapInPandas(parse, WARC_SCHEMA)
 
@@ -189,10 +198,13 @@ def make_warc_records(file_no: int, n_records: int) -> list[dict]:
     return recs
 
 
-def make_warc_bytes(file_no: int, n_records: int) -> bytes:
-    """One synthetic WARC file: a warcinfo record, then for each logical
-    fetch a request record AND a response record (as real crawlers write),
-    so type filtering is exercised by construction."""
+def make_warc_record_blobs(file_no: int, n_records: int) -> list[bytes]:
+    """The per-record byte blobs of one synthetic archive: a warcinfo
+    record, then for each logical fetch a request record AND a response
+    record (as real crawlers write), so type filtering is exercised by
+    construction. ``make_warc_bytes`` joins them for a plain .warc;
+    ``make_warc_gz_bytes`` gzips each into its own member (the Common
+    Crawl .warc.gz layout)."""
     def record(wtype: str, extra: dict, block: bytes) -> bytes:
         hdrs = {"WARC-Type": wtype, **extra,
                 "Content-Length": str(len(block))}
@@ -200,7 +212,7 @@ def make_warc_bytes(file_no: int, n_records: int) -> bytes:
             f"{k}: {v}\r\n".encode() for k, v in hdrs.items())
         return head + _CRLF + block + _CRLF + _CRLF
 
-    out = [record("warcinfo",
+    out: list[bytes] = [record("warcinfo",
                   {"WARC-Record-ID": f"<urn:uuid:{_det(f'info|{file_no}')}>",
                    "Content-Type": "application/warc-fields"},
                   b"software: spark-geotile-synth/1.0\r\n")]
@@ -224,7 +236,19 @@ def make_warc_bytes(file_no: int, n_records: int) -> bytes:
              "WARC-Date": r["warc_date"],
              "Content-Type": "application/http;msgtype=response"},
             http))
-    return b"".join(out)
+    return out
+
+
+def make_warc_bytes(file_no: int, n_records: int) -> bytes:
+    return b"".join(make_warc_record_blobs(file_no, n_records))
+
+
+def make_warc_gz_bytes(file_no: int, n_records: int) -> bytes:
+    """Member-per-record gzip of the same records — byte-level layout of a
+    real crawl archive (mtime pinned so the fixture stays deterministic)."""
+    import gzip
+    return b"".join(gzip.compress(b, mtime=0)
+                    for b in make_warc_record_blobs(file_no, n_records))
 
 
 def write_warc_fixture(root: str, n_files: int = 3,

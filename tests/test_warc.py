@@ -155,3 +155,26 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
     # resume recomputes nothing
     out2 = run_curation_pipeline(spark, docs, cfg, str(tmp_path / "cur"))
     assert all(m.get("resumed") for m in out2["_metrics"])
+
+
+def test_warc_gz_member_per_record_parity(spark, tmp_path):
+    """.warc.gz in the Common Crawl layout (one gzip member per record)
+    parses to EXACTLY the rows of the plain archive — same records, same
+    payloads — through the same distributed reader; mixed directories of
+    .warc and .warc.gz read together."""
+    import os
+    root = str(tmp_path / "warc")
+    os.makedirs(root)
+    with open(os.path.join(root, "a.warc"), "wb") as fh:
+        fh.write(W.make_warc_bytes(0, 12))
+    with open(os.path.join(root, "b.warc.gz"), "wb") as fh:
+        fh.write(W.make_warc_gz_bytes(1, 12))
+    got = (W.read_warc(spark, root)
+           .select("target_uri", "http_status", "content_type", "payload")
+           .collect())
+    assert sorted(map(tuple, got)) == _expected(2, 12)
+    # byte-identity of the two encodings after the reader
+    plain = W.parse_warc_records(W.make_warc_bytes(1, 12))
+    import gzip
+    unzipped = W.parse_warc_records(gzip.decompress(W.make_warc_gz_bytes(1, 12)))
+    assert plain == unzipped
