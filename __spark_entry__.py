@@ -640,21 +640,14 @@ def q_warc_docs(spark, sf_dir):
 
 def _warc_docs_oracle_sql() -> str:
     import hashlib
-    import re
 
     from geospatialtools_spark.sources import warc as W
     rows = []
     for f in range(3):
-        for r in W.make_warc_records(f, 25):
-            if r["http_status"] != 200 or \
-                    not r["content_type"].startswith("text/"):
-                continue
-            text = re.sub(r"\s+", " ",
-                          re.sub("<[^>]*>", " ", r["payload"])).strip()
-            did = int(hashlib.md5(r["record_id"].encode())
-                      .hexdigest()[:15], 16)
-            rows.append(f"({did}, 'example.test', {len(text)}, "
-                        f"'{hashlib.md5(text.encode()).hexdigest()}')")
+        for d in W.make_expected_docs(f, 25):
+            rows.append(
+                f"({d['doc_id']}, '{d['source']}', {d['n_chars']}, "
+                f"'{hashlib.md5(d['text'].encode()).hexdigest()}')")
     return (f"SELECT * FROM (VALUES {', '.join(rows)}) AS t(doc_id, "
             "source, n_chars, text_md5)")
 

@@ -136,6 +136,40 @@ def parse_warc_records(blob: bytes, src_file: str = "") -> list[dict]:
     return out
 
 
+def _inflate_gz_members(blob: bytes, src_file: str = "") -> bytes:
+    """Inflate a member-per-record .warc.gz, SALVAGING complete members:
+    a torn final member or trailing garbage drops the damaged part with a
+    logged offset/byte count — the same corruption policy as the plain
+    parser — instead of aborting the whole ingest job the way a bare
+    gzip.decompress would (EOFError/BadGzipFile on exactly the torn-tail
+    case the module promises to survive)."""
+    import zlib
+    parts: list[bytes] = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)          # gzip-wrapped member
+        try:
+            chunk = d.decompress(blob[pos:])
+        except zlib.error:
+            _log.warning("warc: corrupt gzip member at byte %d of %s — "
+                         "dropping the remaining %d bytes (%d members "
+                         "inflated)", pos, src_file or "<bytes>", n - pos,
+                         len(parts))
+            break
+        if not d.eof:
+            _log.warning("warc: truncated gzip member at byte %d of %s — "
+                         "dropping its %d partial bytes (%d members "
+                         "inflated)", pos, src_file or "<bytes>",
+                         len(chunk), len(parts))
+            break
+        parts.append(chunk)
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(parts)
+
+
 def read_warc(spark, path: str,
               types: tuple[str, ...] = ("response",)) -> DataFrame:
     """Distributed WARC ingest: binaryFile scan (one row per archive file,
@@ -146,8 +180,6 @@ def read_warc(spark, path: str,
     want = set(types)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import gzip
-
         cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
             # one yield PER FILE: an Arrow batch can hold several archive
@@ -157,16 +189,16 @@ def read_warc(spark, path: str,
             for p, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
                 if str(p).endswith(".gz"):
-                    # member-per-record gzip (the Common Crawl layout):
-                    # stdlib decompress walks ALL concatenated members
-                    blob = gzip.decompress(blob)
+                    # member-per-record gzip (the Common Crawl layout),
+                    # inflated member-by-member so torn archives salvage
+                    blob = _inflate_gz_members(blob, src_file=str(p))
                 recs = parse_warc_records(blob, src_file=str(p))
                 yield pd.DataFrame(
                     [r for r in recs if not want or r["warc_type"] in want],
                     columns=cols)
 
     binary = (spark.read.format("binaryFile")
-              .option("pathGlobFilter", "*.warc*").load(path)
+              .option("pathGlobFilter", "*.{warc,warc.gz}").load(path)
               .select("path", "content"))
     return binary.mapInPandas(parse, WARC_SCHEMA)
 
@@ -305,3 +337,30 @@ def warc_to_docs(records: DataFrame, min_chars: int = 1) -> DataFrame:
                  .alias("source"))
             .withColumn("n_chars", F.length("text").cast("long"))
             .filter(F.col("n_chars") >= min_chars))
+
+
+def make_expected_docs(file_no: int, n_records: int,
+                       min_chars: int = 1) -> list[dict]:
+    """Independent python twin of ``warc_to_docs`` over the generator's
+    records — ONE shared implementation for the pytest comparison and the
+    ``warc_docs`` gate oracle (they must never drift from each other; the
+    golden-twin discipline only requires independence from the SPARK
+    path, which this preserves: no Catalyst expression is involved)."""
+    import re
+    rows = []
+    for r in make_warc_records(file_no, n_records):
+        if r["http_status"] != 200 or \
+                not r["content_type"].startswith("text/"):
+            continue
+        text = re.sub(r"\s+", " ",
+                      re.sub("<[^>]*>", " ", r["payload"])).strip()
+        if len(text) < min_chars:
+            continue
+        rows.append({
+            "doc_id": int(_det(r["record_id"])[:15], 16),
+            "text": text,
+            "lang": "und",
+            "source": "example.test",
+            "n_chars": len(text),
+        })
+    return rows

@@ -98,21 +98,11 @@ def test_warc_fixture_rewrites_stale_same_size_file(tmp_path):
     assert open(p, "rb").read() == data
 
 
-def _expected_docs(n_files, n_records):
-    import hashlib
-    import re
-    rows = []
-    for f in range(n_files):
-        for r in W.make_warc_records(f, n_records):
-            if r["http_status"] != 200 or \
-                    not r["content_type"].startswith("text/"):
-                continue
-            text = re.sub(r"\s+", " ",
-                          re.sub("<[^>]*>", " ", r["payload"])).strip()
-            did = int(hashlib.md5(r["record_id"].encode())
-                      .hexdigest()[:15], 16)
-            rows.append((did, text, "und", "example.test", len(text)))
-    return sorted(rows)
+def _expected_docs(n_files, n_records, min_chars=1):
+    return sorted(
+        (d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"])
+        for f in range(n_files)
+        for d in W.make_expected_docs(f, n_records, min_chars=min_chars))
 
 
 def test_warc_to_docs_matches_python_twin(spark, tmp_path):
@@ -127,6 +117,13 @@ def test_warc_to_docs_matches_python_twin(spark, tmp_path):
     assert got == want
     # the filter really dropped rows: 404s (i%7==0) and json (i%5==0)
     assert 0 < len(want) < 2 * 21
+    # min_chars is live on both sides: a cutoff above the shortest doc
+    # drops rows identically in the operator and the twin
+    cut = min(r[4] for r in want) + 1
+    got_cut = sorted(tuple(r) for r in W.warc_to_docs(
+        W.read_warc(spark, root), min_chars=cut).collect())
+    want_cut = _expected_docs(2, 21, min_chars=cut)
+    assert got_cut == want_cut and 0 < len(want_cut) < len(want)
 
 
 def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
@@ -178,3 +175,26 @@ def test_warc_gz_member_per_record_parity(spark, tmp_path):
     import gzip
     unzipped = W.parse_warc_records(gzip.decompress(W.make_warc_gz_bytes(1, 12)))
     assert plain == unzipped
+
+
+def test_warc_gz_torn_member_salvages(spark, tmp_path):
+    """A .warc.gz truncated mid-member (interrupted transfer) must salvage
+    every complete member and drop the torn one — previously
+    gzip.decompress raised EOFError and the whole ingest job died on the
+    exact damage the plain parser already survives. Trailing garbage
+    likewise drops cleanly."""
+    import os
+    root = str(tmp_path / "warc")
+    os.makedirs(root)
+    gz = W.make_warc_gz_bytes(0, 10)
+    with open(os.path.join(root, "torn.warc.gz"), "wb") as fh:
+        fh.write(gz[:len(gz) - 40])               # cut into the last member
+    got = W.read_warc(spark, root, types=()).count()
+    whole = len(W.parse_warc_records(W.make_warc_bytes(0, 10)))
+    assert got == whole - 1                       # only the torn one lost
+
+    with open(os.path.join(root, "garbage.warc.gz"), "wb") as fh:
+        fh.write(W.make_warc_gz_bytes(1, 3) + b"NOT GZIP AT ALL")
+    got2 = (W.read_warc(spark, root, types=())
+            .filter(F.col("src_file").contains("garbage")).count())
+    assert got2 == len(W.parse_warc_records(W.make_warc_bytes(1, 3)))
