@@ -137,36 +137,48 @@ def parse_warc_records(blob: bytes, src_file: str = "") -> list[dict]:
 
 
 def _inflate_gz_members(blob: bytes, src_file: str = "") -> bytes:
-    """Inflate a member-per-record .warc.gz, SALVAGING complete members:
-    a torn final member or trailing garbage drops the damaged part with a
-    logged offset/byte count — the same corruption policy as the plain
-    parser — instead of aborting the whole ingest job the way a bare
-    gzip.decompress would (EOFError/BadGzipFile on exactly the torn-tail
-    case the module promises to survive)."""
+    """Inflate a .warc.gz, SALVAGING whatever inflated cleanly: both the
+    member-per-record Common Crawl layout and a single-stream gzip are
+    handled, and a torn/corrupt member keeps its partial output — the
+    downstream parser's drop-torn-record policy then discards only the
+    incomplete RECORD, not the archive (a bare gzip.decompress would
+    instead abort the whole ingest task with EOFError/BadGzipFile on
+    exactly the torn-tail case the module promises to survive).
+
+    Input is fed in bounded chunks off a memoryview cursor: per-member
+    `decompress(blob[pos:])` would memcpy the remaining file tail once
+    per member — O(members x file_size), hours of pure copying at the
+    ~1 GB / 10^5-member archives this module targets."""
     import zlib
+    chunk_size = 1 << 20
+    mv = memoryview(blob)
     parts: list[bytes] = []
     pos, n = 0, len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)          # gzip-wrapped member
+        member: list[bytes] = []
+        cur = pos
         try:
-            chunk = d.decompress(blob[pos:])
+            while cur < n and not d.eof:
+                end = min(cur + chunk_size, n)
+                member.append(d.decompress(mv[cur:end]))
+                cur = end
         except zlib.error:
-            _log.warning("warc: corrupt gzip member at byte %d of %s — "
-                         "dropping the remaining %d bytes (%d members "
-                         "inflated)", pos, src_file or "<bytes>", n - pos,
-                         len(parts))
+            _log.warning("warc: corrupt gzip data at byte %d of %s — "
+                         "keeping the %d bytes inflated before it, "
+                         "dropping the rest", pos, src_file or "<bytes>",
+                         sum(map(len, member)))
+            parts += member
             break
         if not d.eof:
             _log.warning("warc: truncated gzip member at byte %d of %s — "
-                         "dropping its %d partial bytes (%d members "
-                         "inflated)", pos, src_file or "<bytes>",
-                         len(chunk), len(parts))
+                         "keeping its %d partial bytes (torn trailing "
+                         "RECORD drops in the parser)", pos,
+                         src_file or "<bytes>", sum(map(len, member)))
+            parts += member
             break
-        parts.append(chunk)
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:
-            break
-        pos += consumed
+        parts += member
+        pos = cur - len(d.unused_data)
     return b"".join(parts)
 
 

@@ -198,3 +198,21 @@ def test_warc_gz_torn_member_salvages(spark, tmp_path):
     got2 = (W.read_warc(spark, root, types=())
             .filter(F.col("src_file").contains("garbage")).count())
     assert got2 == len(W.parse_warc_records(W.make_warc_bytes(1, 3)))
+
+
+def test_warc_gz_single_stream_torn_salvages(tmp_path, spark):
+    """A plain `gzip crawl.warc` (ONE stream, not member-per-record) with a
+    torn tail must salvage every complete record: the partial inflated
+    bytes are kept and the parser drops only the incomplete record —
+    previously the whole archive silently yielded zero rows."""
+    import gzip
+    import os
+    root = str(tmp_path / "warc")
+    os.makedirs(root)
+    stream = gzip.compress(W.make_warc_bytes(0, 10), mtime=0)
+    with open(os.path.join(root, "single.warc.gz"), "wb") as fh:
+        fh.write(stream[:len(stream) - 25])       # torn single-stream tail
+    got = W.read_warc(spark, root, types=()).count()
+    whole = len(W.parse_warc_records(W.make_warc_bytes(0, 10)))
+    assert whole - 3 <= got < whole               # most records salvaged
+    assert got > 0
