@@ -676,6 +676,28 @@ def q_corpus_stats(spark, sf_dir):
     return TS.corpus_stats(d)
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + keep-one-per-URL (functions/urls.py) — the
+    first stage of a web-crawl pipeline (CCNet/RefinedWeb run it before any
+    content dedup). URLs are synthesized deterministically from doc_id in
+    BOTH engines (the synth corpus carries none): scheme case, www., the
+    scheme's default port, duplicate trailing slashes, tracking params and
+    a fragment all vary, so the canonical key exercises every rule.
+    Election is one map-side-combined min(struct(-n_chars, doc_id))
+    aggregate — hot-URL skew collapses before the shuffle."""
+    from geospatialtools_spark.functions.urls import url_dedup
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("https://")),
+        F.lit("Site"), (did % 5).cast("string"), F.lit(".COM"),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Dir/"), (did % 10).cast("string"),
+        F.lit("//?b=2&utm_source=feed&a="), (did % 3).cast("string"),
+        F.lit("&fbclid=x#f"))
+    return url_dedup(d.withColumn("url", url), "url", "doc_id", "n_chars")
+
+
 def q_quality_score(spark, sf_dir):
     """Composite document quality score."""
     d = _t(spark, sf_dir, "documents")
@@ -1600,7 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregation family keeps hillslope/hru props + corpus_stats
         # itself in-window and groupby_agg has 4 rounds of green history.
         "corpus_stats": q_corpus_stats,
-        "quality_score": q_quality_score,
+        # url_dedup is new in round 5 (fresh-entry rule: first round
+        # driver-recorded); quality_score demotes to the tail — the
+        # textstats family keeps repetition_stats + redact_pii in-window
+        # and quality_score has 4 rounds of green driver history.
+        "url_dedup": q_url_dedup,
         # repetition_stats is new in round 5 — it takes doc_fingerprint's
         # in-window slot so its first round is driver-recorded (the ADVICE
         # fresh-entry rule); fingerprint's normalize_text path stays
@@ -1660,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "cluster_rmse": q_cluster_rmse,
         "contamination": q_contamination,
@@ -1700,6 +1727,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _bpe_twin_sql() -> str:
     from geospatialtools_spark.oracle.bpe_twin import bpe_tokens_twin_sql
     return bpe_tokens_twin_sql()
+
+
+def _url_dedup_twin_sql() -> str:
+    """DuckDB twin of q_url_dedup: the SAME synthetic URL expression, then
+    the module's own SQL rule chain (urls.sql_canonicalize_parts — one
+    source of truth for both engines), then the window-form keeper
+    election (largest n_chars, tie smallest doc_id)."""
+    from geospatialtools_spark.functions.urls import sql_canonicalize_parts
+    p = sql_canonicalize_parts("url")
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, n_chars,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+                       ELSE 'https://' END)
+                 || 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+                 || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                 || '/Dir/' || CAST(doc_id % 10 AS VARCHAR)
+                 || '//?b=2&utm_source=feed&a=' || CAST(doc_id % 3 AS VARCHAR)
+                 || '&fbclid=x#f' AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, n_chars, {p['trimmed']} AS trimmed FROM raw),
+        s2 AS (SELECT *, {p['scheme']} AS scheme, {p['after_s']} AS after_s
+               FROM s1),
+        s3 AS (SELECT *, {p['auth_raw']} AS auth_raw FROM s2),
+        s4 AS (SELECT *, {p['rest_s']} AS rest_s FROM s3),
+        s5 AS (SELECT *, {p['path_s']} AS path_s, {p['query_s']} AS query_s,
+                      {p['host']} AS host FROM s4),
+        s6 AS (SELECT *, {p['path_c']} AS path_c, {p['query_c']} AS query_c
+               FROM s5),
+        canoned AS (SELECT doc_id, n_chars, {p['canon']} AS canon_url
+                    FROM s6),
+        ranked AS (
+          SELECT canon_url, doc_id,
+                 CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+                   AS n_dups,
+                 row_number() OVER (PARTITION BY canon_url
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM canoned)
+        SELECT canon_url, doc_id AS keeper, n_dups FROM ranked
+        WHERE rn = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1982,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
                    lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM b GROUP BY 1, 2""",
+        "url_dedup": _url_dedup_twin_sql(),
         "redact_pii": _sql_redact_pii(),
         # contamination_fp: the fingerprint-prefilter path is EXACT (no
         # false negatives; collisions verified away), so its twin is the

@@ -632,6 +632,74 @@ def main_lines():
     }))
 
 
+def main_urls():
+    """URL canonicalize + dedup scale evidence (BASELINE.md): every id in
+    a group of SPARK_GRAFT_URL_DOCS/8 canonical keys gets one of four
+    surface forms (case, www., default port, userinfo, tracking params,
+    dup slashes, fragment — all canonicalize away), so group count, total
+    member mass AND the elected keeper (max id per group, preference = id)
+    are all EXACT ground truth."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.urls import (canonicalize_url,
+                                                      url_dedup)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-urls")
+    n = int(os.environ.get("SPARK_GRAFT_URL_DOCS", "20000000"))
+    g = n // 8
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    k = (F.col("doc_id") % g).cast("string")
+    p = (F.col("doc_id") % g % 16).cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("http://www.site"), k,
+                                   F.lit(".com:80/p"), p,
+                                   F.lit("/?utm_source=x&a=1&b=2#f")))
+            .when(v == 1, F.concat(F.lit("HTTP://Site"), k,
+                                   F.lit(".COM/p"), p, F.lit("?b=2&a=1")))
+            .when(v == 2, F.concat(F.lit("http://site"), k,
+                                   F.lit(".com/p"), p,
+                                   F.lit("//?a=1&utm_campaign=y&b=2")))
+            .otherwise(F.concat(F.lit("http://u@site"), k,
+                                F.lit(".com:80/p"), p,
+                                F.lit("?b=2&a=1&gclid=1"))))
+    docs = ids.select("doc_id", url.alias("url"),
+                      F.col("doc_id").cast("double").alias("w")) \
+              .localCheckpoint(eager=True)
+
+    # pure canonicalize pass (projection only; the agg forces evaluation)
+    t0 = time.time()
+    docs.select(canonicalize_url(F.col("url")).alias("c")) \
+        .agg(F.sum(F.length("c"))).head()
+    t_canon = round(time.time() - t0, 2)
+
+    url_dedup(docs.limit(1000), "url", "doc_id", "w").count()   # warm
+    t0 = time.time()
+    out = url_dedup(docs, "url", "doc_id", "w").localCheckpoint(eager=True)
+    n_groups = out.count()
+    t_dedup = round(time.time() - t0, 2)
+
+    chk = out.agg(
+        F.sum("n_dups").alias("mass"),
+        # expected keeper for canonical key k: the largest id < n that is
+        # ≡ k (mod g); recover k from the canonical url's site number
+        F.sum((F.col("keeper") !=
+               (F.lit(n - 1) - F.pmod(
+                   F.lit(n - 1) - F.regexp_extract("canon_url",
+                                                   r"site(\d+)\.", 1)
+                   .cast("long"), F.lit(g)))).cast("int")).alias("bad_keeper")
+    ).head()
+    print(json.dumps({
+        "metric": "URL canonicalize + keep-one-per-URL at scale",
+        "urls": n, "groups_expected": g, "groups": n_groups,
+        "member_mass": int(chk["mass"]), "bad_keepers": int(chk["bad_keeper"]),
+        "canonicalize_wall_s": t_canon,
+        "canonicalize_urls_per_sec": round(n / t_canon, 1),
+        "url_dedup_wall_s": t_dedup,
+        "url_dedup_urls_per_sec": round(n / t_dedup, 1),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_mixture():
     """Domain-mixture resampling scale evidence (BASELINE.md): skewed
     synthetic domains (60/30/9/1% of SPARK_GRAFT_MIXTURE_DOCS rows) with
@@ -1145,6 +1213,8 @@ if __name__ == "__main__":
         main_warc()
     elif "--incdedup" in sys.argv:
         main_incdedup()
+    elif "--urls" in sys.argv:
+        main_urls()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:
