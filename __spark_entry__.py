@@ -381,6 +381,44 @@ def q_clean_lines(spark, sf_dir):
                       F.md5(F.col("clean_text")).alias("clean_md5"))
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Corpus-wide duplicated-passage removal (functions/lines.py:
+    passage_dedup — the substring level of the dedup hierarchy, Lee et al.
+    2021 ExactSubstr via exact fixed-width token windows): a token is
+    dropped iff covered by a non-keeper occurrence of a 6-token window
+    duplicated anywhere in the corpus (keeper = min (doc, start)). Window
+    election is a map-side-combined min/count aggregate on the exact
+    window string — collision-free, boilerplate skew absorbed before the
+    shuffle. The ~30-word synthetic vocabulary produces real cross-document
+    window repeats (~4.6% of tokens drop at sf0.01)."""
+    from geospatialtools_spark.functions import lines as LN
+    d = _t(spark, sf_dir, "documents")
+    out = LN.passage_dedup(d.select("doc_id", "text"), n=6)
+    return out.select("doc_id", "n_tokens", "n_kept",
+                      F.md5(F.col("dedup_text")).alias("dedup_md5"))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """PageRank over a host graph (functions/webgraph.py:pagerank — power
+    iteration, one bounded job pair per round, dangling mass redistributed
+    uniformly). The gate graph is synthesized deterministically from the
+    documents table: doc a links to doc (a*17+3) mod N, projected to
+    (a.source, b.source) host edges — 20 hosts, every host has out-links,
+    self-edges kept. 10 fixed iterations; ranks rounded to 6 in BOTH
+    engines (cross-engine float-reduction discipline, PLANS.md). The
+    DuckDB twin unrolls the identical 10 iterations as generated CTEs —
+    a full independent recomputation of the fixpoint."""
+    from geospatialtools_spark.functions import webgraph as WG
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("source").alias("dst"))
+    edges = (a.join(b, ((F.col("a_id") * 17 + 3) % n) == F.col("b_id"))
+             .select("src", "dst"))
+    pr = WG.pagerank(edges, n_iter=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.3 via inverted-index join, with a
     document-frequency cap on the index (stopword shingles are excluded
@@ -1585,6 +1623,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all four demoted entries have 4+ rounds of green driver history.
         "line_dedup": q_line_dedup,
         "clean_lines": q_clean_lines,
+        # passage_dedup is new in round 5 (fresh-entry rule); span_invariant
+        # demotes — its span-fingerprint conventions stay exercised
+        # in-window by doc_tile_attach and span_dedup, and it has 3+ green
+        # driver rounds.
+        "passage_dedup": q_passage_dedup,
+        # host_pagerank is new in round 5 (fresh-entry rule);
+        # hillslope_bbox_means demotes — the A2 family keeps its full
+        # golden twin hillslope_props in-window and bbox_means has green
+        # driver history since round 4.
+        "host_pagerank": q_host_pagerank,
         # chunk_docs is new in round 5 (fresh-entry rule); token_stats
         # demotes to the tail — the textstats family keeps quality_score
         # and repetition_stats in-window (lang_id demoted later in round
@@ -1666,7 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "events_sessions": q_events_sessions,
         "polygon_adjacency": q_polygon_adjacency,
-        "span_invariant": q_span_invariant,
         "media_decode": q_media_decode,
         # weighted_sample_grouped is new in round 5 (fresh-entry rule);
         # frame_sample demotes to the tail — the media family keeps
@@ -1674,7 +1721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_grouped": q_weighted_sample_grouped,
         "doc_cell_ids": q_doc_cell_ids,
         # -- zone / ML golden twins (inside the window since round 4) ------
-        "hillslope_bbox_means": q_hillslope_bbox_means,
         "tiles_kmeans": q_tiles_kmeans,
         "nd_hist_hrus": q_nd_hist_hrus,
         "hillslope_props": q_hillslope_props,
@@ -1686,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "hillslope_bbox_means": q_hillslope_bbox_means,
+        "span_invariant": q_span_invariant,
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "cluster_rmse": q_cluster_rmse,
@@ -1722,6 +1770,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_budget": q_shard_budget,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
+
+
+def _pagerank_twin_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Full DuckDB recomputation of q_host_pagerank: the identical power
+    iteration unrolled as generated CTEs. The damping and (1-d)/N scalars
+    are embedded as the PYTHON-computed float reprs so both engines
+    multiply/add the bit-identical constants (1 - 0.85 != literal 0.15 in
+    IEEE); per-node contribution sums carry last-ulp order noise, absorbed
+    by the round(6) both sides apply."""
+    d = repr(float(damping))
+    its = []
+    prev = "r0"
+    # every r{{i}} is referenced TWICE by round i+1 (dangling scalar +
+    # contribution join); without MATERIALIZED, DuckDB inlines CTEs and
+    # the expansion is 2^n_iter re-reads of the parquet scan (observed as
+    # "Too many open files" at 10 rounds)
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+            d{i} AS (
+              SELECT COALESCE(sum(r.r), 0.0) AS dm FROM {prev} r
+              WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = r.node)),
+            c{i} AS (
+              SELECT e.dst AS node, sum(r.r * e.frac) AS s
+              FROM {prev} r JOIN ew e ON e.src = r.node GROUP BY 1),
+            r{i} AS MATERIALIZED (
+              SELECT nd.node,
+                     {d} * (COALESCE(c.s, 0.0)
+                            + (SELECT dm FROM d{i}) / nn.n)
+                     + (1.0 - {d}) / nn.n AS r
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN c{i} c USING (node))""")
+        prev = f"r{i}"
+    return f"""
+        WITH e0 AS (
+          SELECT a.source AS src, b.source AS dst,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM documents a JOIN documents b
+            ON (a.doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+               = b.doc_id
+          GROUP BY 1, 2),
+        outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+        ew AS MATERIALIZED (SELECT src, dst, w / ow AS frac FROM e0 JOIN outw USING (src)),
+        nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+        {','.join(its)}
+        SELECT node, round(r, 6) AS rank FROM {prev}"""
 
 
 def _bpe_twin_sql() -> str:
@@ -2103,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
                                 / 1152921504606846976.0), 6) END AS est,
                    CAST(n_kept < 64 AS INTEGER) AS is_exact
             FROM a""",
+        "host_pagerank": _pagerank_twin_sql(),
         "bpe_tokens": _bpe_twin_sql(),
         "lm_perplexity": f"""
             WITH words AS (
@@ -2162,6 +2258,53 @@ def oracle_sql() -> dict[str, str]:
                    md5(COALESCE(ass.dtext, '')) AS dedup_md5
             FROM documents d
             LEFT JOIN nl USING (doc_id) LEFT JOIN ass USING (doc_id)""",
+        # passage_dedup: full independent recomputation — window election
+        # via SQL window functions (count + row_number over the window
+        # string), drop set = covered positions of non-keeper duplicated
+        # occurrences, survivors reassembled in token order. Positions are
+        # 1-based here vs posexplode's 0-based starts; only relative order
+        # matters to the semantics.
+        "passage_dedup": f"""
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       text, {_SQL_WS_RE}), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     unnest(range(1, len(ws) + 1)) AS idx
+              FROM w),
+            st AS (
+              SELECT doc_id, unnest(range(1, len(ws) - 6 + 2)) AS s, ws
+              FROM w WHERE len(ws) >= 6),
+            win AS (
+              SELECT doc_id, s,
+                     array_to_string(list_slice(ws, s, s + 5), ' ') AS k
+              FROM st),
+            el AS (
+              SELECT doc_id, s,
+                     count(*) OVER (PARTITION BY k) AS cnt,
+                     row_number() OVER (PARTITION BY k
+                                        ORDER BY doc_id, s) AS rn
+              FROM win),
+            drp AS (
+              SELECT DISTINCT doc_id, unnest(range(s, s + 6)) AS idx
+              FROM el WHERE cnt > 1 AND rn > 1),
+            kept AS (
+              SELECT t.doc_id, t.idx, t.word FROM tok t
+              WHERE NOT EXISTS (SELECT 1 FROM drp
+                                WHERE drp.doc_id = t.doc_id
+                                  AND drp.idx = t.idx)),
+            ag AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(word, ' ' ORDER BY idx) AS dtext
+              FROM kept GROUP BY doc_id),
+            nt AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+            SELECT d.doc_id,
+                   COALESCE(nt.n_tokens, 0) AS n_tokens,
+                   COALESCE(ag.n_kept, 0) AS n_kept,
+                   md5(COALESCE(ag.dtext, '')) AS dedup_md5
+            FROM documents d
+            LEFT JOIN nt USING (doc_id) LEFT JOIN ag USING (doc_id)""",
         "clean_lines": f"""
             WITH {_SQL_WRAP_LINES},
             fl AS (

@@ -632,6 +632,132 @@ def main_lines():
     }))
 
 
+def main_passages():
+    """passage_dedup scale evidence with EXACT planted ground truth
+    (BASELINE.md): every doc is 10 globally-unique prefix words + (for
+    doc_id % 10 == 0) a fixed 12-token boilerplate passage + 8 globally-
+    unique suffix words. Unique words are derived from (doc_id, slot), so
+    any window touching one is globally unique and never drops; the only
+    duplicated windows are the ones fully inside the planted passage,
+    whose covered-position union is exactly the 12 passage tokens. Hence
+    dropped tokens = 12 * (n_planted - 1) EXACTLY, and the keeper (doc 0)
+    survives verbatim. The single shared passage repeated in n/10 docs is
+    also the worst-case window skew the map-side-combined election must
+    absorb."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.lines import passage_dedup
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-passages")
+    n = int(os.environ.get("SPARK_GRAFT_PASSAGE_DOCS", "5000000"))
+
+    def uniq(k: int, cnt: int):
+        return [F.concat(F.lit(f"u{k}_"), F.col("doc_id").cast("string"),
+                         F.lit(f"_{i}") ) for i in range(cnt)]
+
+    passage = "terms of service apply to all content on this site today ok"
+    assert len(passage.split()) == 12
+    docs = (spark.range(n).select(F.col("id").alias("doc_id"))
+            .withColumn("text", F.concat_ws(
+                " ", *uniq(0, 10),
+                F.when(F.col("doc_id") % 10 == 0, F.lit(passage))
+                 .otherwise(F.lit("")),
+                *uniq(1, 8)))
+            # the empty when-branch leaves a double space; words_array
+            # ignores it, but normalize anyway for honest byte counts
+            .withColumn("text", F.regexp_replace("text", " +", " "))
+            .localCheckpoint(eager=True))
+    n_planted = -(-n // 10)
+
+    passage_dedup(docs.limit(2000), n=8).count()  # warm
+    t0 = time.time()
+    out = passage_dedup(docs, n=8).localCheckpoint(eager=True)
+    n_out = out.count()
+    wall = round(time.time() - t0, 2)
+    agg = out.agg(F.sum("n_tokens").alias("tot"),
+                  F.sum("n_kept").alias("kept")).head()
+    dropped = int(agg["tot"]) - int(agg["kept"])
+    keeper = out.filter(F.col("doc_id") == 0).head()
+
+    print(json.dumps({
+        "metric": "passage dedup (Lee et al. window-exact) at scale",
+        "docs": n, "planted_docs": n_planted, "window_tokens": 8,
+        "wall_s": wall, "docs_per_sec": round(n / wall, 1),
+        "tokens_per_sec": round(int(agg["tot"]) / wall, 1),
+        "docs_out": n_out,
+        "total_tokens": int(agg["tot"]), "kept_tokens": int(agg["kept"]),
+        "dropped_tokens": dropped,
+        "expected_dropped": 12 * (n_planted - 1),
+        "keeper_intact": bool(keeper["n_kept"] == keeper["n_tokens"]),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+def main_webgraph():
+    """Web-graph chain scale evidence (BASELINE.md): href extraction +
+    host-edge aggregation over synthesized HTML pages, then PageRank power
+    iteration over the resulting host graph. Planted ground truth: every
+    third page links to celebrity.test, so it must rank FIRST; total rank
+    mass must be 1 to float precision (the per-iteration invariant)."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.webgraph import host_edges, pagerank
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-webgraph")
+    n_pages = int(os.environ.get("SPARK_GRAFT_WEB_PAGES", "2000000"))
+    n_hosts = int(os.environ.get("SPARK_GRAFT_WEB_HOSTS", "100000"))
+
+    i = F.col("id")
+    host = F.concat(F.lit("site"), (i % n_hosts).cast("string"),
+                    F.lit(".test"))
+
+    def rnd_host(salt):
+        return F.concat(F.lit("site"),
+                        F.pmod(F.xxhash64(i, F.lit(salt)),
+                               F.lit(n_hosts)).cast("string"),
+                        F.lit(".test"))
+
+    href = lambda h: F.concat(F.lit('<a href="https://'), h,
+                              F.lit('/p">x</a>'))
+    celeb = F.when(i % 3 == 0, href(F.lit("celebrity.test"))) \
+             .otherwise(F.lit("<p>no</p>"))
+    ring = href(F.concat(F.lit("site"), ((i + 1) % n_hosts).cast("string"),
+                         F.lit(".test")))
+    pages = (spark.range(n_pages)
+             .select(host.alias("source"),
+                     F.concat(F.lit("<html><body>"), celeb, ring,
+                              href(rnd_host(1)), href(rnd_host(2)),
+                              F.lit("</body></html>")).alias("text"))
+             .localCheckpoint(eager=True))
+
+    t0 = time.time()
+    edges = host_edges(pages).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    t_edges = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pr = pagerank(edges, weight_col="weight", n_iter=10) \
+        .localCheckpoint(eager=True)
+    n_nodes = pr.count()
+    t_pr = round(time.time() - t0, 2)
+    top = pr.orderBy(F.desc("rank")).limit(3).collect()
+    mass = pr.agg(F.sum("rank")).head()[0]
+
+    print(json.dumps({
+        "metric": "web-graph chain: href->host edges + PageRank(10 iter)",
+        "pages": n_pages, "hosts": n_hosts,
+        "edges_wall_s": t_edges,
+        "pages_per_sec": round(n_pages / t_edges, 1),
+        "edges": n_edges, "nodes": n_nodes,
+        "pagerank_wall_s": t_pr,
+        "edge_iter_throughput_per_sec": round(10 * n_edges / t_pr, 1),
+        "top_hosts": [[r["node"], round(r["rank"], 8)] for r in top],
+        "celebrity_first": top[0]["node"] == "celebrity.test",
+        "rank_mass": mass, "mass_err": abs(mass - 1.0),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_urls():
     """URL canonicalize + dedup scale evidence (BASELINE.md): every id in
     a group of SPARK_GRAFT_URL_DOCS/8 canonical keys gets one of four
@@ -1213,6 +1339,10 @@ if __name__ == "__main__":
         main_warc()
     elif "--incdedup" in sys.argv:
         main_incdedup()
+    elif "--webgraph" in sys.argv:
+        main_webgraph()
+    elif "--passages" in sys.argv:
+        main_passages()
     elif "--urls" in sys.argv:
         main_urls()
     elif "--flagship-only" in sys.argv:

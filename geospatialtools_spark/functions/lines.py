@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import words_array
+from .textstats import word_ngrams, words_array
 
 # C4's boilerplate phrase list (public): lines containing any of these are
 # dropped by clean_lines when no explicit blacklist is passed.
@@ -181,6 +181,107 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("_id").alias(id_col),
                     F.coalesce(F.size("_lines").cast("long"), F.lit(0))
                      .alias("n_lines"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+                    F.when(F.col("_text").isNull(),
+                           F.lit(None).cast("string"))
+                     .otherwise(F.coalesce(F.col(out_col), F.lit("")))
+                     .alias(out_col)))
+
+
+def passage_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 8,
+                  out_col: str = "dedup_text") -> DataFrame:
+    """Corpus-wide duplicated-PASSAGE removal — the substring level of the
+    dedup hierarchy (document -> span -> line -> passage): Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better", ExactSubstr)
+    remove every occurrence but one of any substring duplicated across the
+    corpus. Their single-machine suffix array does not distribute; the
+    established distributed approximation is fixed-width token windows,
+    which this operator implements EXACTLY (no hashing, no probability):
+
+    A token at position ``p`` of document ``d`` is REMOVED iff some n-token
+    window covering it (start ``s``, ``s <= p < s+n``) has a window string
+    that occurs at more than one ``(doc, start)`` position corpus-wide AND
+    ``(d, s)`` is not that window's keeper occurrence (the smallest
+    ``(doc, start)``). Duplicated runs longer than ``n`` are covered by
+    their overlapping windows, so whole repeated passages vanish from every
+    document except the first; within-document repetition (the same window
+    twice in one doc) is removed the same way. The keeper document can
+    still lose tokens of a kept window when a DIFFERENT overlapping window
+    is duplicated elsewhere — exactly the boundary behaviour of the
+    window approximation, documented rather than hidden.
+
+    Returns one row per input document: ``id_col``, ``n_tokens``,
+    ``n_kept``, and ``out_col`` (surviving whitespace tokens re-joined with
+    single spaces in original order — whitespace flavor collapses, the
+    contract every operator in this module shares). Documents with fewer
+    than ``n`` tokens have no windows and survive verbatim (token-joined);
+    NULL text stays NULL, empty/blank text yields 0/0 and ''.
+
+    Execution shape (the 100 TB design, same skeleton as ``line_dedup``):
+
+    1. One windows table: posexplode of ``word_ngrams`` — rows
+       ``(id, start, window_string)``; the n-gram array is the zip_with
+       fused pass (textstats HOF law), not per-element slicing.
+    2. groupBy(window).agg(min(struct(id, start)), count) elects keepers.
+       Both aggregates are ALGEBRAIC, so map-side partial aggregation
+       collapses a boilerplate passage repeated 10^9 times to one row per
+       map task before the shuffle — window skew never travels, no salting.
+    3. Non-keeper occurrences of duplicated windows explode to their n
+       covered positions -> distinct (id, position) drop set. The join
+       reuses step 2's hash partitioning on the window key.
+    4. Tokens anti-join the drop set on (id, position), then one groupBy
+       on the doc id reassembles survivors in order (sort_array over
+       (pos, token) structs).
+
+    Grouping is on the exact window STRING, so duplication is
+    collision-free by construction (the line_dedup discipline). Shuffle
+    inventory: the window election (key = window string, ~n x corpus bytes
+    map-side input but distinct-window rows out), the drop-set distinct,
+    and the per-doc reassembly. Reference scope: the reference engine has
+    no text surface; this is the mandated training-data layer.
+    """
+    if n < 2:
+        raise ValueError("n >= 2 (window of 1 token would drop every "
+                         "repeated word in the corpus)")
+    t = F.col(text_col)
+    base = df.select(F.col(id_col).alias("_id"), t.alias("_text"),
+                     words_array(t).alias("_w"))
+    wins = base.select(
+        "_id", F.posexplode(word_ngrams(F.col("_w"), n))
+                .alias("_start", "_win"))
+
+    elect = (wins.groupBy("_win")
+             .agg(F.min(F.struct(F.col("_id"), F.col("_start")))
+                   .alias("_keep"),
+                  F.count("*").alias("_cnt")))
+
+    dropped = (wins.join(elect, "_win")
+               .filter((F.col("_cnt") > 1) &
+                       ~((F.col("_keep._id") == F.col("_id")) &
+                         (F.col("_keep._start") == F.col("_start"))))
+               .select("_id",
+                       F.explode(F.sequence(
+                           F.col("_start"),
+                           F.col("_start") + F.lit(n - 1))).alias("_p"))
+               .distinct())
+
+    toks = base.select("_id", F.posexplode("_w").alias("_p", "_tok"))
+    kept = toks.join(dropped, ["_id", "_p"], "left_anti")
+
+    assembled = (kept.groupBy("_id")
+                 .agg(F.count("*").cast("long").alias("n_kept"),
+                      F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct(F.col("_p"), F.col("_tok")))),
+                              lambda s: s["_tok"]),
+                          " ").alias(out_col)))
+
+    return (base.join(assembled, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.size("_w").cast("long"), F.lit(0))
+                     .alias("n_tokens"),
                     F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
                     F.when(F.col("_text").isNull(),
                            F.lit(None).cast("string"))

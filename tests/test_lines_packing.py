@@ -134,6 +134,123 @@ def test_line_dedup_stable_under_repartition(spark):
     assert kept == 1 + 7 + 3
 
 
+# -------------------------------------------------------- passage dedup
+
+def _passage_ref(docs: list[tuple[int, str | None]], n: int):
+    """Independent python implementation of the passage_dedup contract:
+    token (d, p) dropped iff covered by a non-keeper occurrence of a
+    corpus-duplicated n-token window (keeper = min (doc, start))."""
+    import re
+    toks = {d: ([w for w in re.split(r"\s+", t) if w]
+                if t is not None else None) for d, t in docs}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, _ in sorted(docs):
+        ws = toks[d] or []
+        for s in range(len(ws) - n + 1):
+            occ.setdefault(" ".join(ws[s:s + n]), []).append((d, s))
+    dropped: set[tuple[int, int]] = set()
+    for lst in occ.values():
+        if len(lst) > 1:
+            keeper = min(lst)
+            for d, s in lst:
+                if (d, s) != keeper:
+                    dropped.update((d, p) for p in range(s, s + n))
+    out = {}
+    for d, t in docs:
+        if t is None:
+            out[d] = (0, 0, None)
+            continue
+        ws = toks[d]
+        kept = [w for p, w in enumerate(ws) if (d, p) not in dropped]
+        out[d] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+def _run_passage(spark, docs, n):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["dedup_text"])
+            for r in LN.passage_dedup(df, n=n).collect()}
+
+
+def test_passage_dedup_planted_passage_kept_once(spark):
+    boiler = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = [
+        (1, f"intro words here {boiler} closing remark"),
+        (2, f"{boiler} different unique suffix content"),
+        (3, f"prefix material {boiler}"),
+        (4, "completely unrelated text with no repeats at all"),
+    ]
+    out = _run_passage(spark, docs, n=10)
+    ref = _passage_ref(docs, n=10)
+    assert out == ref
+    # doc 1 is the keeper (smallest doc_id): its text survives verbatim
+    assert out[1][2] == docs[0][1]
+    # docs 2 and 3 lose exactly the 10 boilerplate tokens
+    assert out[2] == (14, 4, "different unique suffix content")
+    assert out[3] == (12, 2, "prefix material")
+    assert out[4][1] == out[4][0]
+
+
+def test_passage_dedup_within_doc_repetition_and_overlap(spark):
+    # 'a a a a a': every 2-window is 'a a'; keeper is start 0, starts
+    # 1..3 are duplicates -> tokens 1..4 drop, only token 0 survives
+    docs = [(1, "a a a a a"), (2, "b c b c b c")]
+    out = _run_passage(spark, docs, n=2)
+    assert out == _passage_ref(docs, n=2)
+    assert out[1] == (5, 1, "a")
+    # 'b c b c b c': windows bc(0) cb(1) bc(2) cb(3) bc(4); non-keeper
+    # bc@2, bc@4, cb@3 drop tokens 2..5 -> 'b c' survives
+    assert out[2] == (6, 2, "b c")
+
+
+def test_passage_dedup_short_null_empty(spark):
+    docs = [(1, "one two three"), (2, "one two three"), (3, None), (4, "  ")]
+    # n larger than any doc: no windows exist anywhere -> verbatim
+    out = _run_passage(spark, docs, n=5)
+    assert out[1] == (3, 3, "one two three")
+    assert out[2] == (3, 3, "one two three")
+    assert out[3] == (0, 0, None)
+    assert out[4] == (0, 0, "")
+    # n=3: doc 2's single window duplicates doc 1's -> emptied
+    out3 = _run_passage(spark, docs, n=3)
+    assert out3[1] == (3, 3, "one two three")
+    assert out3[2] == (3, 0, "")
+
+
+def test_passage_dedup_matches_reference_randomized(spark):
+    import random
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    phrase = "p0 p1 p2 p3 p4 p5"
+    docs = []
+    for d in range(1, 41):
+        words = [vocab[rng.randrange(len(vocab))]
+                 for _ in range(rng.randrange(4, 30))]
+        if d % 3 == 0:  # plant the shared passage in a third of docs
+            at = rng.randrange(0, len(words))
+            words[at:at] = phrase.split()
+        docs.append((d, " ".join(words)))
+    out = _run_passage(spark, docs, n=6)
+    assert out == _passage_ref(docs, n=6)
+
+
+def test_passage_dedup_stable_under_repartition(spark):
+    docs = [(i, f"shared shingle run here again d{i % 4} x{i % 5} y{i % 3}")
+            for i in range(1, 61)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, LN.passage_dedup(df, n=5).collect()))
+    b = sorted(map(tuple,
+                   LN.passage_dedup(df.repartition(13), n=5).collect()))
+    assert a == b
+    assert a == sorted((d, *v) for d, v in _passage_ref(docs, 5).items())
+
+
+def test_passage_dedup_rejects_window_of_one(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        LN.passage_dedup(df, n=1)
+
+
 # ----------------------------------------------------------- span dedup
 
 def _spans_df(spark, rows):
