@@ -2255,7 +2255,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(nl.n_lines, 0) AS n_lines,
                    COALESCE(ass.n_kept, 0) AS n_kept,
-                   md5(COALESCE(ass.dtext, '')) AS dedup_md5
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE md5(COALESCE(ass.dtext, '')) END AS dedup_md5
             FROM documents d
             LEFT JOIN nl USING (doc_id) LEFT JOIN ass USING (doc_id)""",
         # passage_dedup: full independent recomputation — window election
@@ -2302,7 +2303,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(nt.n_tokens, 0) AS n_tokens,
                    COALESCE(ag.n_kept, 0) AS n_kept,
-                   md5(COALESCE(ag.dtext, '')) AS dedup_md5
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE md5(COALESCE(ag.dtext, '')) END AS dedup_md5
             FROM documents d
             LEFT JOIN nt USING (doc_id) LEFT JOIN ag USING (doc_id)""",
         "clean_lines": f"""
@@ -2323,7 +2325,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(agg.n_lines, 0) AS n_lines,
                    COALESCE(agg.n_kept, 0) AS n_kept,
-                   md5(COALESCE(agg.ctext, '')) AS clean_md5
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE md5(COALESCE(agg.ctext, '')) END AS clean_md5
             FROM documents d LEFT JOIN agg USING (doc_id)""",
         "weighted_sample": """
             WITH p AS (

@@ -49,7 +49,10 @@ from pyspark.sql import functions as F
 # href attribute values in single or double quotes; group 1 is the URL.
 # RE2-compatible (no lookaround), ASCII classes only — the urls.py
 # discipline, so a DuckDB twin can evaluate the identical extraction.
-HREF_RE = "(?i)href[ \\t]*=[ \\t]*[\"']([^\"'<>]+)[\"']"
+# The leading boundary class keeps attribute names that merely END in
+# href (data-href, ng-href, xlink:href) from matching as links.
+HREF_RE = ("(?i)(?:^|[^a-zA-Z0-9_:-])"
+           "href[ \\t]*=[ \\t]*[\"']([^\"'<>]+)[\"']")
 
 # scheme://[userinfo@]HOST[:port]... -> group 1 = host
 _ABS_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+).*$"
@@ -65,18 +68,24 @@ def extract_links(html: Column) -> Column:
 def link_host(link: Column, base_host: Column) -> Column:
     """Resolve one link to the HOST it points at: absolute links
     (``scheme://...``) to their own authority host (lowercased, userinfo
-    and port stripped, leading ``www.`` dropped — the ``urls.py``
-    canonical-host rules), protocol-relative ``//host/...`` links
-    likewise, anything else (relative paths, fragments, mailto-less
-    anchors) to ``base_host`` (the linking page's own host). Links whose
-    authority parse comes up empty yield NULL."""
+    stripped, leading ``www.`` dropped), protocol-relative ``//host/...``
+    links likewise, anything else (relative paths, fragments) to
+    ``base_host`` (the linking page's own host). Links whose authority
+    parse comes up empty — or is a bracketed IPv6 literal, which the
+    host-name grammar here does not model — yield NULL.
+
+    NOTE: graph nodes aggregate over PORTS (``example.com:8443`` and
+    ``example.com`` are one node), deliberately coarser than
+    ``urls.canonicalize_url``'s dedup key, which keeps non-default ports:
+    the dedup layer answers "same fetched resource?", the graph layer
+    "same site?"."""
     absolute = F.regexp_extract(link, _ABS_HOST_RE, 1)
     protorel = F.regexp_extract(link, "^//(?:[^/?#@]*@)?([^/?#:]+).*$", 1)
     raw = F.when(link.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), absolute) \
            .when(link.startswith("//"), protorel) \
            .otherwise(F.coalesce(base_host, F.lit("")))
     host = F.regexp_replace(F.lower(raw), "^www\\.", "")
-    return F.when(F.length(host) > 0, host)
+    return F.when((F.length(host) > 0) & ~host.startswith("["), host)
 
 
 def host_edges(pages: DataFrame, host_col: str = "source",
@@ -89,7 +98,10 @@ def host_edges(pages: DataFrame, host_col: str = "source",
     pages arrives at the shuffle as one row per map task). Pages or links
     without a resolvable host drop out; ``drop_self_edges`` removes
     intra-host navigation (the usual PageRank convention)."""
-    src = F.lower(F.regexp_replace(F.col(host_col), "^www\\.", ""))
+    # lowercase BEFORE the www. strip, same order as link_host — the
+    # reversed order left 'WWW.Example.com' as 'www.example.com' and
+    # split one host into two graph nodes
+    src = F.regexp_replace(F.lower(F.col(host_col)), "^www\\.", "")
     ex = (pages.select(src.alias("src"),
                        F.explode(extract_links(F.col(html_col)))
                         .alias("_link"))
@@ -148,12 +160,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     dangling = (nodes.join(outw, nodes["node"] == outw["_src"],
                            "left_anti").localCheckpoint(eager=True))
 
+    # one-time probe over the checkpointed dangling table: graphs where
+    # every node has out-links (common after host_edges aggregation) skip
+    # the per-round dangling-mass job entirely
+    has_dangling = dangling.count() > 0
+
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("_r")) \
                  .localCheckpoint(eager=True)
     for _ in range(n_iter):
-        dm = (ranks.join(dangling, "node")
-              .agg(F.sum("_r")).head()[0]) or 0.0
+        dm = ((ranks.join(dangling, "node")
+               .agg(F.sum("_r")).head()[0]) or 0.0) if has_dangling else 0.0
         contrib = (ranks.join(ew, ranks["node"] == ew["_src"])
                    .groupBy("_dst")
                    .agg(F.sum(F.col("_r") * F.col("_frac")).alias("_s")))

@@ -42,11 +42,29 @@ def test_extract_links_and_hosts(spark):
         "base.com", "base.com", "mail.host"]
 
 
+def test_extract_links_ignores_suffixed_attributes(spark):
+    html = ('<div data-href="https://tracker.test/x" '
+            'ng-href="https://ng.test/y" xlink:href="https://svg.test/z">'
+            '<a href="https://real.test/ok">r</a></div>')
+    df = spark.createDataFrame([(html,)], "text string")
+    out = df.select(WG.extract_links(F.col("text")).alias("l")).head()
+    assert out["l"] == ["https://real.test/ok"]
+
+
+def test_link_host_drops_ipv6_literals(spark):
+    df = spark.createDataFrame(
+        [("http://[2001:db8::1]/x",), ("https://ok.test/y",)],
+        "lk string")
+    out = [r["h"] for r in df.select(
+        WG.link_host(F.col("lk"), F.lit("base.test")).alias("h")).collect()]
+    assert out == [None, "ok.test"]
+
+
 def test_host_edges_weights_and_self_drop(spark):
     rows = [
         ("a.com", '<a href="http://b.com/1"></a><a href="http://b.com/2">'
                   '</a><a href="http://a.com/self"></a><a href="/rel">'),
-        ("www.A.com", '<a href="https://c.org/x">'),
+        ("WWW.A.com", '<a href="https://c.org/x">'),
         ("b.com", '<a href="https://c.org/y">'),
     ]
     df = spark.createDataFrame(rows, "source string, text string")
