@@ -885,6 +885,24 @@ def q_embedding_dups(spark, sf_dir):
                                            threshold=0.99)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (functions/dedup.py:semantic_dedup — Abbas et al. 2023):
+    k-means-cluster embeddings, within-cluster exact-cosine near-dup
+    groups, one keeper per group. The gate runs the n_clusters=1 regime —
+    exact corpus-wide semantics, so the DuckDB twin (brute pair join +
+    recursive-CTE closure, the dedup_groups pattern) value-checks the
+    pair/CC/keeper chain end-to-end without a cross-engine k-means; the
+    clustered regime's recall trade is pinned by pytest on planted blobs.
+    Same cloned corpus as embedding_dups: each vec_id < 50 gains an exact
+    clone at id+10000, so groups are exactly the 50 {i, i+10000} pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = (emb.filter(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 10000).alias("vec_id"),
+                      "embedding", "label"))
+    return DD.semantic_dedup(emb.unionByName(clones), dim=64, eps=0.99,
+                             n_clusters=1)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (sign-quantized projections)."""
     emb, q = _queries_emb(spark, sf_dir)
@@ -1604,7 +1622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy_hitters below.
         "pedotransfer_saxton": q_pedotransfer_saxton,
         # -- training-data pipeline ----------------------------------------
-        "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         # dedup_incremental is new in round 5 (fresh-entry rule: first
         # round driver-recorded); join_broadcast demotes to the tail — the
@@ -1690,6 +1707,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reduce_basins in-window, 4 green rounds).
         "bpe_tokens": q_bpe_tokens,
         "kmv_distinct": q_kmv_distinct,
+        # semantic_dedup is new in round 5 (fresh-entry rule); dedup_exact
+        # demotes — 4 green driver rounds and the dedup family keeps six
+        # in-window representatives.
+        "semantic_dedup": q_semantic_dedup,
         "embedding_dups": q_embedding_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         # -- spatial / docs / streaming ------------------------------------
@@ -1732,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
         "span_invariant": q_span_invariant,
         "quality_score": q_quality_score,
@@ -2583,6 +2605,33 @@ def oracle_sql() -> dict[str, str]:
                    vec_id, cosine
             FROM scored
             QUALIFY rank <= 5""",
+        "semantic_dedup": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 50),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM corpus a, corpus b
+              WHERE a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6)
+                    >= 0.99),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(id, anc) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.anc),
+            comp AS (SELECT id AS vec_id, min(anc) AS group_id
+                     FROM walk GROUP BY id),
+            sizes AS (SELECT group_id, count(*) AS group_size
+                      FROM comp GROUP BY group_id)
+            SELECT c.vec_id, CAST(0 AS INTEGER) AS cluster, c.group_id,
+                   c.group_id AS keeper_id, s.group_size
+            FROM comp c JOIN sizes s USING (group_id)""",
         "embedding_dups": """
             WITH corpus AS (
               SELECT vec_id, embedding FROM embeddings

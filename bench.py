@@ -758,6 +758,58 @@ def main_webgraph():
     }))
 
 
+def main_semdedup():
+    """SemDeDup scale evidence with EXACT planted ground truth
+    (BASELINE.md): 500k 64-d vectors — ids < 20000 form 1000 families of
+    20 IDENTICAL vectors (family f = ids 20f..20f+19), the rest
+    hash-random (pairwise cosine ~ N(0, 1/64), never near 0.99). Identical
+    vectors always share a k-means cell, so the clustered run must
+    resolve EXACTLY 1000 groups of size 20 with keeper = min id = 20f."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.dedup import semantic_dedup
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-semdedup")
+    n = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_VECS", "500000"))
+    k = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "512"))
+    n_fam, fam_sz = 1000, 20
+    planted = n_fam * fam_sz
+
+    i = F.col("id")
+    seed = F.when(i < planted, F.floor(i / fam_sz)) \
+            .otherwise(i + F.lit(10 ** 9))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.pmod(F.xxhash64(seed, j), F.lit(1000003))
+                   .cast("double") / 500001.5 - 1.0).cast("float"))
+    emb = (spark.range(n)
+           .select(i.alias("vec_id"), vec.alias("embedding"))
+           .localCheckpoint(eager=True))
+
+    t0 = time.time()
+    out = semantic_dedup(emb, dim=64, eps=0.99, n_clusters=k,
+                         train_sample=8192, n_corpus=n, arrow_pairs=True) \
+        .localCheckpoint(eager=True)
+    n_members = out.count()
+    wall = round(time.time() - t0, 2)
+    g = out.groupBy("group_id").agg(
+        F.count("*").alias("sz"), F.min("keeper_id").alias("kp")).collect()
+    ok_groups = sum(1 for r in g
+                    if r["sz"] == fam_sz and r["kp"] == r["group_id"]
+                    and r["group_id"] % fam_sz == 0)
+
+    print(json.dumps({
+        "metric": "SemDeDup (k-means cells + within-cell cosine groups)",
+        "vectors": n, "dim": 64, "clusters": k, "eps": 0.99,
+        "planted_families": n_fam, "family_size": fam_sz,
+        "wall_s": wall, "vectors_per_sec": round(n / wall, 1),
+        "group_members": n_members, "expected_members": planted,
+        "groups": len(g), "expected_groups": n_fam,
+        "exact_groups": ok_groups,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_urls():
     """URL canonicalize + dedup scale evidence (BASELINE.md): every id in
     a group of SPARK_GRAFT_URL_DOCS/8 canonical keys gets one of four
@@ -1339,6 +1391,8 @@ if __name__ == "__main__":
         main_warc()
     elif "--incdedup" in sys.argv:
         main_incdedup()
+    elif "--semdedup" in sys.argv:
+        main_semdedup()
     elif "--webgraph" in sys.argv:
         main_webgraph()
     elif "--passages" in sys.argv:

@@ -488,6 +488,140 @@ def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
     return pairs, nb
 
 
+def semantic_dedup(emb: DataFrame, dim: int, eps: float = 0.95,
+                   n_clusters: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", train_sample: int = 4096,
+                   n_corpus: int | None = None,
+                   star_threshold: int | None = None,
+                   arrow_pairs: bool = False) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication over
+    an embedding column — k-means-cluster the corpus, find near-identical
+    items WITHIN each cluster (exact cosine >= ``eps``), resolve them into
+    transitive groups, keep one per group.
+
+    Returns ``(id_col, cluster, group_id, keeper_id, group_size)`` for
+    every member of an intra-cluster near-dup group (``group_size >= 2``);
+    anti-join the corpus against the rows with ``id != keeper_id`` to
+    apply. The keeper is the group's smallest id (``keeper_id ==
+    group_id`` — a content-free deterministic policy; callers wanting the
+    paper's lowest-centroid-similarity choice can re-elect over the
+    returned groups).
+
+    Execution shape (the 100 TB design, and the paper's own core trade):
+
+    - clustering reuses ``similarity.build_ivf_index`` — the coarse
+      quantizer IS a k-means codebook, trained once on a deterministic
+      hash sample and assigned in one Arrow GEMM pass; the cluster id is
+      the bucket key, exactly the IVF layout, so a persisted index
+      (``persist_ivf_index``) doubles as the semantic-dedup partitioning.
+    - candidate pairs come from a within-cluster equi-join: only
+      same-cluster rows shuffle, O(sum of cluster_size^2) comparisons —
+      ``n_clusters`` is the dial (the paper scales k with the corpus so
+      clusters stay join-sized). Pairs are exact-verified, never assumed.
+    - pairs -> ``operators.graph.connected_components`` (min-label +
+      pointer doubling over the PAIR nodes only) -> keeper election. The
+      corpus never re-enters the plan after the pair join.
+    - ``star_threshold``: the same oversized-bucket guard as
+      ``embedding_dup_pairs_bucketed``, with the same WEAKER recall
+      contract (members pair only against the cluster's min-id hub,
+      cosine-verified): an exact-dup family of B copies costs O(B) rows
+      instead of B^2/2. Default None = exact within-cluster semantics
+      (the gate oracle's regime).
+
+    Recall contract: near-dups split across two clusters are MISSED — the
+    documented SemDeDup approximation (quantization noise at cluster
+    boundaries); ``n_clusters=1`` recovers exact corpus-wide semantics
+    (and is how the gate value-checks this operator end-to-end without a
+    cross-engine k-means).
+
+    ``arrow_pairs``: score each cluster's pairs in ONE numpy GEMM per
+    group (applyInPandas; row-blocked so memory is O(block x cluster),
+    and a cluster must fit one worker — the same constraint the paper's
+    per-cluster matmul has). Measured 124x on the pair stage at 50k
+    vectors (78.6 -> 0.63 s of per-pair work); the interpreted-HOF
+    cosine join is the textstats-module law, not a plan problem. The
+    expression form stays the default = the gate-oracle parity path
+    (both compute float64 cosine rounded to 6; they can disagree only
+    for a pair sitting exactly on the 1e-6 rounding boundary of ``eps``
+    — the same disclosed cross-engine float edge every cosine oracle in
+    this repo carries; bit-parity on random data asserted in pytest).
+    """
+    from ..operators.graph import connected_components
+    from .similarity import build_ivf_index, cosine_expr
+    if not 0.0 < eps <= 1.0:
+        raise ValueError("eps must be in (0, 1]")
+    index = build_ivf_index(emb, dim, n_centroids=n_clusters,
+                            train_sample=train_sample, id_col=id_col,
+                            vec_col=vec_col, n_corpus=n_corpus)
+    a = index.assigned.select(F.col(id_col).alias("_id"),
+                              F.col(vec_col).alias("_v"),
+                              F.col("_list").alias("_c"))
+    star = None
+    if star_threshold is not None:
+        _warn_weak_guard("semantic_dedup")
+        from pyspark.sql import Window
+        wb = Window.partitionBy("_c")
+        vv = (a.withColumn("_bn", F.count("*").over(wb))
+              .withColumn("_hub", F.min("_id").over(wb))
+              .localCheckpoint(eager=True))
+        hubs = vv.filter(F.col("_id") == F.col("_hub")) \
+                 .select(F.col("_hub").alias("_h"), F.col("_v").alias("_hv"))
+        star = (vv.filter((F.col("_bn") > star_threshold)
+                          & (F.col("_id") != F.col("_hub")))
+                .join(hubs, F.col("_hub") == F.col("_h"))
+                .filter(F.round(cosine_expr(F.col("_hv"), F.col("_v")), 6)
+                        >= eps)
+                .select(F.col("_hub").alias("id_a"),
+                        F.col("_id").alias("id_b")))
+        a = vv.filter(F.col("_bn") <= star_threshold) \
+              .select("_id", "_v", "_c")
+    if arrow_pairs:
+        import numpy as np
+        import pandas as pd
+
+        def _kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(pdf["_id"].to_numpy())
+            ids = pdf["_id"].to_numpy()[order]
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["_v"].iloc[order]])
+            nrm = np.linalg.norm(V, axis=1)
+            nrm[nrm == 0] = 1.0
+            V = V / nrm[:, None]
+            outs_a, outs_b = [], []
+            blk = 1024  # row-blocked GEMM: memory O(blk x cluster)
+            for lo in range(0, len(ids), blk):
+                hi = min(lo + blk, len(ids))
+                S = V[lo:hi] @ V.T
+                bi, bj = np.nonzero(np.round(S, 6) >= eps)
+                m = (bi + lo) < bj          # strict upper triangle only
+                outs_a.append(ids[bi[m] + lo])
+                outs_b.append(ids[bj[m]])
+            return pd.DataFrame({
+                "id_a": np.concatenate(outs_a) if outs_a else [],
+                "id_b": np.concatenate(outs_b) if outs_b else []})
+
+        pairs = a.groupBy("_c").applyInPandas(
+            _kern, schema="id_a long, id_b long")
+    else:
+        pairs = (a.alias("l").join(a.alias("r"), "_c")
+                 .filter(F.col("l._id") < F.col("r._id"))
+                 .filter(F.round(cosine_expr(F.col("l._v"), F.col("r._v")),
+                                 6) >= eps)
+                 .select(F.col("l._id").alias("id_a"),
+                         F.col("r._id").alias("id_b")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    comp = connected_components(pairs)
+    members = comp.select(F.col("node").alias(id_col),
+                          F.col("comp").alias("group_id"))
+    sizes = members.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("group_size"))
+    clusters = index.assigned.select(id_col, F.col("_list").alias("cluster"))
+    return (members.join(sizes, "group_id").join(clusters, id_col)
+            .select(id_col, "cluster", "group_id",
+                    F.col("group_id").alias("keeper_id"), "group_size"))
+
+
 def dedup_groups(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup PAIRS into transitive dedup groups and pick one

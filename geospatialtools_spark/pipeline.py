@@ -186,6 +186,18 @@ class CurationConfig:
     # column yourself after the stage — a silent char recount would change
     # the budget semantics by ~the chars-per-token factor.
     line_weight_rechars: bool = True
+    # Passage-level dedup (round 5; Lee et al. 2021 ExactSubstr as exact
+    # fixed-width token windows — lines.passage_dedup): when
+    # ``passage_window`` is set, tokens covered by a non-keeper occurrence
+    # of a corpus-duplicated ``passage_window``-token window are removed
+    # AFTER document-level near-dedup (whole-doc dups are already gone, so
+    # the window pass only pays for partial overlaps). Emptied documents
+    # drop; ``weight_col`` is recomputed as chars unless
+    # ``passage_weight_rechars`` is False (same contract as
+    # ``line_weight_rechars``). The paper uses ~50-token windows; smaller
+    # windows dedup more aggressively.
+    passage_window: int | None = None
+    passage_weight_rechars: bool = True
     # CCNet-style LM perplexity cutoff (round 5): when ``max_nll`` is set,
     # the quality stage fits a unigram model on the post-dedup corpus
     # (deterministic — one count aggregation + top-k vocab) and drops
@@ -227,6 +239,10 @@ class CurationConfig:
         if (self.clean_min_words is not None or self.line_dedup) \
                 and not self.line_weight_rechars:
             d["line_w_keep"] = True
+        if self.passage_window is not None:
+            d["passage_n"] = self.passage_window
+            if not self.passage_weight_rechars:
+                d["passage_w_keep"] = True
         if self.max_nll is not None:
             d["max_nll"] = self.max_nll
             d["lm_vocab"] = self.lm_vocab_size
@@ -257,6 +273,9 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     - ``near_dedup``: MinHash-LSH candidate pairs (clique-guarded by
       default) -> ``dedup_groups`` transitive resolution -> anti-join the
       non-keepers out. The group table is O(dup docs), never the corpus.
+    - ``passages`` (optional, when ``passage_window`` is set): corpus-wide
+      duplicated-passage removal (lines.passage_dedup) on the near-deduped
+      survivors; emptied documents drop and ``weight_col`` is recomputed.
     - ``quality``: drop rows under ``quality_min``; when the repetition
       cutoffs are set, also drop rows over ``max_dup_word_frac`` /
       ``max_top2_char_frac`` (Gopher repetition filters, Arrow hot path);
@@ -329,6 +348,24 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
         .filter(F.col(idc) != F.col("keeper_id")).select(idc),
         idc, "left_anti"))
     out["near_dedup"] = near
+
+    if config.passage_window is not None:
+        def _passages() -> DataFrame:
+            from .functions.lines import passage_dedup
+            keep_cols = [c for c in near.columns if c != txt]
+            d = (passage_dedup(near.select(idc, txt), id_col=idc,
+                               text_col=txt, n=config.passage_window)
+                 .filter(F.col("n_kept") > 0)
+                 .drop("n_tokens", "n_kept")
+                 .withColumnRenamed("dedup_text", txt)
+                 .join(near.select(*keep_cols), idc))
+            if config.passage_weight_rechars \
+                    and config.weight_col in d.columns:
+                d = d.withColumn(config.weight_col,
+                                 F.length(txt).cast("long"))
+            return d
+        near = runner.run_stage("passages", _passages)
+        out["passages"] = near
 
     def _quality() -> DataFrame:
         d = near.withColumn("q", quality_score(F.col(txt))) \

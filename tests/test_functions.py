@@ -505,6 +505,128 @@ def test_embedding_star_threshold_same_groups(spark):
         and set(fam_g.keeper_id) == {49}     # longest text keeper
 
 
+def _semantic_ref(vecs, eps):
+    """Union-find reference for semantic_dedup's n_clusters=1 regime:
+    brute cosine pairs >= eps -> components -> min-id keeper."""
+    import itertools
+    n = len(vecs)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in itertools.combinations(range(n), 2):
+        c = float(np.dot(vecs[i], vecs[j])
+                  / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])))
+        if round(c, 6) >= eps:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i in range(n):
+        groups[find(i)].append(i)
+    return {min(g): sorted(g) for g in groups.values() if len(g) > 1}
+
+
+def _semantic_groups(out_pdf):
+    from collections import defaultdict
+    g = defaultdict(list)
+    for r in out_pdf.itertuples(index=False):
+        g[int(r.group_id)].append(int(r.vec_id))
+    return {k: sorted(v) for k, v in g.items()}
+
+
+def test_semantic_dedup_single_cluster_matches_reference(spark):
+    """n_clusters=1 is the exact corpus-wide regime (also the gate
+    oracle's): groups and keepers must equal the brute union-find
+    reference, including transitive chains."""
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(70, 12)).astype(np.float64)
+    vecs[60:65] = vecs[0] * 1.3                    # exact-direction family
+    vecs[65] = vecs[1] + 1e-4 * rng.normal(size=12)  # near pair
+    # transitive chain: 66~67 and 67~68 close, 66 vs 68 slightly farther
+    base = rng.normal(size=12)
+    vecs[66] = base
+    vecs[67] = base + 3e-3 * rng.normal(size=12)
+    vecs[68] = vecs[67] + 3e-3 * rng.normal(size=12)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(70), "embedding": [v.tolist() for v in vecs]}))
+    out = DD.semantic_dedup(emb, dim=12, eps=0.999, n_clusters=1).toPandas()
+    ref = _semantic_ref(vecs, 0.999)
+    assert _semantic_groups(out) == ref
+    assert (out["keeper_id"] == out["group_id"]).all()
+    sizes = out.groupby("group_id")["group_size"].first()
+    assert all(sizes[k] == len(v) for k, v in ref.items())
+
+
+def test_semantic_dedup_clustered_finds_planted_blob_dups(spark):
+    """With k=2 clusters on two well-separated blobs, every planted
+    within-blob dup family resolves; the output's cluster column is the
+    quantizer's assignment (family members share it)."""
+    rng = np.random.RandomState(9)
+    a = rng.normal(loc=+8.0, scale=0.5, size=(40, 8))
+    b = rng.normal(loc=-8.0, scale=0.5, size=(40, 8))
+    a[30:35] = a[0]                              # family in blob A
+    b[30:40] = b[2]                              # family in blob B
+    vecs = np.vstack([a, b])
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(80), "embedding": [v.tolist() for v in vecs]}))
+    out = DD.semantic_dedup(emb, dim=8, eps=0.9999, n_clusters=2,
+                            train_sample=80).toPandas()
+    groups = _semantic_groups(out)
+    assert groups[0] == [0, 30, 31, 32, 33, 34]
+    assert groups[42] == [42, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79]
+    for gid, members in groups.items():
+        rows = out[out.group_id == gid]
+        assert rows["cluster"].nunique() == 1
+
+
+def test_semantic_dedup_star_guard_same_groups(spark):
+    """Oversized-cluster guard: a 50-member identical family under
+    star_threshold=10 yields the SAME groups and keepers as the exact
+    clique run (hub-star pairs are cosine-verified against the min-id
+    hub, which an exact-dup family always passes)."""
+    rng = np.random.RandomState(13)
+    vecs = rng.normal(size=(60, 10)).astype(np.float64)
+    vecs[:50] = vecs[0]
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(60), "embedding": [v.tolist() for v in vecs]}))
+    exact = DD.semantic_dedup(emb, dim=10, eps=0.999, n_clusters=1)
+    guarded = DD.semantic_dedup(emb, dim=10, eps=0.999, n_clusters=1,
+                                star_threshold=10)
+    assert _semantic_groups(exact.toPandas()) == \
+        _semantic_groups(guarded.toPandas())
+
+
+def test_semantic_dedup_arrow_pairs_bit_parity(spark):
+    """GEMM pair kernel == expression cosine join (groups identical on
+    random + planted data away from the 1e-6 rounding boundary), across
+    both the single-cluster and clustered regimes."""
+    rng = np.random.RandomState(21)
+    vecs = rng.normal(size=(90, 12)).astype(np.float64)
+    vecs[80:85] = vecs[3] * 0.7
+    vecs[85] = vecs[4] + 1e-4 * rng.normal(size=12)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(90), "embedding": [v.tolist() for v in vecs]}))
+    for k in (1, 3):
+        expr = DD.semantic_dedup(emb, dim=12, eps=0.999, n_clusters=k)
+        fast = DD.semantic_dedup(emb, dim=12, eps=0.999, n_clusters=k,
+                                 arrow_pairs=True)
+        assert _semantic_groups(expr.toPandas()) == \
+            _semantic_groups(fast.toPandas())
+
+
+def test_semantic_dedup_rejects_bad_eps(spark):
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0], "embedding": [[1.0, 0.0]]}))
+    with pytest.raises(ValueError):
+        DD.semantic_dedup(emb, dim=2, eps=0.0)
+
+
 def test_ngram_jaccard_max_df_cap(spark):
     """DF-capped candidate generation still reports exact jaccard values and
     keeps pairs that share any below-cap shingle."""

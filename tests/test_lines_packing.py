@@ -430,6 +430,46 @@ def test_curation_pipeline_lines_stage(spark, tmp_path):
     assert out["shard"].count() == n_keepers
 
 
+def test_curation_pipeline_passages_stage(spark, tmp_path):
+    """The optional ``passages`` stage after near-dedup: corpus-duplicated
+    token windows are removed from every occurrence but the first; the
+    docs here share ONLY a 13-token license passage (too small a fraction
+    for document-level MinHash to pair them), so the passage stage is the
+    only pass that can remove it."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+    passage = ("all rights reserved copyright two thousand twenty four "
+               "by the site owners")           # 13 tokens
+    def body(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+    docs = [(i, f"{body(i)} {passage}", 0) for i in range(1, 21)]
+    docs.append((99, passage, 0))              # passage-only doc
+    df = spark.createDataFrame(docs, "doc_id long, text string, n_chars long") \
+              .withColumn("n_chars", F.length("text").cast("long"))
+
+    cfg = CurationConfig(passage_window=6, quality_min=0.0,
+                         splits={"train": 1.0}, shard_budget=5000)
+    out = run_curation_pipeline(spark, df, cfg, str(tmp_path / "cur"))
+
+    ps = {r["doc_id"]: r for r in out["passages"].collect()}
+    # every doc survives near-dedup (bodies dominate the shingle sets);
+    # doc 1 is the window keeper and stays verbatim, 2..20 lose exactly
+    # the passage tokens, the passage-only doc empties and drops
+    assert out["near_dedup"].count() == 21
+    assert 99 not in ps
+    assert ps[1]["text"] == f"{body(1)} {passage}"
+    for i in range(2, 21):
+        assert ps[i]["text"] == body(i)
+        assert ps[i]["n_chars"] == len(body(i))
+    from geospatialtools_spark.plans.checkpointing import StageRunner
+    r = StageRunner(spark, str(tmp_path / "cur"),
+                    {"pipeline": "curation", **cfg.as_dict()})
+    stages = [e["stage"] for e in r.snapshots()]
+    assert "passages" in stages and \
+        stages.index("passages") > stages.index("near_dedup")
+    assert out["shard"].count() == 20
+
+
 def test_streaming_quality_ops_match_batch(spark, tmp_path):
     """The per-row curation operators (clean_lines, quality_logreg
     scoring) run THROUGH the streaming engine (file-source micro-batches,
