@@ -792,10 +792,15 @@ def main_semdedup():
         .localCheckpoint(eager=True)
     n_members = out.count()
     wall = round(time.time() - t0, 2)
+    # membership-level check (keeper_id == group_id holds by construction,
+    # so it would be vacuous): family f must resolve to EXACTLY the id
+    # range [20f, 20f+19] with its min as the group label
     g = out.groupBy("group_id").agg(
-        F.count("*").alias("sz"), F.min("keeper_id").alias("kp")).collect()
+        F.count("*").alias("sz"), F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi")).collect()
     ok_groups = sum(1 for r in g
-                    if r["sz"] == fam_sz and r["kp"] == r["group_id"]
+                    if r["sz"] == fam_sz and r["lo"] == r["group_id"]
+                    and r["hi"] == r["group_id"] + fam_sz - 1
                     and r["group_id"] % fam_sz == 0)
 
     print(json.dumps({

@@ -488,6 +488,44 @@ def incremental_dup_pairs(index: MinhashIndex, new_docs: DataFrame,
     return pairs, nb
 
 
+def _cosine_hub_star(v: DataFrame, key: str, eps: float,
+                     star_threshold: int) -> tuple[DataFrame, DataFrame]:
+    """Shared oversized-bucket guard for the cosine-VERIFIED dedup paths
+    (embedding sign-LSH buckets, semantic-dedup k-means cells): buckets of
+    ``key`` holding more than ``star_threshold`` rows emit hub-star pairs
+    (hub = min ``_id``; cosine(hub, member) exactly verified >= ``eps``)
+    instead of B²/2 clique rows. Returns ``(star_pairs(id_a, id_b,
+    cosine), remaining)`` where ``remaining`` is the sub-threshold rows
+    (schema ``_id, _v, key``) that keep exact clique semantics. Input
+    needs columns ``_id``, ``_v``, ``key``. Callers own the
+    ``_warn_weak_guard`` breadcrumb — the recall contract here is the
+    weaker one that helper documents (member-member pairs not similar to
+    the hub are lost)."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_expr
+    wb = Window.partitionBy(key)
+    # checkpoint the window output ONCE — star and the filtered table
+    # both derive from it (the lazy star branch would otherwise re-run
+    # the bucket shuffle + window at action time)
+    vv = (v.withColumn("_bn", F.count("*").over(wb))
+          .withColumn("_hub", F.min("_id").over(wb))
+          .localCheckpoint(eager=True))
+    hubs = vv.filter(F.col("_id") == F.col("_hub")) \
+             .select(F.col("_hub").alias("_h"), F.col("_v").alias("_hv"))
+    star = (vv.filter((F.col("_bn") > star_threshold)
+                      & (F.col("_id") != F.col("_hub")))
+            .join(hubs, F.col("_hub") == F.col("_h"))
+            .withColumn("cosine",
+                        F.round(cosine_expr(F.col("_hv"), F.col("_v")), 6))
+            .filter(F.col("cosine") >= eps)
+            .select(F.col("_hub").alias("id_a"),
+                    F.col("_id").alias("id_b"), "cosine"))
+    remaining = vv.filter(F.col("_bn") <= star_threshold) \
+                  .select("_id", "_v", key)
+    return star, remaining
+
+
 def semantic_dedup(emb: DataFrame, dim: int, eps: float = 0.95,
                    n_clusters: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding", train_sample: int = 4096,
@@ -559,22 +597,8 @@ def semantic_dedup(emb: DataFrame, dim: int, eps: float = 0.95,
     star = None
     if star_threshold is not None:
         _warn_weak_guard("semantic_dedup")
-        from pyspark.sql import Window
-        wb = Window.partitionBy("_c")
-        vv = (a.withColumn("_bn", F.count("*").over(wb))
-              .withColumn("_hub", F.min("_id").over(wb))
-              .localCheckpoint(eager=True))
-        hubs = vv.filter(F.col("_id") == F.col("_hub")) \
-                 .select(F.col("_hub").alias("_h"), F.col("_v").alias("_hv"))
-        star = (vv.filter((F.col("_bn") > star_threshold)
-                          & (F.col("_id") != F.col("_hub")))
-                .join(hubs, F.col("_hub") == F.col("_h"))
-                .filter(F.round(cosine_expr(F.col("_hv"), F.col("_v")), 6)
-                        >= eps)
-                .select(F.col("_hub").alias("id_a"),
-                        F.col("_id").alias("id_b")))
-        a = vv.filter(F.col("_bn") <= star_threshold) \
-              .select("_id", "_v", "_c")
+        star, a = _cosine_hub_star(a, "_c", eps, star_threshold)
+        star = star.select("id_a", "id_b")
     if arrow_pairs:
         import numpy as np
         import pandas as pd
@@ -591,11 +615,14 @@ def semantic_dedup(emb: DataFrame, dim: int, eps: float = 0.95,
             blk = 1024  # row-blocked GEMM: memory O(blk x cluster)
             for lo in range(0, len(ids), blk):
                 hi = min(lo + blk, len(ids))
-                S = V[lo:hi] @ V.T
+                # columns < lo are below the strict upper triangle for
+                # every row of this block — don't compute them (halves
+                # the total multiply-adds vs V[lo:hi] @ V.T)
+                S = V[lo:hi] @ V[lo:].T
                 bi, bj = np.nonzero(np.round(S, 6) >= eps)
-                m = (bi + lo) < bj          # strict upper triangle only
+                m = bi < bj                 # strict upper triangle only
                 outs_a.append(ids[bi[m] + lo])
-                outs_b.append(ids[bj[m]])
+                outs_b.append(ids[bj[m] + lo])
             return pd.DataFrame({
                 "id_a": np.concatenate(outs_a) if outs_a else [],
                 "id_b": np.concatenate(outs_b) if outs_b else []})
@@ -973,24 +1000,7 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, dim: int,
     star = None
     if star_threshold is not None:
         _warn_weak_guard("embedding_dup_pairs_bucketed")
-        from pyspark.sql import Window
-        wb = Window.partitionBy("_b")
-        # checkpoint the window output ONCE — star, hubs, and the filtered
-        # corpus all derive from it (the lazy star branch would otherwise
-        # re-run the bucket shuffle + window at action time)
-        vv = (v.withColumn("_bn", F.count("*").over(wb))
-              .withColumn("_hub", F.min("_id").over(wb))
-              .localCheckpoint(eager=True))
-        hubs = vv.filter(F.col("_id") == F.col("_hub")) \
-                 .select(F.col("_hub").alias("_h"), F.col("_v").alias("_hv"))
-        star = (vv.filter((F.col("_bn") > star_threshold)
-                          & (F.col("_id") != F.col("_hub")))
-                .join(hubs, F.col("_hub") == F.col("_h"))
-                .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b"),
-                        F.round(cosine_expr(F.col("_hv"), F.col("_v")), 6)
-                         .alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
-        v = vv.filter(F.col("_bn") <= star_threshold).select("_id", "_v", "_b")
+        star, v = _cosine_hub_star(v, "_b", threshold, star_threshold)
     from .similarity import probe_buckets
     probes = probe_buckets(F.col("_b"), n_planes, probe_radius)
     left = v.select("_id", "_v", F.explode(F.array(*probes)).alias("_b"))

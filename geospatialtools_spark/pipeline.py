@@ -254,6 +254,31 @@ class CurationConfig:
         return d
 
 
+def _swap_edited_text(edited: DataFrame, base: DataFrame, idc: str,
+                      txt: str, out_col: str) -> DataFrame:
+    """Fold a text-editing operator's output (``idc``, stats, ``out_col``)
+    back into the corpus: docs the edit emptied DROP (inner join on the
+    n_kept > 0 survivors), ``out_col`` becomes the text column, and every
+    other corpus column reattaches. One choreography for the line-dedup
+    and passage-dedup stages — the subtle contracts (emptied-doc drop,
+    keep-cols excluding the text) live here once."""
+    keep_cols = [c for c in base.columns if c != txt]
+    return (edited.filter(F.col("n_kept") > 0)
+            .select(idc, F.col(out_col).alias(txt))
+            .join(base.select(*keep_cols), idc))
+
+
+def _recount_weight_chars(d: DataFrame, weight_col: str,
+                          txt: str) -> DataFrame:
+    """Refresh ``weight_col`` as CHAR length of the edited text (stale
+    weights would skew shard budgets). NB the recount unit is chars —
+    callers with token/byte weights disable it via the stage's
+    ``*_weight_rechars`` knob and recompute their own column."""
+    if weight_col in d.columns:
+        return d.withColumn(weight_col, F.length(txt).cast("long"))
+    return d
+
+
 def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
                           config: CurationConfig,
                           ckpt_root: str) -> dict[str, DataFrame]:
@@ -313,20 +338,12 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
                      .drop(txt, "n_lines", "n_kept")
                      .withColumnRenamed("clean_text", txt))
             if config.line_dedup:
-                keep_cols = [c for c in d.columns if c != txt]
-                d = (line_dedup(d.select(idc, txt), id_col=idc,
-                                text_col=txt, sep=config.line_sep)
-                     .filter(F.col("n_kept") > 0)
-                     .drop("n_lines", "n_kept")
-                     .withColumnRenamed("dedup_text", txt)
-                     .join(d.select(*keep_cols), idc))
-            if config.line_weight_rechars and config.weight_col in d.columns:
-                # line edits changed the text; stale weights would skew
-                # the shard budgets and the split accounting downstream.
-                # NB this recount is in CHARS — disable via
-                # line_weight_rechars when the weight unit is tokens/bytes
-                d = d.withColumn(config.weight_col,
-                                 F.length(txt).cast("long"))
+                d = _swap_edited_text(
+                    line_dedup(d.select(idc, txt), id_col=idc,
+                               text_col=txt, sep=config.line_sep),
+                    d, idc, txt, "dedup_text")
+            if config.line_weight_rechars:
+                d = _recount_weight_chars(d, config.weight_col, txt)
             return d
         docs = runner.run_stage("lines", _lines)
         out["lines"] = docs
@@ -352,17 +369,12 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     if config.passage_window is not None:
         def _passages() -> DataFrame:
             from .functions.lines import passage_dedup
-            keep_cols = [c for c in near.columns if c != txt]
-            d = (passage_dedup(near.select(idc, txt), id_col=idc,
-                               text_col=txt, n=config.passage_window)
-                 .filter(F.col("n_kept") > 0)
-                 .drop("n_tokens", "n_kept")
-                 .withColumnRenamed("dedup_text", txt)
-                 .join(near.select(*keep_cols), idc))
-            if config.passage_weight_rechars \
-                    and config.weight_col in d.columns:
-                d = d.withColumn(config.weight_col,
-                                 F.length(txt).cast("long"))
+            d = _swap_edited_text(
+                passage_dedup(near.select(idc, txt), id_col=idc,
+                              text_col=txt, n=config.passage_window),
+                near, idc, txt, "dedup_text")
+            if config.passage_weight_rechars:
+                d = _recount_weight_chars(d, config.weight_col, txt)
             return d
         near = runner.run_stage("passages", _passages)
         out["passages"] = near

@@ -433,13 +433,13 @@ def test_curation_pipeline_lines_stage(spark, tmp_path):
 def test_curation_pipeline_passages_stage(spark, tmp_path):
     """The optional ``passages`` stage after near-dedup: corpus-duplicated
     token windows are removed from every occurrence but the first; the
-    docs here share ONLY a 13-token license passage (too small a fraction
+    docs here share ONLY a 12-token license passage (too small a fraction
     for document-level MinHash to pair them), so the passage stage is the
     only pass that can remove it."""
     from geospatialtools_spark.pipeline import (CurationConfig,
                                                 run_curation_pipeline)
     passage = ("all rights reserved copyright two thousand twenty four "
-               "by the site owners")           # 13 tokens
+               "by the site owners")           # 12 tokens
     def body(i):
         return " ".join(f"w{i}x{j}" for j in range(30))
     docs = [(i, f"{body(i)} {passage}", 0) for i in range(1, 21)]
