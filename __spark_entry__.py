@@ -903,6 +903,23 @@ def q_semantic_dedup(spark, sf_dir):
                              n_clusters=1)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (functions/dsir.py — Xie et al. 2023):
+    hashed unigram+bigram histograms of a TARGET corpus (the 'en' docs)
+    vs the raw corpus, Laplace-smoothed log-ratio model, per-document
+    importance score. Featurization is the md5 bucket — exact in all
+    three engines — so the DuckDB twin recomputes the whole chain
+    (featurize -> two histograms -> model -> score); ln/sum float noise
+    absorbed by round(6) both sides. 64 buckets keep the dense model
+    table readable while exercising collisions and zero-count smoothing."""
+    from geospatialtools_spark.functions import dsir as DS
+    d = _t(spark, sf_dir, "documents")
+    model = DS.fit_dsir(d.filter(F.col("lang") == "en"), d, n_buckets=64)
+    lw = DS.dsir_log_weights(d.select("doc_id", "text"), model,
+                             n_buckets=64)
+    return lw.select("doc_id", F.round("log_w", 6).alias("log_w"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (sign-quantized projections)."""
     emb, q = _queries_emb(spark, sf_dir)
@@ -1620,7 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fit_metrics demoted round 5 (§2.8 keeps pedotransfer_saxton
         # in-window; metrics stays pytest-covered, 4 green rounds) for
         # heavy_hitters below.
-        "pedotransfer_saxton": q_pedotransfer_saxton,
+        # dsir_weights is new in round 5 (fresh-entry rule);
+        # pedotransfer_saxton demotes — 4 green driver rounds, plus the
+        # reference's own Saxton table as a golden pytest and the
+        # fao_texture twin in the tail.
+        "dsir_weights": q_dsir_weights,
         # -- training-data pipeline ----------------------------------------
         "minhash_lsh": q_minhash_lsh,
         # dedup_incremental is new in round 5 (fresh-entry rule: first
@@ -1753,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
         "span_invariant": q_span_invariant,
@@ -2220,6 +2242,46 @@ def oracle_sql() -> dict[str, str]:
                                 / 1152921504606846976.0), 6) END AS est,
                    CAST(n_kept < 64 AS INTEGER) AS is_exact
             FROM a""",
+        # dsir_weights: full recomputation — featurize (the independent
+        # _NORM replace-chain twin of text_tokens), histogram, smooth,
+        # score. Bucket = md5 (exact cross-engine); ln + per-doc sums
+        # carry last-ulp noise, absorbed by round(6).
+        "dsir_weights": f"""
+            WITH tk AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array({_NORM}, ' '),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            gr AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                       toks,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN generate_series(1, len(toks) - 1)])) AS g
+              FROM tk),
+            bk AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 64
+                       AS bucket
+              FROM gr),
+            ct AS (SELECT bucket, count(*) AS c FROM bk
+                   WHERE lang = 'en' GROUP BY 1),
+            cr AS (SELECT bucket, count(*) AS c FROM bk GROUP BY 1),
+            tt AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS t FROM ct),
+            rt AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS t FROM cr),
+            dense AS (SELECT unnest(range(0, 64)) AS bucket),
+            model AS (
+              SELECT d.bucket,
+                     ln((COALESCE(ct.c, 0) + 1)
+                        / CAST(tt.t + 64 AS DOUBLE))
+                     - ln((COALESCE(cr.c, 0) + 1)
+                          / CAST(rt.t + 64 AS DOUBLE)) AS log_ratio
+              FROM dense d CROSS JOIN tt CROSS JOIN rt
+              LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)),
+            lw AS (
+              SELECT b.doc_id, sum(m.log_ratio) AS log_w
+              FROM bk b JOIN model m USING (bucket) GROUP BY 1)
+            SELECT d.doc_id, round(COALESCE(lw.log_w, 0.0), 6) AS log_w
+            FROM documents d LEFT JOIN lw USING (doc_id)""",
         "host_pagerank": _pagerank_twin_sql(),
         "bpe_tokens": _bpe_twin_sql(),
         "lm_perplexity": f"""

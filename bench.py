@@ -758,6 +758,74 @@ def main_webgraph():
     }))
 
 
+def main_dsir():
+    """DSIR scale evidence with EXACT planted ground truth (BASELINE.md):
+    raw corpus of SPARK_GRAFT_DSIR_DOCS docs in two disjoint-vocabulary
+    styles (even ids = target-style vocab A, odd = spam-style vocab B);
+    the target corpus is 2% more vocab-A text. Every A-doc's importance
+    log-weight must exceed every B-doc's (disjoint vocabularies make the
+    separation deterministic), so the Gumbel top-k resample may contain
+    ONLY A-docs."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions import dsir as DS
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-dsir")
+    n = int(os.environ.get("SPARK_GRAFT_DSIR_DOCS", "5000000"))
+    B = int(os.environ.get("SPARK_GRAFT_DSIR_BUCKETS", "10000"))
+
+    def text_of(prefix, salt):
+        i = F.col("id")
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(prefix),
+                     F.pmod(F.xxhash64(i, F.lit(salt), F.lit(j)),
+                            F.lit(20)).cast("string"))
+            for j in range(12)])
+
+    raw = (spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, text_of("good", 1))
+         .otherwise(text_of("spam", 2)).alias("text"))
+        .localCheckpoint(eager=True))
+    target = (spark.range(n // 50).select(
+        F.col("id").alias("doc_id"), text_of("good", 3).alias("text"))
+        .localCheckpoint(eager=True))
+
+    t0 = time.time()
+    model = DS.fit_dsir(target, raw, n_buckets=B).localCheckpoint(eager=True)
+    t_fit = round(time.time() - t0, 2)
+    t0 = time.time()
+    lw = DS.dsir_log_weights(raw, model, n_buckets=B) \
+        .localCheckpoint(eager=True)
+    n_scored = lw.count()
+    t_score = round(time.time() - t0, 2)
+    sep = lw.agg(
+        F.min(F.when(F.col("doc_id") % 2 == 0, F.col("log_w"))).alias("amin"),
+        F.max(F.when(F.col("doc_id") % 2 == 1, F.col("log_w"))).alias("bmax")
+    ).head()
+    k = n // 10
+    t0 = time.time()
+    picked = DS.dsir_sample(lw, k=k).localCheckpoint(eager=True)
+    bad = picked.filter(F.col("doc_id") % 2 == 1).count()
+    n_picked = picked.count()
+    t_sample = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "metric": "DSIR fit/score/resample at scale",
+        "raw_docs": n, "target_docs": n // 50, "buckets": B,
+        "fit_wall_s": t_fit,
+        "score_wall_s": t_score,
+        "score_docs_per_sec": round(n / t_score, 1),
+        "docs_scored": n_scored,
+        "min_target_style_log_w": sep["amin"],
+        "max_spam_style_log_w": sep["bmax"],
+        "styles_separated": bool(sep["amin"] > sep["bmax"]),
+        "sample_k": k, "sample_wall_s": t_sample,
+        "sampled": n_picked, "spam_docs_sampled": bad,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 def main_semdedup():
     """SemDeDup scale evidence with EXACT planted ground truth
     (BASELINE.md): 500k 64-d vectors — ids < 20000 form 1000 families of
@@ -1396,6 +1464,8 @@ if __name__ == "__main__":
         main_warc()
     elif "--incdedup" in sys.argv:
         main_incdedup()
+    elif "--dsir" in sys.argv:
+        main_dsir()
     elif "--semdedup" in sys.argv:
         main_semdedup()
     elif "--webgraph" in sys.argv:
