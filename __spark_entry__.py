@@ -824,6 +824,41 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(d, "text", k=64)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable MRL/KLL-compactor quantile sketch (functions/sketch.py:
+    quantile_sketch; Manku-Rajagopalan-Lindsay SIGMOD 1998, Karnin-Lang-
+    Liberty FOCS 2016 with deterministic alternating-parity compaction):
+    the doc-length distribution that sizes curation thresholds, as one
+    narrow mapInPandas summary pass — the corpus column never globally
+    sorts. The gate runs in the sketch's EXACT regime (corpus rows <<
+    capacity 4096, zero compaction, is_exact = 1 certified in the
+    output), so the DuckDB twin is a plain type-1 quantile over
+    row_number(); the approximation bound is pytest-verified at 15x past
+    capacity (<3% rank error at capacity 256 / 60k rows). Third leg of
+    the sketch family: KMV = how many distinct, Misra-Gries = which items
+    dominate, MRL = how the mass is distributed."""
+    from geospatialtools_spark.functions.sketch import quantile_sketch
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(F.length("text").alias("len"))
+    return quantile_sketch(lens, "len", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + balanced round-robin sharding
+    (functions/sampling.py:epoch_shuffle) — the curated-corpus-to-
+    training-run step: order by md5(seed:key) (a seeded permutation,
+    byte-identical across retries and engines), global position via the
+    two-level seq_ids plan (operators/seq.py — range shuffle on the hash,
+    per-partition ranks, O(#partitions) offsets; no single-partition
+    window), shard = gpos % n, pos = gpos div n. Shards are balanced to
+    +-1 row by construction and each shard is itself a uniform shuffled
+    sample of the corpus. DuckDB twin: row_number() OVER the identical
+    md5 order plus the same modular arithmetic."""
+    from geospatialtools_spark.functions.sampling import epoch_shuffle
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", 8, seed=7)
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE tokenizer induction + encode (functions/bpe.py):
     learn 12 merges on the deterministic fixture corpus
@@ -1671,12 +1706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden twin hillslope_props in-window and bbox_means has green
         # driver history since round 4.
         "host_pagerank": q_host_pagerank,
-        # chunk_docs is new in round 5 (fresh-entry rule); token_stats
-        # demotes to the tail — the textstats family keeps quality_score
-        # and repetition_stats in-window (lang_id demoted later in round
-        # 5 for bm25_docs, see below), token_stats has 3+ rounds of green
-        # driver history.
-        "chunk_docs": q_chunk_docs,
+        # quantile_sketch is new in round-5 continuation (fresh-entry
+        # rule); chunk_docs — itself round-5-new but with a green row in
+        # the committed full-gate artifact and the same zero-shuffle plan
+        # family as the in-window pack_sequences — demotes to the tail.
+        "quantile_sketch": q_quantile_sketch,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
         # mixture_sample is new in round 5 (fresh-entry rule: first round
@@ -1757,10 +1791,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "polygon_adjacency": q_polygon_adjacency,
         "media_decode": q_media_decode,
-        # weighted_sample_grouped is new in round 5 (fresh-entry rule);
-        # frame_sample demotes to the tail — the media family keeps
-        # media_decode in-window and frame_sample has green driver history.
-        "weighted_sample_grouped": q_weighted_sample_grouped,
+        # epoch_shuffle is new in round-5 continuation (fresh-entry rule);
+        # weighted_sample_grouped — round-5-new but green in the committed
+        # full-gate artifact, with family reps weighted_sample +
+        # mixture_sample in-window — demotes to the tail.
+        "epoch_shuffle": q_epoch_shuffle,
         "doc_cell_ids": q_doc_cell_ids,
         # -- zone / ML golden twins (inside the window since round 4) ------
         "tiles_kmeans": q_tiles_kmeans,
@@ -1813,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "shard_budget": q_shard_budget,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "chunk_docs": q_chunk_docs,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
     }
 
 
@@ -2242,6 +2279,44 @@ def oracle_sql() -> dict[str, str]:
                                 / 1152921504606846976.0), 6) END AS est,
                    CAST(n_kept < 64 AS INTEGER) AS is_exact
             FROM a""",
+        # quantile_sketch: the gate runs the sketch's EXACT regime (corpus
+        # rows << capacity, is_exact certified in the output), so the twin
+        # is the plain type-1 quantile — smallest value whose rank reaches
+        # ceil(q*n). q literals and ceil(q*n) are the same IEEE ops in
+        # both engines; values are integer-valued doubles, so the hash
+        # match is engineered float parity.
+        "quantile_sketch": """
+            WITH v AS (
+              SELECT CAST(length(text) AS DOUBLE) AS value
+              FROM documents WHERE text IS NOT NULL),
+            t AS (SELECT count(*) AS n FROM v),
+            r AS (SELECT value,
+                         row_number() OVER (ORDER BY value) AS rn FROM v),
+            qs AS (SELECT CAST(x AS DOUBLE) AS q
+                   FROM unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS u(x)),
+            sel AS (
+              SELECT q, min(value) AS value
+              FROM qs, t, r
+              WHERE rn >= GREATEST(CAST(ceil(q * n) AS BIGINT), 1)
+              GROUP BY q)
+            SELECT sel.q AS q, sel.value AS value, t.n AS n,
+                   CAST(1 AS INTEGER) AS is_exact
+            FROM sel, t""",
+        # epoch_shuffle: the identical seeded md5 permutation + modular
+        # deal, via row_number() — exact cross-engine because the order
+        # key is the md5 hex string both engines produce byte-for-byte.
+        "epoch_shuffle": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('7:' || COALESCE(
+                                 CAST(doc_id AS VARCHAR), '<NULL>')),
+                                doc_id) - 1 AS gpos
+              FROM documents)
+            SELECT doc_id,
+                   CAST(gpos % 8 AS INTEGER) AS shard,
+                   CAST(gpos // 8 AS BIGINT) AS pos
+            FROM r""",
         # dsir_weights: full recomputation — featurize (the independent
         # _NORM replace-chain twin of text_tokens), histogram, smooth,
         # score. Bucket = md5 (exact cross-engine); ln + per-doc sums

@@ -1439,6 +1439,100 @@ def main_flagship_only():
                       "cpus": spark.sparkContext.defaultParallelism}))
 
 
+def main_shuffle():
+    """Epoch shuffle + MRL quantile sketch scale evidence (BASELINE.md).
+
+    epoch_shuffle (functions/sampling.py): a seeded md5 permutation of
+    SPARK_GRAFT_SHUFFLE_DOCS keys dealt round-robin into 1024 shards via
+    the two-level seq_ids plan (range shuffle on the hash + per-partition
+    ranks + O(#partitions) offsets — no single-partition window). Ground
+    truth is EXACT and closed-form: positions must be the permutation
+    0..N-1 (sum(gpos) == N(N-1)/2 checked as one aggregate, gpos
+    reconstructed from shard/pos) and shard sizes must be balanced to
+    max-min <= 1 by round-robin construction.
+
+    quantile_sketch (functions/sketch.py): doc-length-shaped values at
+    SPARK_GRAFT_QUANT_ROWS rows, capacity 4096 (deep approximation
+    regime). Error is measured EXACTLY: each returned value's true rank
+    is one filter-count over the corpus; reported as relative rank error
+    vs q*N. Spark's builtin approx_percentile runs beside it for an
+    engine-side reference point (same pass count, no persistable summary).
+    """
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.sampling import epoch_shuffle
+    from geospatialtools_spark.functions.sketch import quantile_sketch
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-shuffle")
+    n = int(os.environ.get("SPARK_GRAFT_SHUFFLE_DOCS", "20000000"))
+    n_shards = 1024
+    keys = (spark.range(n).select(F.col("id").alias("doc_id"))
+            .localCheckpoint(eager=True))
+    epoch_shuffle(keys.limit(2000), "doc_id", n_shards, seed=1).count()
+    sh_reps, out = [], None
+    for seed in (1, 2):  # different seeds: no cross-rep cache flattery
+        if out is not None:
+            out.unpersist(blocking=True)  # free the stale rep before timing
+        t0 = time.time()
+        out = (epoch_shuffle(keys, "doc_id", n_shards, seed=seed)
+               .localCheckpoint(eager=True))
+        out.count()
+        sh_reps.append(round(time.time() - t0, 2))
+    t_sh = min(sh_reps)
+    chk = out.agg(
+        F.sum(F.col("pos") * n_shards + F.col("shard")).alias("gsum"),
+        F.countDistinct("shard").alias("nsh")).head()
+    perm_ok = int(chk["gsum"]) == n * (n - 1) // 2
+    sizes = out.groupBy("shard").count().agg(
+        F.max("count").alias("mx"), F.min("count").alias("mn")).head()
+    balanced = int(sizes["mx"]) - int(sizes["mn"]) <= 1
+
+    rows = int(os.environ.get("SPARK_GRAFT_QUANT_ROWS", "40000000"))
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = (spark.range(rows).select(
+        (F.pmod(F.xxhash64("id"), F.lit(4000)) +
+         F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4000)))
+        .cast("double").alias("v")).localCheckpoint(eager=True))
+    quantile_sketch(vals.limit(2000), "v", qs).count()
+    qk_reps, got = [], None
+    for _ in range(2):
+        t0 = time.time()
+        got = quantile_sketch(vals, "v", qs, capacity=4096).collect()
+        qk_reps.append(round(time.time() - t0, 2))
+    t_qk = min(qk_reps)
+    errs = {}
+    for r in got:
+        rank = vals.filter(F.col("v") <= r["value"]).count()
+        errs[str(r["q"])] = round(abs(rank - r["q"] * rows) / rows, 6)
+    t0 = time.time()
+    ap = vals.agg(F.percentile_approx("v", qs, 10000)).head()[0]
+    t_ap = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "metric": "epoch shuffle + quantile sketch at scale",
+        "epoch_shuffle": {
+            "keys": n, "n_shards": n_shards,
+            "wall_s": t_sh, "reps_s": sh_reps,
+            "keys_per_sec": round(n / t_sh, 1),
+            "permutation_exact": perm_ok,
+            "shards_seen": int(chk["nsh"]),
+            "balanced_within_1": balanced,
+            "max_shard": int(sizes["mx"]), "min_shard": int(sizes["mn"]),
+        },
+        "quantile_sketch": {
+            "rows": rows, "capacity": 4096, "qs": qs,
+            "wall_s": t_qk, "reps_s": qk_reps,
+            "rows_per_sec": round(rows / t_qk, 1),
+            "rel_rank_err": errs,
+            "max_rel_rank_err": max(errs.values()),
+            "builtin_approx_percentile_wall_s": t_ap,
+            "builtin_values": [float(x) for x in ap],
+        },
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
@@ -1456,6 +1550,8 @@ if __name__ == "__main__":
         main_mixture()
     elif "--tokens" in sys.argv:
         main_tokens()
+    elif "--shuffle" in sys.argv:
+        main_shuffle()
     elif "--decon" in sys.argv:
         main_decon()
     elif "--retrieval" in sys.argv:

@@ -362,3 +362,48 @@ def shard_by_budget(df: DataFrame, key_col: str, weight_col: str,
     # budget*k - 1 can round up and misassign the shard
     return (d.withColumn(out_col, F.expr(f"_prefix div CAST({int(budget)} AS BIGINT)"))
             .drop("_prefix"))
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, n_shards: int,
+                  seed: int = 0, shard_col: str = "shard",
+                  pos_col: str = "pos") -> DataFrame:
+    """Deterministic global shuffle + balanced round-robin sharding — the
+    step between a curated corpus and a training run. Orders the corpus by
+    ``md5(seed || ':' || key)`` (a seeded uniform permutation, so changing
+    the seed re-shuffles every epoch while retries within an epoch are
+    byte-identical), assigns a global sequence position, and deals rows to
+    shards round-robin::
+
+        shard = gpos %  n_shards     # every shard within +-1 row of equal
+        pos   = gpos // n_shards     # read order inside the shard
+
+    Why not ``ORDER BY rand()``: non-reproducible across retries, and a
+    re-run after a lost executor silently re-deals the epoch. Why not
+    ``repartition(n_shards)`` + local shuffle: shard membership would
+    depend on the input partitioning, breaking resume. Here both columns
+    are pure functions of (seed, key), so a killed epoch-prep job re-runs
+    to the identical shards, and two engines agree bit-for-bit (the DuckDB
+    gate twin is ``row_number() OVER (ORDER BY md5(...), key)`` plus the
+    same modular arithmetic).
+
+    Scale shape: the sequence comes from ``operators/seq.py`` (range
+    shuffle on the hash — uniform by construction, no skew — then
+    per-partition ranks and O(#partitions) driver-side offsets); there is
+    no single-partition window and no per-shard window. A training loader
+    then reads shard files in ``pos`` order: because shards interleave the
+    hash order round-robin, each shard is itself a uniform sample of the
+    corpus in shuffled order — loaders that consume shards in parallel
+    see independent streams of one global permutation.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from ..operators.seq import seq_ids
+    h = F.md5(F.concat_ws(":", F.lit(str(int(seed))),
+                          F.coalesce(F.col(key_col).cast("string"),
+                                     F.lit("<NULL>"))))
+    d = seq_ids(df.withColumn("_h", h), ["_h", key_col], "_gpos", start=0)
+    n = int(n_shards)
+    return (d.withColumn(shard_col,
+                         F.expr(f"CAST(_gpos % {n} AS INT)"))
+             .withColumn(pos_col, F.expr(f"_gpos div {n}"))
+             .drop("_h", "_gpos"))

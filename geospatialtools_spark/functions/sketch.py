@@ -233,3 +233,136 @@ def kmv_distinct(df: DataFrame, item_col: str, k: int = 1024) -> DataFrame:
     DuckDB gate twin checks the approximate answer bit-for-bit.
     """
     return kmv_finalize(kmv_summaries(df, item_col, k), k)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MRL-style quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def mrl_summaries(df: DataFrame, value_col: str,
+                  capacity: int = 4096) -> DataFrame:
+    """Per-partition deterministic quantile summaries in the
+    Manku-Rajagopalan-Lindsay (SIGMOD 1998) / KLL (Karnin-Lang-Liberty,
+    FOCS 2016) compactor form: rows ``(value, weight)`` with weight a
+    power of two and ``sum(weight) == #rows`` exactly.
+
+    Each level holds at most ``capacity`` values of weight ``2^level``;
+    an overflowing level is sorted and every other value is promoted to
+    the next level with doubled weight (the surviving parity ALTERNATES
+    between compactions — the deterministic de-biasing MRL uses where KLL
+    flips a coin; determinism is what makes the sketch reproducible
+    across retries and engines). An odd element is held back at its
+    level, so total weight is conserved exactly, not just in expectation.
+
+    Exactness regime (used by the oracle gate): while a partition never
+    overflows level 0, every value survives with weight 1 and the merged
+    sketch IS the dataset — the finalize step then computes exact type-1
+    quantiles and certifies ``is_exact = 1``. The approximation bound
+    (max rank error ~ O(N log(N/c) / c) for the deterministic variant)
+    is pytest-verified on data 50x past the capacity.
+
+    Mergeability is structural: summaries are just weighted values, so
+    partitions, tables, or daily increments combine by plain union before
+    ``quantile_finalize`` — same contract as mg/kmv summaries above.
+    """
+    schema = TY.StructType([
+        TY.StructField("value", TY.DoubleType()),
+        TY.StructField("weight", TY.LongType()),
+    ])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: list[list[np.ndarray]] = [[]]  # per-level pending chunks
+        cnt: list[int] = [0]                 # per-level element counts
+        par: list[int] = [0]                 # per-level alternating parity
+
+        def compact(i: int) -> None:
+            buf = np.sort(np.concatenate(pend[i]))
+            m = (len(buf) // 2) * 2
+            promoted = buf[par[i]:m:2]       # m/2 values, weight doubles
+            par[i] ^= 1
+            left = buf[m:]                   # 0 or 1 held-back values
+            pend[i] = [left] if len(left) else []
+            cnt[i] = len(left)
+            if i + 1 == len(pend):
+                pend.append([]); cnt.append(0); par.append(0)
+            pend[i + 1].append(promoted)
+            cnt[i + 1] += len(promoted)
+            if cnt[i + 1] > capacity:
+                compact(i + 1)
+
+        for pdf in batches:
+            a = pdf[value_col].dropna().to_numpy(dtype=np.float64)
+            if not len(a):
+                continue
+            pend[0].append(a)
+            cnt[0] += len(a)
+            if cnt[0] > capacity:
+                compact(0)
+        out_v, out_w = [], []
+        for i, chunks in enumerate(pend):
+            if cnt[i]:
+                v = np.concatenate(chunks)
+                out_v.append(v)
+                out_w.append(np.full(len(v), np.int64(1) << i,
+                                     dtype=np.int64))
+        if out_v:
+            yield pd.DataFrame({"value": np.concatenate(out_v),
+                                "weight": np.concatenate(out_w)})
+
+    return (df.select(F.col(value_col).cast("double").alias(value_col))
+              .mapInPandas(fold, schema=schema))
+
+
+def quantile_finalize(summaries: DataFrame, qs: list[float]) -> DataFrame:
+    """Merge MRL summaries and emit one row per requested quantile:
+    ``(q, value, n, is_exact)`` with ``value`` the type-1 (lower)
+    quantile — the smallest v whose cumulative weight reaches
+    ``ceil(q * n)``. ``is_exact = 1`` certifies every summary weight was
+    1 (no compaction anywhere), making the answer the exact quantile.
+
+    Plan shape: one scalar aggregate (n, exactness) + a groupBy(value)
+    weight merge over the BOUNDED summary table, the two-level prefix sum
+    from operators/seq.py for cumulative weights (no single-partition
+    window), then a broadcast range-join of the |qs| target ranks against
+    the cumulative table and a min() per q. Everything downstream of the
+    corpus scan is O(capacity x levels x partitions).
+    """
+    from ..operators.seq import exclusive_prefix_sum
+    s = summaries.localCheckpoint(eager=True)
+    tot = s.agg(F.sum("weight").alias("n"),
+                (F.max("weight") == 1).cast("int").alias("is_exact"))
+    qdf = (tot.select(F.explode(F.array(
+               *[F.lit(float(q)) for q in qs])).alias("q"),
+               "n", "is_exact")
+           .withColumn("target",
+                       F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))))
+    g = s.groupBy("value").agg(F.sum("weight").alias("w"))
+    d = exclusive_prefix_sum(g, ["value"], "w", "_cum0")
+    d = d.withColumn("_cumi", F.col("_cum0") + F.col("w"))
+    return (d.join(F.broadcast(qdf), F.col("_cumi") >= F.col("target"))
+             .groupBy("q", "n", "is_exact")
+             .agg(F.min("value").alias("value"))
+             .select("q", "value", "n", "is_exact"))
+
+
+def quantile_sketch(df: DataFrame, value_col: str, qs: list[float],
+                    capacity: int = 4096) -> DataFrame:
+    """Quantiles of ``value_col`` via the deterministic MRL sketch: one
+    narrow ``mapInPandas`` pass building O(capacity x log(N/capacity))
+    weighted values per partition, then a bounded merge — the corpus
+    never shuffles (an exact distributed quantile sorts the full column).
+    NULL values are ignored (aggregate semantics, like kmv/mg above).
+
+    This is the third leg of the sketch family: KMV answers "how many
+    distinct", Misra-Gries "which items dominate", and this "how is the
+    mass distributed" (doc length / token count / quality-score
+    distributions that size curation thresholds before a full pass).
+    Spark's builtin approx_percentile answers the same question
+    engine-side; this form exists because its summaries PERSIST and MERGE
+    across tables and days (build per shard, union, finalize), and its
+    exact regime is value-oracle-able cross-engine.
+    """
+    vals = (df.select(F.col(value_col).cast("double").alias("value"))
+              .filter(F.col("value").isNotNull()))
+    return quantile_finalize(mrl_summaries(vals, "value", capacity), qs)

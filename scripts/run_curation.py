@@ -75,6 +75,8 @@ def main() -> int:
     rows = {name: df.count() for name, df in out.items()
             if name != "_metrics"}
     wall = round(time.time() - t0, 2)
+    from geospatialtools_spark.pipeline import curation_funnel
+    funnel = curation_funnel(out, weight_col=cfg.weight_col)
     # planted ground truth, checked by IDENTITY, not by count (a count
     # check would score false-positive drops of regular docs as "recall"):
     # exact dedup drops exactly the m+1 copies; near-dup group resolution
@@ -92,7 +94,8 @@ def main() -> int:
     recall = 1.0 - chk["near_dup_survivors"] / planted_drops
     false_drops = expect["near_dedup"] - int(chk["keepers_and_regulars"])
     print(json.dumps({
-        "stages": out["_metrics"], "rows": rows, "wall_s": wall,
+        "stages": out["_metrics"], "rows": rows, "funnel": funnel,
+        "wall_s": wall,
         "docs": args.docs,
         "expected": expect,
         "near_dup_recall": round(recall, 4),

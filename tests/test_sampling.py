@@ -264,6 +264,28 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
     assert minhash_lsh_pairs(near_out).count() == 0
     assert near_out.count() < spark.read.parquet(f"{root}/dedup").count()
 
+    # curation_funnel: the per-stage survivorship audit agrees with direct
+    # counts of the checkpointed outputs, drops are monotone through the
+    # filtering stages, and the shard row's drop vs split is exactly the
+    # val/test holdout (documented non-monotonic reading, not data loss)
+    from geospatialtools_spark.pipeline import curation_funnel
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+    out_all = run_curation_pipeline(spark, docs0, cfg, root)
+    funnel = curation_funnel(out_all, weight_col=cfg.weight_col)
+    by = {r["stage"]: r for r in funnel}
+    assert [r["stage"] for r in funnel] == ["dedup", "near_dedup",
+                                            "quality", "scrub", "split",
+                                            "shard"]
+    for stage in ("dedup", "near_dedup", "quality", "scrub", "split"):
+        assert by[stage]["rows"] == \
+            spark.read.parquet(f"{root}/{stage}").count()
+    assert by["near_dedup"]["rows_dropped"] > 0   # planted near-dups fell
+    assert by["scrub"]["rows_dropped"] == 0       # scrub edits, never drops
+    split_df = spark.read.parquet(f"{root}/split")
+    holdout = split_df.filter(F.col("split") != cfg.train_split).count()
+    assert by["shard"]["rows_dropped"] == holdout
+    assert all(r["weight"] is not None for r in funnel)
+
     r2, out2 = run()                            # resume: zero recompute
     assert all(m.get("resumed") for m in r2)
     pdf2 = out2.toPandas().sort_values("doc_id").reset_index(drop=True)
@@ -360,3 +382,52 @@ def test_curation_mixture_stage(spark, tmp_path):
     shard_ids = {r["doc_id"] for r in out_on["shard"].select("doc_id").collect()}
     mixed_ids = {r["doc_id"] for r in out_on["mixture"].select("doc_id").collect()}
     assert shard_ids == mixed_ids
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from geospatialtools_spark.functions.sampling import epoch_shuffle
+
+
+def _epoch_twin(keys, seed, n_shards):
+    order = sorted(keys, key=lambda k: (
+        hashlib.md5(f"{seed}:{k}".encode()).hexdigest(), k))
+    return {k: (i % n_shards, i // n_shards) for i, k in enumerate(order)}
+
+
+def test_epoch_shuffle_matches_md5_twin_and_balances(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id")).repartition(8)
+    got = epoch_shuffle(df, "doc_id", 8, seed=7).collect()
+    exp = _epoch_twin(list(range(1000)), 7, 8)
+    assert all(exp[r["doc_id"]] == (r["shard"], r["pos"]) for r in got)
+    sizes = {}
+    for r in got:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert set(sizes.values()) == {125}  # perfectly balanced round-robin
+
+
+def test_epoch_shuffle_seed_changes_permutation_not_membership(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in epoch_shuffle(df, "doc_id", 4, seed=1).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in epoch_shuffle(df, "doc_id", 4, seed=2).collect()}
+    assert set(a) == set(b) == set(range(500))      # nothing lost
+    assert a != b                                    # epochs differ
+    # each epoch is itself a full permutation of 0..N-1 global positions
+    for m in (a, b):
+        gpos = sorted(s + 4 * p for s, p in m.values())
+        assert gpos == list(range(500))
+
+
+def test_epoch_shuffle_partition_invariant(spark):
+    base = spark.range(777).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, epoch_shuffle(
+        base.repartition(3), "doc_id", 5, seed=9).collect()))
+    b = sorted(map(tuple, epoch_shuffle(
+        base.repartition(13), "doc_id", 5, seed=9).collect()))
+    assert a == b

@@ -117,3 +117,83 @@ def test_kmv_empty_and_all_null_input(spark):
     df = _word_df(spark, [None, None], parts=2)
     r = kmv_distinct(df, "w", k=64).collect()
     assert [(x["n_kept"], x["est"], x["is_exact"]) for x in r] == [(0, 0.0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# MRL quantile sketch
+# ---------------------------------------------------------------------------
+
+import math
+
+import numpy as np
+
+from geospatialtools_spark.functions.sketch import (
+    mrl_summaries, quantile_finalize, quantile_sketch)
+
+QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _vals_df(spark, arr, parts=8):
+    return spark.createDataFrame([(float(v),) for v in arr], "v double") \
+                .repartition(parts)
+
+
+def _type1(arr, q):
+    a = np.sort(np.asarray(arr, dtype=float))
+    return a[max(math.ceil(q * len(a)), 1) - 1]
+
+
+def test_quantile_exact_regime_matches_type1(spark):
+    arr = (np.arange(5000) * 3.5) % 997.0
+    got = {r["q"]: r for r in
+           quantile_sketch(_vals_df(spark, arr), "v", QS).collect()}
+    for q in QS:
+        r = got[q]
+        assert r["is_exact"] == 1 and r["n"] == len(arr)
+        assert r["value"] == _type1(arr, q)
+
+
+def test_quantile_approx_rank_error_bounded(spark):
+    # capacity 256 on 60k rows: ~8 compaction levels; deterministic MRL
+    # alternating-parity bound is loose, empirically ~0.4% here — assert 3%
+    n = 60_000
+    arr = (np.arange(n, dtype=np.int64) * 2654435761) % 1_000_003
+    srt = np.sort(arr.astype(float))
+    rows = quantile_sketch(_vals_df(spark, arr), "v", QS,
+                           capacity=256).collect()
+    assert all(r["is_exact"] == 0 for r in rows)
+    for r in rows:
+        rank = np.searchsorted(srt, r["value"], side="right")
+        assert abs(rank - r["q"] * n) / n < 0.03
+
+
+def test_quantile_weight_conservation_and_merge(spark):
+    # total weight == N exactly even through odd-sized compactions, and
+    # summaries built per-half UNION-merge to the same finalize contract
+    n = 10_001  # odd on purpose
+    arr = np.linspace(0.0, 1.0, n)
+    df = _vals_df(spark, arr, parts=7)
+    s = mrl_summaries(df.select(F.col("v").alias("value")), "value",
+                      capacity=128)
+    assert s.agg(F.sum("weight")).collect()[0][0] == n
+    half1 = mrl_summaries(
+        _vals_df(spark, arr[: n // 2]).select(F.col("v").alias("value")),
+        "value", capacity=128)
+    half2 = mrl_summaries(
+        _vals_df(spark, arr[n // 2:]).select(F.col("v").alias("value")),
+        "value", capacity=128)
+    merged = quantile_finalize(half1.unionByName(half2), QS).collect()
+    assert {r["n"] for r in merged} == {n}
+    srt = np.sort(arr)
+    for r in merged:
+        rank = np.searchsorted(srt, r["value"], side="right")
+        assert abs(rank - r["q"] * n) / n < 0.05
+
+
+def test_quantile_partition_stable_in_exact_regime(spark):
+    arr = (np.arange(3000) * 17.0) % 101.0
+    a = sorted(map(tuple, quantile_sketch(
+        _vals_df(spark, arr, 3), "v", QS).collect()))
+    b = sorted(map(tuple, quantile_sketch(
+        _vals_df(spark, arr, 11), "v", QS).collect()))
+    assert a == b
