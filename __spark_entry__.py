@@ -2304,13 +2304,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sel, t""",
         # epoch_shuffle: the identical seeded md5 permutation + modular
         # deal, via row_number() — exact cross-engine because the order
-        # key is the md5 hex string both engines produce byte-for-byte.
+        # key is the md5 hex string both engines produce byte-for-byte
+        # (keys are non-null by the operator's contract; a NULL raises
+        # engine-side rather than hashing a sentinel).
         "epoch_shuffle": """
             WITH r AS (
               SELECT doc_id,
                      row_number() OVER (
-                       ORDER BY md5('7:' || COALESCE(
-                                 CAST(doc_id AS VARCHAR), '<NULL>')),
+                       ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)),
                                 doc_id) - 1 AS gpos
               FROM documents)
             SELECT doc_id,

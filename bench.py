@@ -1446,10 +1446,12 @@ def main_shuffle():
     SPARK_GRAFT_SHUFFLE_DOCS keys dealt round-robin into 1024 shards via
     the two-level seq_ids plan (range shuffle on the hash + per-partition
     ranks + O(#partitions) offsets — no single-partition window). Ground
-    truth is EXACT and closed-form: positions must be the permutation
-    0..N-1 (sum(gpos) == N(N-1)/2 checked as one aggregate, gpos
-    reconstructed from shard/pos) and shard sizes must be balanced to
-    max-min <= 1 by round-robin construction.
+    truth is EXACT: the positions reconstructed from shard/pos must be
+    the permutation 0..N-1 — certified by count == N, countDistinct == N
+    and min/max == 0/N-1 in one aggregate (N distinct values inside
+    [0, N-1] with count N IS 0..N-1; a plain sum check would pass
+    duplicate/skip corruptions with a compensating sum) — and shard sizes
+    must be balanced to max-min <= 1 by round-robin construction.
 
     quantile_sketch (functions/sketch.py): doc-length-shaped values at
     SPARK_GRAFT_QUANT_ROWS rows, capacity 4096 (deep approximation
@@ -1464,28 +1466,44 @@ def main_shuffle():
     from geospatialtools_spark.functions.sketch import quantile_sketch
     from geospatialtools_spark.session import get_spark
     spark = get_spark("bench-shuffle")
+
+    def _free_checkpoint_blocks():
+        # Dataset.unpersist only uncaches CacheManager-registered plans;
+        # the blocks pinned by localCheckpoint (ours AND seq_ids'
+        # internal ones) are plain persisted RDDs, freed only through the
+        # RDD handle — sweep them all so the next timed rep starts clean
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(True)
+
     n = int(os.environ.get("SPARK_GRAFT_SHUFFLE_DOCS", "20000000"))
     n_shards = 1024
-    keys = (spark.range(n).select(F.col("id").alias("doc_id"))
-            .localCheckpoint(eager=True))
+    # keys deliberately NOT checkpointed: spark.range is free to
+    # recompute, and the between-rep block sweep would evict it anyway
+    keys = spark.range(n).select(F.col("id").alias("doc_id"))
     epoch_shuffle(keys.limit(2000), "doc_id", n_shards, seed=1).count()
     sh_reps, out = [], None
     for seed in (1, 2):  # different seeds: no cross-rep cache flattery
         if out is not None:
-            out.unpersist(blocking=True)  # free the stale rep before timing
+            _free_checkpoint_blocks()
         t0 = time.time()
         out = (epoch_shuffle(keys, "doc_id", n_shards, seed=seed)
                .localCheckpoint(eager=True))
         out.count()
         sh_reps.append(round(time.time() - t0, 2))
     t_sh = min(sh_reps)
+    gpos = F.col("pos") * n_shards + F.col("shard")
     chk = out.agg(
-        F.sum(F.col("pos") * n_shards + F.col("shard")).alias("gsum"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct(gpos).alias("nd"),
+        F.min(gpos).alias("gmin"), F.max(gpos).alias("gmax"),
         F.countDistinct("shard").alias("nsh")).head()
-    perm_ok = int(chk["gsum"]) == n * (n - 1) // 2
+    perm_ok = (int(chk["cnt"]) == n and int(chk["nd"]) == n
+               and int(chk["gmin"]) == 0 and int(chk["gmax"]) == n - 1)
     sizes = out.groupBy("shard").count().agg(
         F.max("count").alias("mx"), F.min("count").alias("mn")).head()
     balanced = int(sizes["mx"]) - int(sizes["mn"]) <= 1
+    _free_checkpoint_blocks()  # the quantile section starts clean too
 
     rows = int(os.environ.get("SPARK_GRAFT_QUANT_ROWS", "40000000"))
     qs = [0.25, 0.5, 0.75, 0.9, 0.99]

@@ -394,13 +394,24 @@ def epoch_shuffle(df: DataFrame, key_col: str, n_shards: int,
     hash order round-robin, each shard is itself a uniform sample of the
     corpus in shuffled order — loaders that consume shards in parallel
     see independent streams of one global permutation.
+
+    ``key_col`` must be NON-NULL and unique (it is a document id — the
+    same contract as ``seq_ids``): a NULL key raises at execution rather
+    than silently taking a sentinel hash, because a sentinel would (a)
+    collide with a literal key of the same spelling and (b) give two NULL
+    rows identical sort keys, making their shard/pos partition-order
+    dependent — both of which break the byte-identical-across-retries
+    guarantee this operator exists to provide. (The samplers above use a
+    sentinel deliberately: a dropped NULL row there biases a cohort; a
+    NULL id here is corrupt input.)
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     from ..operators.seq import seq_ids
-    h = F.md5(F.concat_ws(":", F.lit(str(int(seed))),
-                          F.coalesce(F.col(key_col).cast("string"),
-                                     F.lit("<NULL>"))))
+    k = F.col(key_col).cast("string")
+    h = F.md5(F.when(k.isNull(), F.raise_error(F.lit(
+            f"epoch_shuffle: NULL {key_col} — keys must be non-null ids")))
+           .otherwise(F.concat_ws(":", F.lit(str(int(seed))), k)))
     d = seq_ids(df.withColumn("_h", h), ["_h", key_col], "_gpos", start=0)
     n = int(n_shards)
     return (d.withColumn(shard_col,

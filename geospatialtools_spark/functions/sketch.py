@@ -265,6 +265,11 @@ def mrl_summaries(df: DataFrame, value_col: str,
     Mergeability is structural: summaries are just weighted values, so
     partitions, tables, or daily increments combine by plain union before
     ``quantile_finalize`` — same contract as mg/kmv summaries above.
+
+    NULL and NaN inputs are dropped HERE (the fold's ``dropna`` removes
+    both from the float64 batch) — the single filtering layer, so ``n``
+    (= total weight) is well-defined no matter which wrapper built the
+    input projection.
     """
     schema = TY.StructType([
         TY.StructField("value", TY.DoubleType()),
@@ -352,7 +357,9 @@ def quantile_sketch(df: DataFrame, value_col: str, qs: list[float],
     narrow ``mapInPandas`` pass building O(capacity x log(N/capacity))
     weighted values per partition, then a bounded merge — the corpus
     never shuffles (an exact distributed quantile sorts the full column).
-    NULL values are ignored (aggregate semantics, like kmv/mg above).
+    NULL and NaN values are both ignored (aggregate semantics, like
+    kmv/mg above) — handled in ONE place, the fold's dropna, which drops
+    both from the float64 batch; ``n`` counts only finite-or-inf reals.
 
     This is the third leg of the sketch family: KMV answers "how many
     distinct", Misra-Gries "which items dominate", and this "how is the
@@ -363,6 +370,5 @@ def quantile_sketch(df: DataFrame, value_col: str, qs: list[float],
     across tables and days (build per shard, union, finalize), and its
     exact regime is value-oracle-able cross-engine.
     """
-    vals = (df.select(F.col(value_col).cast("double").alias("value"))
-              .filter(F.col("value").isNotNull()))
+    vals = df.select(F.col(value_col).cast("double").alias("value"))
     return quantile_finalize(mrl_summaries(vals, "value", capacity), qs)

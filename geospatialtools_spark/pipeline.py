@@ -430,11 +430,16 @@ _CURATION_STAGE_ORDER = ("lines", "dedup", "near_dedup", "passages",
 
 
 def curation_funnel(out: dict[str, DataFrame],
-                    weight_col: str = "n_tokens") -> list[dict]:
+                    weight_col: str = "n_tokens",
+                    input_df: DataFrame | None = None) -> list[dict]:
     """Per-stage survivorship report for a ``run_curation_pipeline``
     result: one row per executed stage with surviving row count, surviving
     ``weight_col`` mass (token/byte budget — skipped if the stage output
-    lacks the column), and the deltas vs the previous stage.
+    lacks the column), and the deltas vs the previous stage. Pass the raw
+    corpus as ``input_df`` to get a leading ``input`` row — without it the
+    first stage's drop vs the raw corpus is unknowable from the outputs
+    alone and reads as 0 (with the default config that first stage is
+    exact dedup, usually the single biggest cut).
 
     This is the audit a production curation run ships with its output —
     "dedup dropped 12% of rows, quality another 9%, the mixture cut took
@@ -452,10 +457,11 @@ def curation_funnel(out: dict[str, DataFrame],
     report: list[dict] = []
     prev_rows: int | None = None
     prev_w: int | None = None
-    for stage in _CURATION_STAGE_ORDER:
-        if stage not in out:
-            continue
-        d = out[stage]
+    stages: list[tuple[str, DataFrame]] = []
+    if input_df is not None:
+        stages.append(("input", input_df))
+    stages += [(s, out[s]) for s in _CURATION_STAGE_ORDER if s in out]
+    for stage, d in stages:
         aggs = [F.count(F.lit(1)).alias("rows")]
         has_w = weight_col in d.columns
         if has_w:

@@ -72,11 +72,12 @@ def main() -> int:
     docs = make_inputs(spark, args.docs)
     t0 = time.time()
     out = run_curation_pipeline(spark, docs, cfg, args.ckpt)
-    rows = {name: df.count() for name, df in out.items()
-            if name != "_metrics"}
-    wall = round(time.time() - t0, 2)
+    # the funnel IS the per-stage count report (one aggregate per stage,
+    # incl. the raw-input baseline) — don't scan every output twice
     from geospatialtools_spark.pipeline import curation_funnel
-    funnel = curation_funnel(out, weight_col=cfg.weight_col)
+    funnel = curation_funnel(out, weight_col=cfg.weight_col, input_df=docs)
+    rows = {r["stage"]: r["rows"] for r in funnel}
+    wall = round(time.time() - t0, 2)  # includes the funnel scans
     # planted ground truth, checked by IDENTITY, not by count (a count
     # check would score false-positive drops of regular docs as "recall"):
     # exact dedup drops exactly the m+1 copies; near-dup group resolution

@@ -271,11 +271,15 @@ def test_curation_pipeline_end_to_end_resumable(spark, tmp_path):
     from geospatialtools_spark.pipeline import curation_funnel
     docs0 = spark.read.parquet(f"{sf}/documents.parquet")
     out_all = run_curation_pipeline(spark, docs0, cfg, root)
-    funnel = curation_funnel(out_all, weight_col=cfg.weight_col)
+    funnel = curation_funnel(out_all, weight_col=cfg.weight_col,
+                             input_df=docs0)
     by = {r["stage"]: r for r in funnel}
-    assert [r["stage"] for r in funnel] == ["dedup", "near_dedup",
+    assert [r["stage"] for r in funnel] == ["input", "dedup", "near_dedup",
                                             "quality", "scrub", "split",
                                             "shard"]
+    assert by["input"]["rows"] == docs0.count()
+    # without the input baseline the first stage's cut is invisible
+    assert by["dedup"]["rows_dropped"] == docs0.count() - by["dedup"]["rows"]
     for stage in ("dedup", "near_dedup", "quality", "scrub", "split"):
         assert by[stage]["rows"] == \
             spark.read.parquet(f"{root}/{stage}").count()

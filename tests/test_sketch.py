@@ -197,3 +197,14 @@ def test_quantile_partition_stable_in_exact_regime(spark):
     b = sorted(map(tuple, quantile_sketch(
         _vals_df(spark, arr, 11), "v", QS).collect()))
     assert a == b
+
+
+def test_quantile_ignores_null_and_nan(spark):
+    # both drop in the fold's dropna (the single filtering layer); n
+    # counts only real values
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (float("nan"),)], "v double")
+    got = {r["q"]: r for r in
+           quantile_sketch(df, "v", [0.5, 1.0]).collect()}
+    assert got[0.5]["n"] == 3 and got[0.5]["value"] == 2.0
+    assert got[1.0]["value"] == 3.0 and got[1.0]["is_exact"] == 1
