@@ -859,6 +859,25 @@ def q_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(d, "doc_id", 8, seed=7)
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (functions/bitext.py:margin_mine;
+    Artetxe & Schwenk 2019 ratio margin, the CCMatrix core operator):
+    split the embeddings table into two pseudo-corpora (even/odd ids)
+    and mine best-match pairs whose cosine stands out from BOTH
+    endpoints' k=4 neighborhood averages. The gate runs the exact brute
+    path (the calibration baseline, same role cosine_topk plays for
+    ANN); at scale the same margin_score runs over bucketed-ANN
+    candidate lists. Cross-engine exactness is the repo's float
+    discipline: cosines rounded to 6 before ranking, margins rounded to
+    6 before thresholding/best-match, ties on id — summation-order ulp
+    noise in the k-NN averages is absorbed by the rounds."""
+    from geospatialtools_spark.functions.bitext import margin_mine
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    return margin_mine(src, tgt, k=4, threshold=1.01)
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE tokenizer induction + encode (functions/bpe.py):
     learn 12 merges on the deterministic fixture corpus
@@ -1668,7 +1687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the locally-checked tail) for the new mixture_sample below.
         # nd_histogram demoted round 5 (A7 keeps its stronger golden twin
         # nd_hist_hrus in-window; 4 green rounds) for lm_perplexity below.
-        "time_block_avg": q_time_block_avg,
+        # time_block_avg demoted in the round-5 continuation for
+        # bitext_mine (see below) — 4 green driver rounds + the
+        # vs-Fortran golden pytest; now in the tail.
         # fit_metrics demoted round 5 (§2.8 keeps pedotransfer_saxton
         # in-window; metrics stays pytest-covered, 4 green rounds) for
         # heavy_hitters below.
@@ -1711,6 +1732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the committed full-gate artifact and the same zero-shuffle plan
         # family as the in-window pack_sequences — demotes to the tail.
         "quantile_sketch": q_quantile_sketch,
+        # bitext_mine is new in round-5 continuation (fresh-entry rule);
+        # time_block_avg demotes to the tail — 4 green driver rounds, a
+        # vs-Fortran golden pytest, and the upscaling module keeps
+        # grads_time value-checked in the tail.
+        "bitext_mine": q_bitext_mine,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
         # mixture_sample is new in round 5 (fresh-entry rule: first round
@@ -1850,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "chunk_docs": q_chunk_docs,
         "weighted_sample_grouped": q_weighted_sample_grouped,
+        "time_block_avg": q_time_block_avg,
     }
 
 
@@ -2279,6 +2306,47 @@ def oracle_sql() -> dict[str, str]:
                                 / 1152921504606846976.0), 6) END AS est,
                    CAST(n_kept < 64 AS INTEGER) AS is_exact
             FROM a""",
+        # bitext_mine: full recomputation of the ratio-margin miner —
+        # round-6 cosines (list_cosine_similarity == the zip_with/
+        # aggregate expression, established by the cosine_topk twin),
+        # per-side top-4 averages, round-6 margins, best-per-src with
+        # tgt-id tie-break. The rounds absorb summation-order ulp noise
+        # in the averages (the repo's cross-engine float discipline).
+        "bitext_mine": """
+            WITH s AS (SELECT vec_id AS src_id, embedding
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, embedding
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            sc AS (
+              SELECT s.src_id, t.tgt_id,
+                     round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                                  t.embedding::DOUBLE[]),
+                           6) AS cosine
+              FROM s, t),
+            rk AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY cosine DESC, tgt_id)
+                       AS rx,
+                     row_number() OVER (PARTITION BY tgt_id
+                                        ORDER BY cosine DESC, src_id)
+                       AS ry
+              FROM sc),
+            ax AS (SELECT src_id, avg(cosine) AS ax FROM rk
+                   WHERE rx <= 4 GROUP BY 1),
+            ay AS (SELECT tgt_id, avg(cosine) AS ay FROM rk
+                   WHERE ry <= 4 GROUP BY 1),
+            m AS (
+              SELECT sc.src_id, sc.tgt_id, sc.cosine,
+                     round(sc.cosine / ((ax.ax + ay.ay) / 2), 6) AS margin
+              FROM sc JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY src_id
+                                           ORDER BY margin DESC, tgt_id)
+                          AS rb
+              FROM m)
+            SELECT src_id, tgt_id, cosine, margin FROM best
+            WHERE rb = 1 AND margin >= 1.01""",
         # quantile_sketch: the gate runs the sketch's EXACT regime (corpus
         # rows << capacity, is_exact certified in the output), so the twin
         # is the plain type-1 quantile — smallest value whose rank reaches
