@@ -2338,7 +2338,9 @@ def oracle_sql() -> dict[str, str]:
                    WHERE ry <= 4 GROUP BY 1),
             m AS (
               SELECT sc.src_id, sc.tgt_id, sc.cosine,
-                     round(sc.cosine / ((ax.ax + ay.ay) / 2), 6) AS margin
+                     CASE WHEN (ax.ax + ay.ay) / 2 > 0
+                          THEN round(sc.cosine / ((ax.ax + ay.ay) / 2), 6)
+                          END AS margin
               FROM sc JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
             best AS (
               SELECT *, row_number() OVER (PARTITION BY src_id

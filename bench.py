@@ -1555,8 +1555,9 @@ def main_bitext():
     """Bitext margin-mining scale evidence with planted ground truth
     (BASELINE.md). src = SPARK_GRAFT_BITEXT_PAIRS hash-random unit-ish
     64-d vectors; tgt = the same vectors under a deterministic coprime
-    permutation plus 3% hash noise (cos ~ 0.985 to their source), plus
-    50% extra pure-random decoys. The miner must recover the planted
+    permutation plus 25%-amplitude hash noise (planted cosine ~ 0.970 —
+    hard enough that the margin must discriminate), plus 50% extra
+    pure-random decoys. The miner must recover the planted
     permutation: precision is exact ground truth (any non-planted pair
     is a false positive), recall is bounded by the ANN candidate
     generation (sign-LSH bucket join + src-side multi-probe r=1 — the
@@ -1566,7 +1567,7 @@ def main_bitext():
     Candidate plan (the 100 TB shape, no broadcast of either side):
     bitext.lsh_candidates — sign-LSH bucket COGROUP (src side exploded
     over its Hamming-1 probe buckets) with ONE float64 GEMM per bucket,
-    scalar triples out, distinct on the pair. margin_score then runs
+    scalar triples out, max()-reduced on the pair key. margin_score runs
     over the candidate lists only — the CCMatrix form (FAISS k-NN lists
     in, margins out) with this repo's LSH standing in for FAISS."""
     from pyspark.sql import functions as F
@@ -1604,11 +1605,11 @@ def main_bitext():
 
     t0 = time.time()
     # cogroup-GEMM candidate generator: each bucket's vectors ship ONCE
-    # and the bucket's cosine matrix is one float64 GEMM (the per-pair
-    # equi-join form measured 141 s at the same size — vector transfer,
-    # not math, was the wall; the cogroup halved it at identical triples,
-    # and the _plane avalanche fix then cut the triple count itself 5.7x:
-    # 103M -> 17.9M candidates, 69 -> 7 s, recall ON the GW prediction)
+    # and the bucket's cosine matrix is one float64 GEMM. A/B history at
+    # the 30k size: per-pair equi-join 141 s (vector transfer, not math,
+    # was the wall), cogroup 69 s at identical triples, then the _plane
+    # avalanche fix cut the triple count itself 5.7x (103M -> 17.9M,
+    # 7 s) with recall landing ON the GW prediction
     cand = (lsh_candidates(src, tgt, dim=64, n_planes=n_planes,
                            probe_radius=radius)
             .localCheckpoint(eager=True))
@@ -1630,16 +1631,21 @@ def main_bitext():
     # sign-LSH ceiling: P(<= radius flips) with per-plane flip prob
     # theta/pi for the planted cosine
     import math
-    cos_p = 1.0 / math.sqrt(1.0 + 0.06 * 0.06 * (1.0 / 3.0) * 64 / 64)
-    # empirical planted cosine is ~0.985; use the analytic flip prob of
-    # acos on the MEASURED mean cosine instead of a guess
+    # ceiling from the MEASURED planted mean cosine; if no planted pair
+    # survived candidate generation (a regression this bench exists to
+    # catch), report None rather than fabricating a ceiling from a
+    # constant that would mask the failure
     mean_cos = cand.filter(
         (F.col("tgt_id") < n)
         & (F.col("src_id") == F.pmod(F.col("tgt_id") * P, F.lit(n))))         .agg(F.avg("cosine")).head()[0]
-    flip = math.acos(max(min(mean_cos or cos_p, 1.0), -1.0)) / math.pi
-    ceiling = sum(
-        math.comb(n_planes, r) * flip ** r * (1 - flip) ** (n_planes - r)
-        for r in range(radius + 1))
+    if mean_cos is None:
+        ceiling = None
+    else:
+        flip = math.acos(max(min(mean_cos, 1.0), -1.0)) / math.pi
+        ceiling = sum(
+            math.comb(n_planes, r) * flip ** r
+            * (1 - flip) ** (n_planes - r)
+            for r in range(radius + 1))
 
     print(json.dumps({
         "metric": "bitext margin mining with planted alignment",
@@ -1651,7 +1657,8 @@ def main_bitext():
         "planted_recovered": good,
         "precision": round(good / n_mined, 4) if n_mined else None,
         "recall": round(good / n, 4),
-        "lsh_recall_ceiling": round(ceiling, 4),
+        "lsh_recall_ceiling": (round(ceiling, 4)
+                               if ceiling is not None else None),
         "decoy_hits": decoy_hits,
         "planted_mean_cosine": round(float(mean_cos), 4) if mean_cos else None,
         "pairs_per_sec": round(n / (t_cand + t_mine), 1),

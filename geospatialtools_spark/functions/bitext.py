@@ -69,10 +69,17 @@ def margin_score(cand: DataFrame, k: int = 4,
            .groupBy(src_id).agg(F.avg(cos_col).alias("_ax")))
     ay = (d.filter(F.col("_ry") <= k)
            .groupBy(tgt_id).agg(F.avg(cos_col).alias("_ay")))
+    # the ratio form is only meaningful over a POSITIVE denominator: two
+    # all-negative neighborhoods would flip the ranking (-0.9 / -0.45 =
+    # 2.0 "wins"), and a denominator rounding to zero divides by zero
+    # with engine-dependent semantics. Such pairs get a NULL margin —
+    # dropped by any threshold — instead of a nonsense score; the DuckDB
+    # gate twin applies the identical CASE.
+    den = (F.col("_ax") + F.col("_ay")) / 2
     return (d.drop("_rx", "_ry")
              .join(ax, src_id).join(ay, tgt_id)
-             .withColumn(margin_col, F.round(
-                 F.col(cos_col) / ((F.col("_ax") + F.col("_ay")) / 2), 6))
+             .withColumn(margin_col, F.when(
+                 den > 0, F.round(F.col(cos_col) / den, 6)))
              .drop("_ax", "_ay"))
 
 
@@ -95,8 +102,9 @@ def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     thresholding and best-match selection run over those lists only.
     """
     if candidates is None:
-        s = src.select(F.col(id_col).alias("src_id"),
-                       F.col(vec_col).alias("_sv"))
+        from .util import widen_to_parallelism as _widen
+        s = _widen(src).select(F.col(id_col).alias("src_id"),
+                               F.col(vec_col).alias("_sv"))
         t = tgt.select(F.col(id_col).alias("tgt_id"),
                        F.col(vec_col).alias("_tv"))
         candidates = (s.crossJoin(t)
@@ -105,15 +113,20 @@ def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                                                   F.col("_tv")), 6)
                                .alias("cosine")))
     scored = margin_score(candidates, k=k)
-    wb = Window.partitionBy("src_id").orderBy(F.desc("margin"),
-                                              F.col("tgt_id"))
+    if mutual:
+        # forward and backward best-match passes both consume scored —
+        # materialize once instead of re-running the scoring lineage
+        # (quadratic in the brute path) twice
+        scored = scored.localCheckpoint(eager=True)
+    wb = Window.partitionBy("src_id").orderBy(
+        F.desc_nulls_last("margin"), F.col("tgt_id"))
     best = (scored.withColumn("_rb", F.row_number().over(wb))
             .filter((F.col("_rb") == 1)
                     & (F.col("margin") >= F.lit(float(threshold))))
             .drop("_rb"))
     if mutual:
-        wt = Window.partitionBy("tgt_id").orderBy(F.desc("margin"),
-                                                  F.col("src_id"))
+        wt = Window.partitionBy("tgt_id").orderBy(
+            F.desc_nulls_last("margin"), F.col("src_id"))
         best_t = (scored.withColumn("_rt", F.row_number().over(wt))
                   .filter(F.col("_rt") == 1)
                   .select("src_id", "tgt_id"))
@@ -138,8 +151,8 @@ def lsh_candidates(src: DataFrame, tgt: DataFrame, dim: int,
     full cosine matrix as one float64 GEMM, and emits only the scalar
     triples — input volume drops from O(pairs * dim) to
     O(rows * probes * dim). Multi-probe duplicates (a pair sharing
-    several probe buckets) are dropped by one distinct over the triples
-    (scalars only). Cosines are float64-from-float32 round-6 — the same
+    several probe buckets) reduce to one row by a max() aggregate over
+    the pair key (scalars only; see the note at the return). Cosines are float64-from-float32 round-6 — the same
     value contract as ``cosine_expr`` / ``cosine_pairs_pudf``
     (bit-parity tested), so candidates feed ``margin_score`` with
     unchanged cross-engine semantics.
@@ -185,9 +198,13 @@ def lsh_candidates(src: DataFrame, tgt: DataFrame, dim: int,
                                  "cosine": []})
         A = np.stack(left["_v"].to_numpy()).astype(np.float64)
         B = np.stack(right["_v"].to_numpy()).astype(np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
-        C = np.round(A @ B.T, 6)
+        # raw-dot GEMM divided by the norm outer product — the same op
+        # order as cosine_expr / cosine_pairs_pudf (dot / (|a|*|b|)),
+        # not normalize-then-multiply, keeping the three scorers on one
+        # value contract
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        C = np.round((A @ B.T) / np.outer(na, nb), 6)
         si = left["src_id"].to_numpy(np.int64)
         ti = right["tgt_id"].to_numpy(np.int64)
         return pd.DataFrame({
@@ -196,6 +213,13 @@ def lsh_candidates(src: DataFrame, tgt: DataFrame, dim: int,
             "cosine": C.ravel(),
         })
 
+    # dedup multi-probe repeats by PAIR KEY, not full row: the same pair
+    # scored in two different-shaped bucket GEMMs could differ by an ulp
+    # at a rounding boundary, and a full-row distinct would then leak a
+    # duplicate pair into margin_score's top-k averages. max() resolves
+    # any such disagreement deterministically (unlike dropDuplicates,
+    # whose survivor is partition-order dependent).
     return (sb.groupBy("_bucket").cogroup(tb.groupBy("_bucket"))
             .applyInPandas(score, schema=schema)
-            .distinct())
+            .groupBy("src_id", "tgt_id")
+            .agg(F.max("cosine").alias("cosine")))

@@ -385,7 +385,11 @@ def cosine_pairs_pudf():
     Catalyst's sequential fold, so a value within ~1e-13 of a .5e-6
     rounding boundary could round differently (bit-parity pytest on a
     deterministic 50k-pair fixture measures ZERO disagreements). Gate
-    oracles keep replaying the expression form; this is the hot path."""
+    oracles keep replaying the expression form. Library scorer for pair
+    tables that arrive WITHOUT bucket structure (externally-generated
+    candidate lists); ``bitext.lsh_candidates`` inlines the per-bucket
+    GEMM form instead, which additionally avoids shipping vectors
+    per-pair."""
     import pandas as pd
 
     @F.pandas_udf("double")

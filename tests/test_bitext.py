@@ -130,7 +130,14 @@ def test_margin_score_bounded_per_key_windows(spark):
                      .alias("cosine")))
     scored = margin_score(cand, k=3)
     assert scored.count() == cand.count()
-    assert scored.filter(F.col("margin").isNull()).count() == 0
+    # margins are NULL exactly where the denominator guard fired (both
+    # neighborhoods non-positive — rare but legitimate for random
+    # vectors); where the guard passed (den > 0), the margin carries the
+    # cosine's sign
+    nn = scored.filter(F.col("margin").isNotNull())
+    assert nn.count() > 0
+    assert nn.filter((F.col("margin") > 0) != (F.col("cosine") > 0)) \
+             .count() == 0
 
 
 def test_cosine_pairs_pudf_bit_parity_with_expression(spark):
@@ -187,3 +194,25 @@ def test_lsh_candidates_match_equijoin_scoring(spark):
         F.round(cosine_expr(F.col("_sv"), F.col("_tv")), 6)
          .alias("cosine")).distinct().collect()))
     assert got == exp and len(got) > 1000
+
+
+def test_margin_null_on_nonpositive_denominator(spark):
+    # two corpora pointing in opposite directions: every neighborhood
+    # average is negative, so the ratio would invert the ranking — the
+    # guard yields NULL margins and the miner returns nothing
+    base = np.eye(DIM)[:5]
+    S = base
+    T = -np.eye(DIM)[:6]
+    got = margin_mine(_vec_df(spark, S), _vec_df(spark, T),
+                      k=3, threshold=0.5).collect()
+    assert got == []
+    from geospatialtools_spark.functions.similarity import cosine_expr
+    s = _vec_df(spark, S).select(F.col("vec_id").alias("src_id"),
+                                 F.col("embedding").alias("_sv"))
+    t = _vec_df(spark, T).select(F.col("vec_id").alias("tgt_id"),
+                                 F.col("embedding").alias("_tv"))
+    cand = s.crossJoin(t).select(
+        "src_id", "tgt_id",
+        F.round(cosine_expr(F.col("_sv"), F.col("_tv")), 6).alias("cosine"))
+    scored = margin_score(cand, k=3)
+    assert scored.filter(F.col("margin").isNotNull()).count() == 0
