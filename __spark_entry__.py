@@ -859,6 +859,31 @@ def q_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(d, "doc_id", 8, seed=7)
 
 
+# decomposed forms (e + combining acute) + a BEL control: the fixture
+# suffix forces REAL normalization work on the gate's ascii corpus. The
+# identical python string is embedded in the DuckDB twin.
+_UNI_SUF = "café étude\x07!"
+
+
+def q_unicode_clean(spark, sf_dir):
+    """Unicode NFC normalization + control stripping (functions/lines.py:
+    normalize_unicode / strip_controls) — the canonicalization pass that
+    must run before any hash-keyed operator (exact/line/passage dedup,
+    MinHash shingles, URL keys): decomposed 'e' + combining acute and
+    precomposed e-acute are byte-different but equal text. Each doc gets
+    a decomposed-form suffix appended so the gate corpus exercises real
+    composition; the DuckDB twin is nfc_normalize over the same
+    regexp-stripped text — cross-engine agreement is byte-level on the
+    normalized strings (both sides implement the Unicode NFC tables)."""
+    from geospatialtools_spark.functions.lines import (normalize_unicode,
+                                                       strip_controls)
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(" "), F.lit(_UNI_SUF))
+    out = normalize_unicode(strip_controls(t))
+    return d.select("doc_id", out.alias("text_norm"),
+                    F.length(out).alias("n_chars"))
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (functions/bitext.py:margin_mine;
     Artetxe & Schwenk 2019 ratio margin, the CCMatrix core operator):
@@ -1752,7 +1777,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucketed path) + embedding_dups (which shares the multi-probe
         # machinery) in-window, and ann_lsh_topk has 4 green rounds.
         "warc_docs": q_warc_docs,
-        "redact_pii": q_redact_pii,
+        # unicode_clean is new in round-5 continuation (fresh-entry rule);
+        # redact_pii demotes to the tail — 3 green driver rounds and the
+        # text-cleaning family keeps clean_lines + repetition_stats +
+        # lm_perplexity in-window.
+        "unicode_clean": q_unicode_clean,
         # contamination_fp is new in round 5 (fresh-entry rule: first round
         # driver-recorded) — it takes the inverted-index form's slot; the
         # demoted `contamination` keeps 4 green driver rounds and the SAME
@@ -1877,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "weighted_sample_grouped": q_weighted_sample_grouped,
         "time_block_avg": q_time_block_avg,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -2306,6 +2336,23 @@ def oracle_sql() -> dict[str, str]:
                                 / 1152921504606846976.0), 6) END AS est,
                    CAST(n_kept < 64 AS INTEGER) AS is_exact
             FROM a""",
+        # unicode_clean: nfc_normalize implements the same Unicode NFC
+        # tables as python's unicodedata (byte-level agreement on the
+        # normalized text); the control-strip regex is identical. The
+        # suffix literal reuses _UNI_SUF so both engines get the same
+        # bytes; the regex backslashes are doubled so they reach DuckDB
+        # as RE2 escapes, not python ones.
+        "unicode_clean": f"""
+            SELECT doc_id,
+                   nfc_normalize(regexp_replace(
+                       text || ' ' || '{_UNI_SUF}',
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]',
+                       '', 'g')) AS text_norm,
+                   length(nfc_normalize(regexp_replace(
+                       text || ' ' || '{_UNI_SUF}',
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]',
+                       '', 'g'))) AS n_chars
+            FROM documents""",
         # bitext_mine: full recomputation of the ratio-margin miner —
         # round-6 cosines (list_cosine_similarity == the zip_with/
         # aggregate expression, established by the cosine_topk twin),

@@ -30,6 +30,7 @@ operators and the same DuckDB oracles still exercise end-to-end.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -333,3 +334,48 @@ def chunk_text(df: DataFrame, text_col: str = "text",
                     F.substring(F.col(text_col),
                                 F.col("_chunk_i") * stride + 1,
                                 F.lit(chunk_chars)).alias(ctext))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + control stripping
+# ---------------------------------------------------------------------------
+
+# C0 controls except \t\n\r, DEL, and the C1 block — the bytes mojibake
+# and broken scrapes leave behind; kept OUT of the regex: \t\n\r (layout
+# the line operators above consume) and all printable unicode
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
+
+
+def strip_controls(text: Column) -> Column:
+    """Drop C0/C1 control characters (except tab/newline/CR) — a pure
+    Catalyst ``regexp_replace``, zero shuffle, stays in the scan stage."""
+    return F.regexp_replace(text, _CONTROL_RE, "")
+
+
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a text column (NFC by default; NFKC/NFD/NFKD
+    accepted) — the canonicalization step every web corpus needs before
+    ANY hash-keyed operator above it: "é" as one codepoint and "e" + a
+    combining acute are byte-different, so without this the exact/line/
+    passage dedups, the MinHash shingles and the URL keys all treat
+    equal-looking text as distinct (and a quality regex sees different
+    word lengths).
+
+    Engine shape: an Arrow-batched pandas UDF over ``Series.str.
+    normalize`` (ICU-equivalent tables from Python's unicodedata) — a
+    per-row Python pass, the honest cost of an operation Spark has no
+    builtin for; it is stateless and shuffle-free, so it pipelines
+    inside the scan stage like any projection. The NFC form is
+    cross-engine value-oracled against DuckDB's ``nfc_normalize`` at the
+    gate; NFKC (compatibility folding: ligatures, fullwidth forms) has
+    no DuckDB twin and is pytest-verified against unicodedata directly.
+    NULLs pass through as NULL.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(text)

@@ -214,6 +214,14 @@ class CurationConfig:
     mixture_targets: dict[str, float] | None = None
     mixture_domain_col: str = "source"
     mixture_by_weight: bool = False
+    # Unicode canonicalization (round 5; lines.normalize_unicode): when
+    # set ("NFC"/"NFKC"/...), a leading stage strips C0/C1 controls and
+    # unicode-normalizes the text BEFORE everything else — decomposed and
+    # precomposed spellings of equal text are byte-different, so without
+    # this every hash-keyed stage (exact/line/passage dedup, MinHash
+    # shingles) treats them as distinct documents. ``weight_col`` is
+    # recomputed (normalization changes char counts).
+    normalize_form: str | None = None
 
     def as_dict(self) -> dict:
         d = {"id": self.id_col, "text": self.text_col,
@@ -241,6 +249,8 @@ class CurationConfig:
             d["line_w_keep"] = True
         if self.passage_window is not None:
             d["passage_n"] = self.passage_window
+        if self.normalize_form is not None:
+            d["uninorm"] = self.normalize_form
             if not self.passage_weight_rechars:
                 d["passage_w_keep"] = True
         if self.max_nll is not None:
@@ -325,6 +335,18 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     runner = StageRunner(spark, ckpt_root,
                          {"pipeline": "curation", **config.as_dict()})
     out: dict[str, DataFrame] = {}
+
+    if config.normalize_form is not None:
+        from .functions.lines import normalize_unicode, strip_controls
+
+        def _normalize() -> DataFrame:
+            t = normalize_unicode(strip_controls(F.col(txt)),
+                                  config.normalize_form)
+            return _recount_weight_chars(
+                docs.withColumn(txt, t), config.weight_col, txt)
+
+        docs = runner.run_stage("normalize", _normalize)
+        out["normalize"] = docs
 
     if config.clean_min_words is not None or config.line_dedup:
         def _lines() -> DataFrame:
@@ -425,7 +447,8 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     return out
 
 
-_CURATION_STAGE_ORDER = ("lines", "dedup", "near_dedup", "passages",
+_CURATION_STAGE_ORDER = ("normalize", "lines", "dedup", "near_dedup",
+                         "passages",
                          "quality", "scrub", "mixture", "split", "shard")
 
 

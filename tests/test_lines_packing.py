@@ -586,3 +586,54 @@ def test_chunk_text_rejects_nonpositive_stride(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         LN.chunk_text(df, chunk_chars=8, overlap_chars=8)
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization + control stripping
+# ---------------------------------------------------------------------------
+
+import unicodedata
+
+from geospatialtools_spark.functions.lines import (normalize_unicode,
+                                                   strip_controls)
+
+
+def test_normalize_unicode_matches_unicodedata(spark):
+    rows = [
+        ("étude",),            # combining acute -> é
+        ("ﬁn du café",),  # ﬁ ligature + combining
+        ("Ｈｅllo",),        # fullwidth
+        ("plain ascii",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for form in ("NFC", "NFKC"):
+        got = [r["n"] for r in
+               df.select(normalize_unicode(F.col("text"), form)
+                         .alias("n")).collect()]
+        exp = [unicodedata.normalize(form, t) if t is not None else None
+               for (t,) in rows]
+        assert got == exp
+    # NFC preserves compatibility chars; NFKC folds them
+    nfc = df.select(normalize_unicode(F.col("text")).alias("n")).collect()
+    assert nfc[1]["n"].startswith("ﬁ")        # ligature survives NFC
+    nfkc = df.select(normalize_unicode(F.col("text"), "NFKC")
+                     .alias("n")).collect()
+    assert nfkc[1]["n"].startswith("fin")          # NFKC folds it
+
+
+def test_normalize_unicode_idempotent_and_rejects_bad_form(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([("étude x",)], "text string")
+    once = df.select(normalize_unicode(F.col("text")).alias("n"))
+    twice = once.select(normalize_unicode(F.col("n")).alias("n"))
+    assert once.collect() == twice.collect()
+    with _pytest.raises(ValueError):
+        normalize_unicode(F.col("text"), "NFX")
+
+
+def test_strip_controls_keeps_layout_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a\x00b\x08c\tkeep\nme\rok\x7f\x9fz",)], "text string")
+    got = df.select(strip_controls(F.col("text")).alias("t")).head()["t"]
+    assert got == "abc\tkeep\nme\rokz"

@@ -435,3 +435,39 @@ def test_epoch_shuffle_partition_invariant(spark):
     b = sorted(map(tuple, epoch_shuffle(
         base.repartition(13), "doc_id", 5, seed=9).collect()))
     assert a == b
+
+
+def test_curation_normalize_stage_collapses_decomposed_dups(spark, tmp_path):
+    """Unicode canonicalization as the leading pipeline stage: a document
+    whose text is the DECOMPOSED spelling of another must fall to exact
+    dedup only when normalize_form is set — byte-different, text-equal
+    is precisely the failure mode the stage exists to close."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+    base = "a solid quality document about café studies. " * 5
+    decomposed = base.replace("café", "café")
+    assert base != decomposed                      # byte-different
+    rows = ([(0, base), (1, decomposed)] +
+            [(i, f"unique filler document number {i} with plain words. " * 5)
+             for i in range(2, 30)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("n_chars", F.length("text"))
+
+    cfg_off = CurationConfig(quality_min=0.0)
+    out_off = run_curation_pipeline(spark, docs, cfg_off,
+                                    str(tmp_path / "off"))
+    kept_off = {r["doc_id"] for r in
+                out_off["dedup"].select("doc_id").collect()}
+    assert {0, 1} <= kept_off                      # both survive unnormalized
+
+    cfg_on = CurationConfig(quality_min=0.0, normalize_form="NFC")
+    out_on = run_curation_pipeline(spark, docs, cfg_on,
+                                   str(tmp_path / "on"))
+    kept_on = {r["doc_id"] for r in
+               out_on["dedup"].select("doc_id").collect()}
+    assert len({0, 1} & kept_on) == 1              # collapsed to one copy
+    # the funnel reports the stage and the weight recount
+    from geospatialtools_spark.pipeline import curation_funnel
+    funnel = curation_funnel(out_on, weight_col="n_chars", input_df=docs)
+    assert [r["stage"] for r in funnel][:2] == ["input", "normalize"]
+    assert funnel[1]["rows"] == 30                 # normalize never drops
