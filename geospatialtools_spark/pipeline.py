@@ -220,8 +220,12 @@ class CurationConfig:
     # precomposed spellings of equal text are byte-different, so without
     # this every hash-keyed stage (exact/line/passage dedup, MinHash
     # shingles) treats them as distinct documents. ``weight_col`` is
-    # recomputed (normalization changes char counts).
+    # recomputed as CHAR length (normalization changes char counts)
+    # unless ``normalize_weight_rechars`` is False — same contract as
+    # ``line_weight_rechars``: if your weight unit is tokens/bytes, keep
+    # the recount off and recompute yourself.
     normalize_form: str | None = None
+    normalize_weight_rechars: bool = True
 
     def as_dict(self) -> dict:
         d = {"id": self.id_col, "text": self.text_col,
@@ -249,10 +253,12 @@ class CurationConfig:
             d["line_w_keep"] = True
         if self.passage_window is not None:
             d["passage_n"] = self.passage_window
-        if self.normalize_form is not None:
-            d["uninorm"] = self.normalize_form
             if not self.passage_weight_rechars:
                 d["passage_w_keep"] = True
+        if self.normalize_form is not None:
+            d["uninorm"] = self.normalize_form
+            if not self.normalize_weight_rechars:
+                d["uninorm_w_keep"] = True
         if self.max_nll is not None:
             d["max_nll"] = self.max_nll
             d["lm_vocab"] = self.lm_vocab_size
@@ -342,8 +348,10 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
         def _normalize() -> DataFrame:
             t = normalize_unicode(strip_controls(F.col(txt)),
                                   config.normalize_form)
-            return _recount_weight_chars(
-                docs.withColumn(txt, t), config.weight_col, txt)
+            d = docs.withColumn(txt, t)
+            if config.normalize_weight_rechars:
+                d = _recount_weight_chars(d, config.weight_col, txt)
+            return d
 
         docs = runner.run_stage("normalize", _normalize)
         out["normalize"] = docs

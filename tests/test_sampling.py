@@ -471,3 +471,26 @@ def test_curation_normalize_stage_collapses_decomposed_dups(spark, tmp_path):
     funnel = curation_funnel(out_on, weight_col="n_chars", input_df=docs)
     assert [r["stage"] for r in funnel][:2] == ["input", "normalize"]
     assert funnel[1]["rows"] == 30                 # normalize never drops
+
+
+def test_curation_normalize_keeps_token_weights_when_rechars_off(spark,
+                                                                 tmp_path):
+    """normalize_weight_rechars=False preserves a token-unit weight_col
+    through the normalize stage (the line/passage rechars contract) —
+    and the config fingerprint distinguishes the two modes, so a resume
+    can never serve stages computed under the other weight semantics."""
+    from geospatialtools_spark.pipeline import (CurationConfig,
+                                                run_curation_pipeline)
+    rows = [(i, f"good plain document number {i} with words. " * 5, 7)
+            for i in range(20)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, n_chars long")
+    cfg = CurationConfig(quality_min=0.0, normalize_form="NFC",
+                         normalize_weight_rechars=False)
+    out = run_curation_pipeline(spark, docs, cfg, str(tmp_path / "keep"))
+    got = out["normalize"].select("n_chars").distinct().collect()
+    assert [r["n_chars"] for r in got] == [7]      # token weights intact
+    a = CurationConfig(normalize_form="NFC",
+                       normalize_weight_rechars=False).as_dict()
+    b = CurationConfig(normalize_form="NFC").as_dict()
+    assert a != b
