@@ -1696,11 +1696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round-4 fix): the driver records correctness rows
     # for the FIRST 50 dict entries only (r1-r4 files each hold exactly 50).
     # The first 50 therefore carry every golden-twin terrain/zone/ML entry
-    # and one representative of every operator family; 14 cheap relational
-    # micro-entries (their operators stay pytest-covered and value-checked
-    # by tools/check_oracle.py, which runs ALL entries — its full-run
-    # artifact is committed per round as CORRECTNESS_FULL_r*.json) sit in
-    # the tail.
+    # and one representative of every operator family; 43 micro-entries
+    # and demoted family-covered entries (their operators stay
+    # pytest-covered and value-checked by tools/check_oracle.py, which
+    # runs ALL 93 entries — its full-run artifact is committed per round
+    # as CORRECTNESS_FULL_r*.json) sit in the tail. Fresh round-5
+    # operators always take an in-window slot for their first recorded
+    # round (the ADVICE fresh-entry rule); each demotion comment below
+    # names the green history and the surviving in-window family rep.
     # The four terrain entries close the window and read ONE memoized
     # distributed chain: terrain_fill_acc pays the iterative jobs (~10 s
     # warm), the other three are sub-second joins+aggs over its
