@@ -1578,7 +1578,8 @@ def main_bitext():
     spark = get_spark("bench-bitext")
     n = int(os.environ.get("SPARK_GRAFT_BITEXT_PAIRS", "50000"))
     n_decoy = n // 2
-    n_planes, radius = 10, 1
+    n_planes = int(os.environ.get("SPARK_GRAFT_BITEXT_PLANES", "10"))
+    radius = int(os.environ.get("SPARK_GRAFT_BITEXT_RADIUS", "1"))
     P = 1000003  # coprime to n for every n < P: a full permutation
 
     def rnd(seed_col, scale):
