@@ -736,6 +736,33 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(d.withColumn("url", url), "url", "doc_id", "n_chars")
 
 
+def q_url_blocklist(spark, sf_dir):
+    """Host blocklist filtering (functions/urls.py:filter_blocklisted) —
+    the UT1-style domain-ban step a crawl pipeline runs before spending
+    compute on text. URLs synthesized deterministically in both engines
+    (every third doc gets an ads. subdomain); the blocklist bans one
+    apex domain (subdomains must fall with it) and one specific
+    subdomain (whose apex must survive). The Spark path is the
+    suffix-explode + broadcast equi-join + anti-join; the DuckDB twin is
+    an independent formulation of the same semantics (host = dom OR
+    host LIKE '%.' || dom)."""
+    from geospatialtools_spark.functions.urls import (filter_blocklisted,
+                                                      url_host)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 3 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.lit("site"), (did % 5).cast("string"), F.lit(".com/p/"),
+        did.cast("string"))
+    df = d.withColumn("url", url)
+    bl = spark.createDataFrame([("site1.com",), ("ads.site2.com",)],
+                               "domain string")
+    out = filter_blocklisted(df, bl)
+    return out.select("doc_id", "url",
+                      url_host(F.col("url")).alias("host"))
+
+
 def q_quality_score(spark, sf_dir):
     """Composite document quality score."""
     d = _t(spark, sf_dir, "documents")
@@ -1699,7 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and one representative of every operator family; 43 micro-entries
     # and demoted family-covered entries (their operators stay
     # pytest-covered and value-checked by tools/check_oracle.py, which
-    # runs ALL 93 entries — its full-run artifact is committed per round
+    # runs ALL 94 entries — its full-run artifact is committed per round
     # as CORRECTNESS_FULL_r*.json) sit in the tail. Fresh round-5
     # operators always take an in-window slot for their first recorded
     # round (the ADVICE fresh-entry rule); each demotion comment below
@@ -1910,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_grouped": q_weighted_sample_grouped,
         "time_block_avg": q_time_block_avg,
         "redact_pii": q_redact_pii,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -2339,6 +2367,24 @@ def oracle_sql() -> dict[str, str]:
                                 / 1152921504606846976.0), 6) END AS est,
                    CAST(n_kept < 64 AS INTEGER) AS is_exact
             FROM a""",
+        # url_blocklist: independent formulation of subdomain-suffix
+        # banning — host = dom OR host LIKE '%.' || dom is the label-
+        # boundary-correct equivalent of the suffix-explode equi-join.
+        "url_blocklist": """
+            WITH h AS (
+              SELECT doc_id,
+                     'https://'
+                       || CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE '' END
+                       || 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE '' END
+                       || 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                       AS host
+              FROM documents)
+            SELECT doc_id, url, host FROM h
+            WHERE NOT EXISTS (
+              SELECT 1 FROM (VALUES ('site1.com'), ('ads.site2.com')) b(dom)
+              WHERE h.host = b.dom OR h.host LIKE '%.' || b.dom)""",
         # unicode_clean: nfc_normalize implements the same Unicode NFC
         # tables as python's unicodedata (byte-level agreement on the
         # normalized text); the control-strip regex is identical. The

@@ -165,3 +165,55 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
                  F.min(F.struct(F.col("_negw"), F.col("_id"))).alias("_win"))
             .select("canon_url", F.col("_win._id").alias("keeper"),
                     "n_dups"))
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of ``url`` under the module's canonical rules
+    (lowercased, credentials and default ports stripped, leading ``www.``
+    dropped) — the key for host-level blocklists, the mixture domain
+    column, and the webgraph. NULL/schemeless in, NULL out."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    after = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.regexp_replace(
+        F.lower(F.regexp_extract(after, r"^[^/?#]*", 0)), r"^[^@]*@", "")
+    auth = (F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+             .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+             .otherwise(auth))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    return F.when(url.isNull() | (scheme == ""),
+                  F.lit(None).cast("string")).otherwise(host)
+
+
+def filter_blocklisted(df: DataFrame, blocklist: DataFrame,
+                       url_col: str = "url",
+                       domain_col: str = "domain") -> DataFrame:
+    """Drop rows whose URL host is a blocklisted domain OR any subdomain
+    of one (``ads.example.com`` falls to a block on ``example.com``) —
+    the UT1/shallalist-style ban step every web-crawl curation runs
+    before spending compute on the text.
+
+    Scale shape: the host explodes to its O(#labels) parent-domain
+    suffixes (``a.b.c`` -> ``a.b.c``, ``b.c``, ``c`` — labels are
+    bounded, ~5, so this is a small constant fan-out of a NARROW
+    (row-key, suffix) projection, never the payload), which turns
+    subdomain matching into a plain equi-join with the blocklist —
+    broadcast when it is the usual few-hundred-thousand-domain list —
+    followed by a LEFT ANTI back on the row key. The payload columns
+    never shuffle. NULL/schemeless URLs have no host and are KEPT (no
+    silent drops; filter them separately if unwanted)."""
+    host = url_host(F.col(url_col))
+    # suffixes via aggregate over the reversed label array: progressively
+    # join the last k labels — pure Catalyst, no UDF
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."))
+    keyed = df.withColumn("_host_sfx", suffixes)
+    hit = (keyed.select(url_col, F.explode("_host_sfx").alias("_sfx"))
+           .join(F.broadcast(blocklist.select(
+               F.lower(F.col(domain_col)).alias("_sfx")).distinct()),
+               "_sfx")
+           .select(url_col).distinct())
+    return (keyed.join(hit, url_col, "left_anti").drop("_host_sfx"))

@@ -637,3 +637,29 @@ def test_strip_controls_keeps_layout_whitespace(spark):
         [("a\x00b\x08c\tkeep\nme\rok\x7f\x9fz",)], "text string")
     got = df.select(strip_controls(F.col("text")).alias("t")).head()["t"]
     assert got == "abc\tkeep\nme\rokz"
+
+
+def test_streaming_normalize_unicode_matches_batch(spark, tmp_path):
+    """normalize_unicode + strip_controls are stateless (one Arrow UDF,
+    one regexp) — the same operator tree runs unchanged through the
+    streaming engine, so the curation pipeline's leading canonicalization
+    stage has a streaming face for free."""
+    from geospatialtools_spark.streaming import ingest as ST
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def transform(df):
+        t = F.concat(F.col("text"), F.lit(" café\x07!"))  # decomposed
+        out = normalize_unicode(strip_controls(t))
+        return df.select("doc_id", F.md5(out).alias("norm_md5"),
+                         F.length(out).alias("n_chars"))
+
+    stream = transform(ST.read_docs_stream(spark, sf_dir))
+    out_dir = str(tmp_path / "out")
+    ST.run_available_now(stream, str(tmp_path / "ck"), out_dir)
+    got = spark.read.parquet(out_dir).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = transform(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)

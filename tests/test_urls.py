@@ -131,3 +131,49 @@ def test_tracking_re_catches_valueless_and_uppercase(bad, spark):
     df = spark.createDataFrame([(bad,)], "url string")
     [r] = df.select(canonicalize_url(F.col("url")).alias("c")).collect()
     assert r["c"] == "http://e.com/a"
+
+
+# ---------------------------------------------------------------------------
+# host extraction + blocklist filtering
+# ---------------------------------------------------------------------------
+
+from geospatialtools_spark.functions.urls import (filter_blocklisted,
+                                                  url_host)
+
+
+def test_url_host_rules(spark):
+    rows = [
+        ("https://WWW.Example.COM:443/a/b?x=1", "example.com"),
+        ("http://user:pw@Ads.Tracker.net:80/", "ads.tracker.net"),
+        ("ftp://Files.example.org:21/x", "files.example.org:21"),
+        ("no-scheme.example.com/path", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["h"] for r in
+           df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == [h for _, h in rows]
+
+
+def test_filter_blocklisted_subdomains_and_keeps(spark):
+    urls = [
+        "https://example.com/page",            # exact domain: dropped
+        "https://ads.example.com/x",           # subdomain: dropped
+        "https://deep.ads.example.com/y",      # sub-subdomain: dropped
+        "https://notexample.com/z",            # different domain: kept
+        "https://example.community/w",         # label boundary: kept
+        "https://clean.org/a",                 # kept
+        "relative/no/scheme",                  # no host: kept by contract
+        None,                                  # NULL: kept by contract
+    ]
+    df = spark.createDataFrame([(u, i) for i, u in enumerate(urls)],
+                               "url string, payload long")
+    bl = spark.createDataFrame([("Example.COM",), ("spam.net",)],
+                               "domain string")
+    out = filter_blocklisted(df, bl)
+    kept = sorted(r["payload"] for r in out.collect())
+    assert kept == [3, 4, 5, 6, 7]
+    assert out.columns == ["url", "payload"]   # schema preserved
+    # partition invariance (the cohort is a pure function of the data)
+    again = filter_blocklisted(df.repartition(7), bl.repartition(2))
+    assert sorted(r["payload"] for r in again.collect()) == kept
