@@ -743,8 +743,8 @@ def q_url_blocklist(spark, sf_dir):
     (every third doc gets an ads. subdomain); the blocklist bans one
     apex domain (subdomains must fall with it) and one specific
     subdomain (whose apex must survive). The Spark path is the
-    suffix-explode + broadcast equi-join + anti-join; the DuckDB twin is
-    an independent formulation of the same semantics (host = dom OR
+    closure-broadcast Arrow-UDF verdict (zero shuffle); the DuckDB twin
+    is an independent formulation of the same semantics (host = dom OR
     host LIKE '%.' || dom)."""
     from geospatialtools_spark.functions.urls import (filter_blocklisted,
                                                       url_host)
@@ -1723,7 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (round-4 fix): the driver records correctness rows
     # for the FIRST 50 dict entries only (r1-r4 files each hold exactly 50).
     # The first 50 therefore carry every golden-twin terrain/zone/ML entry
-    # and one representative of every operator family; 43 micro-entries
+    # and one representative of every operator family; 44 micro-entries
     # and demoted family-covered entries (their operators stay
     # pytest-covered and value-checked by tools/check_oracle.py, which
     # runs ALL 94 entries — its full-run artifact is committed per round

@@ -53,6 +53,7 @@ cannot drift) evaluates the identical function.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +63,21 @@ from pyspark.sql import functions as F
 TRACKING_PARAM_RE = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def _host_expr(scheme: Column, auth_raw: Column) -> Column:
+    """The ONE host-derivation chain (shared by canonicalize_url and
+    url_host so the rules cannot drift, per the module-header warning):
+    lowercase, strip credentials, strip the scheme's default port, strip
+    leading ``www.`` and any trailing dot (a trailing-dot FQDN is the
+    same host to DNS — without this rule 'spam.com.' bypasses a
+    'spam.com' blocklist entry)."""
+    auth = F.regexp_replace(F.lower(auth_raw), r"^[^@]*@", "")
+    auth = (F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+             .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+             .otherwise(auth))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    return F.regexp_replace(host, r"\.+$", "")
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -78,11 +94,7 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_extract(rest, r"^[^?#]*", 0)
     query = F.regexp_extract(rest, r"\?([^#]*)", 1)
 
-    auth = F.regexp_replace(F.lower(auth_raw), r"^[^@]*@", "")
-    auth = (F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
-             .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
-             .otherwise(auth))
-    host = F.regexp_replace(auth, r"^www\.", "")
+    host = _host_expr(scheme, auth_raw)
 
     path_c = F.regexp_replace(path, r"/+$", "")
 
@@ -116,13 +128,13 @@ def sql_canonicalize_parts(u: str) -> dict[str, str]:
         "path_s": r"regexp_extract(rest_s, '^[^?#]*', 0)",
         "query_s": r"regexp_extract(rest_s, '\?([^#]*)', 1)",
         "host": (
-            "regexp_replace(CASE"
+            "regexp_replace(regexp_replace(CASE"
             " WHEN scheme = 'http' THEN regexp_replace("
             "regexp_replace(lower(auth_raw), '^[^@]*@', ''), ':80$', '')"
             " WHEN scheme = 'https' THEN regexp_replace("
             "regexp_replace(lower(auth_raw), '^[^@]*@', ''), ':443$', '')"
             " ELSE regexp_replace(lower(auth_raw), '^[^@]*@', '')"
-            " END, '^www\\.', '')"),
+            " END, '^www\\.', ''), '\\.+$', '')"),
         "path_c": "regexp_replace(path_s, '/+$', '')",
         "query_c": (
             "array_to_string(list_sort(list_filter(string_split(query_s, '&'),"
@@ -170,17 +182,13 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
 def url_host(url: Column) -> Column:
     """Registrable host of ``url`` under the module's canonical rules
     (lowercased, credentials and default ports stripped, leading ``www.``
-    dropped) — the key for host-level blocklists, the mixture domain
-    column, and the webgraph. NULL/schemeless in, NULL out."""
+    and trailing dot dropped — the shared ``_host_expr`` chain) — the key
+    for host-level blocklists, the mixture domain column, and the
+    webgraph. NULL/schemeless in, NULL out."""
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     after = F.regexp_replace(u, _SCHEME_RE, "")
-    auth = F.regexp_replace(
-        F.lower(F.regexp_extract(after, r"^[^/?#]*", 0)), r"^[^@]*@", "")
-    auth = (F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
-             .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
-             .otherwise(auth))
-    host = F.regexp_replace(auth, r"^www\.", "")
+    host = _host_expr(scheme, F.regexp_extract(after, r"^[^/?#]*", 0))
     return F.when(url.isNull() | (scheme == ""),
                   F.lit(None).cast("string")).otherwise(host)
 
@@ -193,27 +201,35 @@ def filter_blocklisted(df: DataFrame, blocklist: DataFrame,
     the UT1/shallalist-style ban step every web-crawl curation runs
     before spending compute on the text.
 
-    Scale shape: the host explodes to its O(#labels) parent-domain
-    suffixes (``a.b.c`` -> ``a.b.c``, ``b.c``, ``c`` — labels are
-    bounded, ~5, so this is a small constant fan-out of a NARROW
-    (row-key, suffix) projection, never the payload), which turns
-    subdomain matching into a plain equi-join with the blocklist —
-    broadcast when it is the usual few-hundred-thousand-domain list —
-    followed by a LEFT ANTI back on the row key. The payload columns
-    never shuffle. NULL/schemeless URLs have no host and are KEPT (no
-    silent drops; filter them separately if unwanted)."""
-    host = url_host(F.col(url_col))
-    # suffixes via aggregate over the reversed label array: progressively
-    # join the last k labels — pure Catalyst, no UDF
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    suffixes = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."))
-    keyed = df.withColumn("_host_sfx", suffixes)
-    hit = (keyed.select(url_col, F.explode("_host_sfx").alias("_sfx"))
-           .join(F.broadcast(blocklist.select(
-               F.lower(F.col(domain_col)).alias("_sfx")).distinct()),
-               "_sfx")
-           .select(url_col).distinct())
-    return (keyed.join(hit, url_col, "left_anti").drop("_host_sfx"))
+    Blocklist entries are normalized through the SAME host rules as the
+    URL side (lowercase, leading ``www.`` and trailing dot stripped), so
+    a ``www.spam.com`` entry — common in real UT1 files — bans
+    ``spam.com`` exactly like the host derivation would produce it.
+
+    Scale shape: the blocklist (even the usual few-hundred-thousand-
+    entry UT1 list, ~MBs) is collected ONCE and shipped to executors
+    inside an Arrow-UDF closure; the verdict (any of the host's
+    O(#labels) parent-domain suffixes in the set) is computed IN PLACE —
+    no join, no explode, no shuffle anywhere, the filter pipelines
+    inside the scan stage. This replaces an earlier suffix-explode +
+    anti-join form whose final join re-shuffled the payload on the row
+    key. NULL/schemeless URLs have no host and are KEPT (no silent
+    drops; filter them separately if unwanted)."""
+    entries = blocklist.select(
+        F.col(domain_col).cast("string").alias("d")).collect()
+    bset = frozenset(
+        r["d"].strip().lower().rstrip(".").removeprefix("www.")
+        for r in entries if r["d"])
+
+    @F.pandas_udf("boolean")
+    def _blocked(h: pd.Series) -> pd.Series:
+        def hit(host):
+            if not host:
+                return False
+            parts = host.split(".")
+            return any(".".join(parts[i:]) in bset
+                       for i in range(len(parts)))
+        return h.map(hit)
+
+    return df.filter(~F.coalesce(_blocked(url_host(F.col(url_col))),
+                                 F.lit(False)))

@@ -146,6 +146,7 @@ def test_url_host_rules(spark):
         ("https://WWW.Example.COM:443/a/b?x=1", "example.com"),
         ("http://user:pw@Ads.Tracker.net:80/", "ads.tracker.net"),
         ("ftp://Files.example.org:21/x", "files.example.org:21"),
+        ("https://spam.com./x", "spam.com"),   # trailing-dot FQDN folds
         ("no-scheme.example.com/path", None),
         (None, None),
     ]
@@ -168,8 +169,8 @@ def test_filter_blocklisted_subdomains_and_keeps(spark):
     ]
     df = spark.createDataFrame([(u, i) for i, u in enumerate(urls)],
                                "url string, payload long")
-    bl = spark.createDataFrame([("Example.COM",), ("spam.net",)],
-                               "domain string")
+    bl = spark.createDataFrame([("WWW.Example.COM.",), ("spam.net",)],
+                               "domain string")   # www./dot normalized away
     out = filter_blocklisted(df, bl)
     kept = sorted(r["payload"] for r in out.collect())
     assert kept == [3, 4, 5, 6, 7]
