@@ -714,6 +714,52 @@ def q_corpus_stats(spark, sf_dir):
     return TS.corpus_stats(d)
 
 
+# Deterministic page template for the html_extract gate entry: each
+# document's text wrapped in the classic boilerplate sandwich (nav of
+# links / content paragraph / ad stub / footer of links). No quote
+# characters, so the same literals embed in the DuckDB twin unescaped.
+_HTML_PRE = ("<html><head><title>t</title><style>p i</style></head><body>"
+             "<nav><a href=/>Home</a> <a href=/about>About our site</a>"
+             "</nav><p>")
+_HTML_POST = ("</p><div>ad</div><footer><a href=/p>Privacy</a> "
+              "<a href=/t>Terms of use</a> copyright</footer></body></html>")
+
+
+def q_html_extract(spark, sf_dir):
+    """jusText-style block-level boilerplate removal
+    (functions/html.py:html_extract): every document's text is wrapped in
+    a deterministic page template (nav links / content / ad stub / footer
+    links) and the extractor must recover exactly the content block —
+    nav, footer and the short ad block fail the length / link-density
+    rules. One chained per-row expression, zero shuffle; the oracle
+    rebuilds the identical rule chain through the module's own
+    sql_html_extract generator, so the two engines evaluate the same
+    regex program."""
+    from geospatialtools_spark.functions.html import html_extract
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(_HTML_POST)).alias("payload"))
+    out = html_extract(pages)
+    return out.select("doc_id", F.md5(F.col("content")).alias("content_md5"),
+                      "n_blocks", "n_kept")
+
+
+def _html_gate_oracle_sql() -> str:
+    from geospatialtools_spark.functions.html import sql_html_extract
+    e = sql_html_extract("payload")
+    return f"""
+        WITH pg AS (
+          SELECT doc_id,
+                 '{_HTML_PRE}' || COALESCE(text, '') || '{_HTML_POST}'
+                   AS payload
+          FROM documents)
+        SELECT doc_id, md5({e['content']}) AS content_md5,
+               {e['n_blocks']} AS n_blocks, {e['n_kept']} AS n_kept
+        FROM pg"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + keep-one-per-URL (functions/urls.py) — the
     first stage of a web-crawl pipeline (CCNet/RefinedWeb run it before any
@@ -967,6 +1013,24 @@ def q_lm_perplexity(spark, sf_dir):
     model = fit_unigram(d, vocab_size=20)
     out = unigram_nll(d, model)
     return out.select("doc_id", F.round(F.col("nll"), 6).alias("nll"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020;
+    functions/classifier.py:perplexity_buckets): each language's corpus
+    splits into equal-count perplexity thirds by ascending unigram NLL —
+    the stage CCNet runs before keeping head(+middle). Strict superset
+    of the lm_perplexity entry: the oracle recomputes the identical
+    rounded NLLs AND the bucket assignment. The per-language rank is the
+    two-level seq.py global rank over (lang, nll, doc_id) minus a
+    broadcast per-language offset — no Window.partitionBy(lang) putting
+    the dominant language of a web corpus into one task."""
+    from geospatialtools_spark.functions.classifier import (
+        fit_unigram, perplexity_buckets)
+    d = _t(spark, sf_dir, "documents")
+    model = fit_unigram(d, vocab_size=20)
+    out = perplexity_buckets(d, model)
+    return out.select("doc_id", "lang", "nll", "bucket", "bucket_label")
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1866,7 +1930,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window); grads_time demotes to the tail — its GrADS time
         # format keeps the round-trip pytest and 4 rounds of green history.
         "quality_logreg": q_quality_logreg,
-        "lm_perplexity": q_lm_perplexity,
+        # ccnet_buckets is new in the round-5 continuation (fresh-entry
+        # rule) and its oracle is a STRICT SUPERSET of lm_perplexity's
+        # (the identical lm CTE chain, value-checked rounded NLLs, plus
+        # the per-language thirds) — so lm_perplexity cedes its slot to
+        # it and the lm chain's first driver-recorded row still happens,
+        # with more checked than before; lm_perplexity stays
+        # value-checked in the tail.
+        "ccnet_buckets": q_ccnet_buckets,
         "heavy_hitters": q_heavy_hitters,
         "knn_docs": q_knn_docs,
         # span_dedup is new in round 5 (fresh-entry rule); events_hourly
@@ -1874,7 +1945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_sessions in-window, and hourly has 4 green rounds.
         "span_dedup": q_span_dedup,
         "events_sessions": q_events_sessions,
-        "polygon_adjacency": q_polygon_adjacency,
+        # html_extract is new in the round-5 continuation (fresh-entry
+        # rule); polygon_adjacency demotes to the tail — the zones family
+        # keeps its golden twins hillslope_props/hru_props in-window and
+        # J6 has 3 rounds of green driver history plus the vs-numpy
+        # pytest.
+        "html_extract": q_html_extract,
         "media_decode": q_media_decode,
         # epoch_shuffle is new in round-5 continuation (fresh-entry rule);
         # weighted_sample_grouped — round-5-new but green in the committed
@@ -1894,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_mfd": q_terrain_mfd,
         "terrain_pipeline": q_terrain_pipeline,
         # -- tail: micro-entries past the 50-entry recording window --------
+        "lm_perplexity": q_lm_perplexity,
+        "polygon_adjacency": q_polygon_adjacency,
         "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -2314,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM b GROUP BY 1, 2""",
         "url_dedup": _url_dedup_twin_sql(),
+        "html_extract": _html_gate_oracle_sql(),
         "redact_pii": _sql_redact_pii(),
         # contamination_fp: the fingerprint-prefilter path is EXACT (no
         # false negatives; collisions verified away), so its twin is the
@@ -2551,6 +2630,53 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, -avg(lp) AS nll FROM sc GROUP BY doc_id)
             SELECT d.doc_id, round(per_doc.nll, 6) AS nll
             FROM documents d LEFT JOIN per_doc USING (doc_id)""",
+        # ccnet_buckets: the lm_perplexity chain verbatim, extended with
+        # the per-language equal-count thirds. Rank on the ROUNDED nll
+        # (both engines bucket the cross-engine-stable value) with
+        # doc_id tie-break; bucket = (r * 3) // n in BIGINT arithmetic —
+        # the same integer division the Spark `div` expression computes.
+        "ccnet_buckets": f"""
+            WITH words AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       text, {_SQL_WS_RE}), x -> x <> '')) AS w
+              FROM documents),
+            counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+            top AS (SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 20),
+            tail AS (
+              SELECT sum(n) AS tn, count(*) AS tc FROM counts
+              WHERE w NOT IN (SELECT w FROM top)),
+            oovp AS (
+              SELECT CASE WHEN tc > 0
+                          THEN ln((tn * 1.0 / tc) / t)
+                          ELSE ln((SELECT min(n) FROM counts) / t) END AS olp
+              FROM tail, tot),
+            model AS (SELECT w, ln(n / t) AS logp FROM top, tot),
+            sc AS (
+              SELECT words.doc_id,
+                     COALESCE(m.logp, (SELECT olp FROM oovp)) AS lp
+              FROM words LEFT JOIN model m USING (w)),
+            per_doc AS (
+              SELECT doc_id, -avg(lp) AS nll FROM sc GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id, d.lang, round(per_doc.nll, 6) AS nll
+              FROM documents d LEFT JOIN per_doc USING (doc_id)),
+            rk AS (
+              SELECT doc_id, lang, nll,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY nll, doc_id) - 1 AS r,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM scored WHERE nll IS NOT NULL)
+            SELECT doc_id, lang, nll,
+                   CAST((r * 3) // n AS BIGINT) AS bucket,
+                   (['head', 'middle', 'tail'])[CAST((r * 3) // n AS INT) + 1]
+                     AS bucket_label
+            FROM rk
+            UNION ALL
+            SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS nll,
+                   CAST(NULL AS BIGINT) AS bucket,
+                   CAST(NULL AS VARCHAR) AS bucket_label
+            FROM scored WHERE nll IS NULL""",
         "quality_logreg": r"""
             WITH f AS (
               SELECT doc_id,

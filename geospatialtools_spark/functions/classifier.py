@@ -207,6 +207,85 @@ def unigram_nll(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
                      id_col, "left")
 
 
+def rank_buckets(df: DataFrame, group_col: str, score_col: str,
+                 id_col: str, n_buckets: int = 3,
+                 labels: list[str] | None = None,
+                 out_col: str = "bucket",
+                 label_col: str = "bucket_label") -> DataFrame:
+    """Per-group equal-count quantile buckets by ascending score — the
+    CCNet head/middle/tail split (Wenzek et al. 2020 partition each
+    language's corpus into perplexity thirds; geospatialtools' analog is
+    the percentile binning terrain_tools.py uses on covariates). Within
+    each ``group_col`` value, rows are ranked by ``(score_col, id_col)``
+    ascending and row r of n lands in bucket ``(r * n_buckets) // n``
+    (0-based, so buckets differ in size by at most one row and the
+    mapping is pure integer arithmetic — bit-reproducible in any
+    engine). Rows with a NULL score keep their columns and get a NULL
+    bucket; a NULL group ranks as its own group.
+
+    Scale shape: the per-group rank is NOT a
+    ``Window.partitionBy(group)`` (one task per language — the dominant
+    language of a web corpus is most of it) but the two-level global
+    rank of ``operators/seq.py`` over the combined key
+    ``(group, score, id)`` — a range shuffle all executors share — minus
+    the group's first global rank, which comes from one algebraic
+    min/count aggregation (O(#groups) rows, broadcast back). No task
+    ever holds more than ~1/shuffle-partitions of any group.
+
+    Ties: callers ranking a float computed independently by an oracle
+    engine should pass a pre-rounded score so the order (not just the
+    value) is cross-engine stable; ``id_col`` breaks exact ties
+    deterministically.
+    """
+    from ..operators.seq import seq_ids
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"{len(labels)} labels for {n_buckets} buckets")
+    scored = df.filter(F.col(score_col).isNotNull())
+    ranked = seq_ids(scored, [group_col, score_col, id_col], "_grank")
+    per_g = (ranked.groupBy(F.col(group_col).alias("_gkey"))
+             .agg(F.min("_grank").alias("_g0"),
+                  F.count(F.lit(1)).alias("_gn")))
+    # eqNullSafe: a NULL group is a real group (groupBy keeps it) and
+    # must match its own aggregate row, which a plain equi-join drops
+    ranked = ranked.join(F.broadcast(per_g),
+                         F.col(group_col).eqNullSafe(F.col("_gkey")),
+                         "left").drop("_gkey")
+    # `div` = exact long integer division (double `/` could round an
+    # exact bucket boundary like 3.0 down to 2.9999... before floor)
+    out = ranked.withColumn(
+        out_col,
+        F.expr(f"((_grank - _g0) * {int(n_buckets)}L) div _gn")
+         .cast("long")).drop("_grank", "_g0", "_gn")
+    nulls = df.filter(F.col(score_col).isNull()) \
+              .withColumn(out_col, F.lit(None).cast("long"))
+    out = out.unionByName(nulls)
+    if labels is not None:
+        lab = F.element_at(F.array(*[F.lit(s) for s in labels]),
+                           (F.col(out_col) + 1).cast("int"))
+        out = out.withColumn(label_col, lab)
+    return out
+
+
+def perplexity_buckets(docs: DataFrame, model: DataFrame,
+                       lang_col: str = "lang", id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_buckets: int = 3) -> DataFrame:
+    """The assembled CCNet bucketing stage: score every document's
+    unigram NLL (``unigram_nll``) then split each language into
+    equal-count head/middle/tail by ascending NLL (``rank_buckets`` —
+    head = most fluent). NLL is rounded to 6 decimals BEFORE ranking so
+    the bucket boundary is a function of the cross-engine-stable rounded
+    value, not of 1-ulp float noise. Empty docs (NULL NLL) get a NULL
+    bucket."""
+    labels = ["head", "middle", "tail"] if n_buckets == 3 else None
+    scored = unigram_nll(docs, model, id_col=id_col, text_col=text_col)
+    scored = scored.withColumn("nll", F.round(F.col("nll"), 6))
+    return rank_buckets(scored, lang_col, "nll", id_col,
+                        n_buckets=n_buckets, labels=labels)
+
+
 def logreg_predict_py(x_rows, weights, intercept):
     """Tiny numpy-free reference predictor for tests."""
     out = []

@@ -315,7 +315,8 @@ def write_warc_fixture(root: str, n_files: int = 3,
     return root
 
 
-def warc_to_docs(records: DataFrame, min_chars: int = 1) -> DataFrame:
+def warc_to_docs(records: DataFrame, min_chars: int = 1,
+                 extractor: str = "strip") -> DataFrame:
     """Bridge crawl records into the engine's ``documents`` schema
     (doc_id, text, lang, source, n_chars) so the curation pipeline runs
     straight off an archive: keep 200-status text/* responses, strip
@@ -333,9 +334,24 @@ def warc_to_docs(records: DataFrame, min_chars: int = 1) -> DataFrame:
 
     Pure Catalyst projection over the parsed records: zero shuffle, so
     WARC -> docs -> curation adds nothing to the ingest's plan beyond the
-    parse itself."""
-    text = F.trim(F.regexp_replace(
-        F.regexp_replace(F.col("payload"), "<[^>]*>", " "), r"\s+", " "))
+    parse itself.
+
+    ``extractor`` picks the HTML->text rule: ``"strip"`` (default, the
+    flat tags->space pass above) or ``"blocks"`` — jusText-style
+    block-level boilerplate removal (``functions/html.py``): nav bars,
+    footers and link farms drop before the text ever reaches dedup and
+    quality scoring. Both are per-row expressions; neither adds an
+    exchange."""
+    if extractor == "strip":
+        text = F.trim(F.regexp_replace(
+            F.regexp_replace(F.col("payload"), "<[^>]*>", " "),
+            r"\s+", " "))
+    elif extractor == "blocks":
+        from ..functions.html import html_extract_expr
+        text = html_extract_expr(F.col("payload"))
+    else:
+        raise ValueError(f"unknown extractor {extractor!r} "
+                         "(want 'strip' or 'blocks')")
     return (records
             .filter((F.col("warc_type") == "response")
                     & (F.col("http_status") == 200)

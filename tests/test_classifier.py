@@ -215,3 +215,114 @@ def test_fit_logreg_hash_sampled_training(spark):
                         ((F.col("p") < 0.5) & (F.col("y") == 0.0))).count() \
         / len(rows)
     assert acc >= 0.9                      # generalizes off-sample
+
+
+# ---------------------------------------------------------------------------
+# rank_buckets / perplexity_buckets (CCNet head/middle/tail)
+
+
+def _py_rank_buckets(rows, nb):
+    """Reference: per group, sort by (score, id); row r of n -> (r*nb)//n.
+    rows = [(id, group, score)] with non-null scores."""
+    from collections import defaultdict
+    by_g = defaultdict(list)
+    for rid, g, s in rows:
+        by_g[g].append((s, rid))
+    out = {}
+    for g, members in by_g.items():
+        members.sort()
+        n = len(members)
+        for r, (_, rid) in enumerate(members):
+            out[rid] = (r * nb) // n
+    return out
+
+
+def test_rank_buckets_matches_python_reference(spark):
+    from geospatialtools_spark.functions.classifier import rank_buckets
+    # uneven groups incl. size 1 and 2, with exact score ties
+    rows = []
+    rid = 0
+    for g, n in [("en", 10), ("fr", 7), ("de", 2), ("xx", 1)]:
+        for i in range(n):
+            score = float((i * 37) % 5)        # many ties -> id tie-break
+            rows.append((rid, g, score))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, lang string, s double")
+    out = rank_buckets(df, "lang", "s", "id", n_buckets=3,
+                       labels=["head", "middle", "tail"])
+    got = {r["id"]: (r["bucket"], r["bucket_label"])
+           for r in out.collect()}
+    ref = _py_rank_buckets(rows, 3)
+    assert len(got) == len(rows)
+    for rid2, b in ref.items():
+        lab = ["head", "middle", "tail"][b]
+        assert got[rid2] == (b, lab), rid2
+    # balanced within one row per group
+    from collections import Counter
+    for g, n in [("en", 10), ("fr", 7)]:
+        sizes = Counter(ref[rid3] for rid3, gg, _ in rows if gg == g)
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_rank_buckets_null_score_and_null_group(spark):
+    from geospatialtools_spark.functions.classifier import rank_buckets
+    rows = [(0, "en", 1.0), (1, "en", None), (2, None, 2.0),
+            (3, None, 1.0), (4, None, 3.0)]
+    df = spark.createDataFrame(rows, "id long, lang string, s double")
+    out = {r["id"]: r["bucket"]
+           for r in rank_buckets(df, "lang", "s", "id", 3).collect()}
+    assert len(out) == 5
+    assert out[1] is None                 # NULL score kept, NULL bucket
+    assert out[0] == 0                    # singleton non-null group
+    # NULL group is its own 3-member group: ranks 1.0 < 2.0 < 3.0
+    assert (out[3], out[2], out[4]) == (0, 1, 2)
+
+
+def test_rank_buckets_partition_invariance(spark):
+    from geospatialtools_spark.functions.classifier import rank_buckets
+    rows = [(i, "g%d" % (i % 3), float((i * 19) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, lang string, s double")
+    a = {r["id"]: r["bucket"]
+         for r in rank_buckets(df, "lang", "s", "id", 4).collect()}
+    b = {r["id"]: r["bucket"]
+         for r in rank_buckets(df.repartition(13), "lang", "s", "id",
+                               4).collect()}
+    assert a == b
+    ref = _py_rank_buckets(rows, 4)
+    assert a == ref
+
+
+def test_rank_buckets_rejects_bad_args(spark):
+    from geospatialtools_spark.functions.classifier import rank_buckets
+    df = spark.createDataFrame([(0, "en", 1.0)],
+                               "id long, lang string, s double")
+    with pytest.raises(ValueError):
+        rank_buckets(df, "lang", "s", "id", n_buckets=0)
+    with pytest.raises(ValueError):
+        rank_buckets(df, "lang", "s", "id", n_buckets=3, labels=["a"])
+
+
+def test_perplexity_buckets_garbage_lands_in_tail(spark):
+    from geospatialtools_spark.functions.classifier import (
+        fit_unigram, perplexity_buckets)
+    fluent = "the cat sat on the mat and the dog ran"
+    rows = []
+    for i in range(12):                    # 12 fluent en + 6 garbage en
+        rows.append((i, "en", fluent))
+    for i in range(6):
+        rows.append((100 + i, "en", "zzq%dq wxk%dj vvb%dp" % (i, i, i)))
+    for i in range(9):                     # second language, all fluent
+        rows.append((200 + i, "fr", "le chat le chien le chat"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = fit_unigram(df, vocab_size=15)
+    out = perplexity_buckets(df, model)
+    got = {r["doc_id"]: (r["bucket_label"], r["nll"]) for r in out.collect()}
+    assert len(got) == len(rows)
+    # every garbage doc scores a strictly higher NLL than every fluent
+    # en doc, so all 6 land in the 6-slot tail of the 18-doc en group
+    assert all(got[100 + i][0] == "tail" for i in range(6))
+    assert all(got[i][0] in ("head", "middle") for i in range(12))
+    # fr is its own 9-doc group of identical docs: ids split 3/3/3
+    from collections import Counter
+    fr = Counter(got[200 + i][0] for i in range(9))
+    assert fr == {"head": 3, "middle": 3, "tail": 3}
