@@ -746,6 +746,26 @@ def q_html_extract(spark, sf_dir):
                       "n_blocks", "n_kept")
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    local fingerprinting algorithm; functions/winnow.py): hash every
+    8-char k-gram of the normalized text, slide a 4-hash window, keep
+    the rightmost window minimum — any >=11-char clone between two docs
+    is then guaranteed a shared fingerprint. Gate runs the Catalyst HOF
+    form (the oracle-parity twin; winnow_fast is the bit-parity-tested
+    Arrow hot path); the DuckDB twin is generated from the same module
+    constants."""
+    from geospatialtools_spark.functions.winnow import winnow_fingerprints
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d)
+
+
+def _winnow_gate_oracle_sql() -> str:
+    from geospatialtools_spark.functions.winnow import sql_winnow
+    return ("SELECT id AS doc_id, pos, fp FROM ("
+            + sql_winnow("doc_id", "text") + ")")
+
+
 def _html_gate_oracle_sql() -> str:
     from geospatialtools_spark.functions.html import sql_html_extract
     e = sql_html_extract("payload")
@@ -1957,7 +1977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-gate artifact, with family reps weighted_sample +
         # mixture_sample in-window — demotes to the tail.
         "epoch_shuffle": q_epoch_shuffle,
-        "doc_cell_ids": q_doc_cell_ids,
+        # winnow_fp is new in the round-5 continuation (fresh-entry
+        # rule); doc_cell_ids demotes to the tail — the quad-cell index
+        # stays exercised in-window by doc_tile_attach + knn_docs (both
+        # build on it) and the Morton twin has 4 green driver rounds.
+        "winnow_fp": q_winnow_fp,
         # -- zone / ML golden twins (inside the window since round 4) ------
         "tiles_kmeans": q_tiles_kmeans,
         "nd_hist_hrus": q_nd_hist_hrus,
@@ -1972,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: micro-entries past the 50-entry recording window --------
         "lm_perplexity": q_lm_perplexity,
         "polygon_adjacency": q_polygon_adjacency,
+        "doc_cell_ids": q_doc_cell_ids,
         "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -2393,6 +2418,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY 1, 2""",
         "url_dedup": _url_dedup_twin_sql(),
         "html_extract": _html_gate_oracle_sql(),
+        "winnow_fp": _winnow_gate_oracle_sql(),
         "redact_pii": _sql_redact_pii(),
         # contamination_fp: the fingerprint-prefilter path is EXACT (no
         # false negatives; collisions verified away), so its twin is the

@@ -1668,6 +1668,219 @@ def main_bitext():
 
 
 
+def main_html():
+    """HTML boilerplate extraction scale evidence (BASELINE.md).
+
+    SPARK_GRAFT_HTML_PAGES pages (default 5M), each the classic
+    boilerplate sandwich — nav of links, k = id%4+1 prose paragraphs
+    (each long enough to pass the length rule and link-free), a short ad
+    stub, a script block with ghost markup, a link-only footer — so the
+    expected keep set is CLOSED FORM: exactly the k prose blocks
+    survive. Ground truth is exact: every page must report n_kept == k
+    and the recovered content must start with its first paragraph.
+    Pure per-row expression chain — the bench is a map-only scan."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.html import html_extract
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-html")
+    n = int(os.environ.get("SPARK_GRAFT_HTML_PAGES", "5000000"))
+    prose = ("The quick brown fox jumps over the lazy dog and runs along "
+             "the river bank every single morning without fail token ")
+    paras = F.array(*[
+        F.concat(F.lit(f"<p>{prose}p{j} "), F.col("id").cast("string"),
+                 F.lit("</p>"))
+        for j in range(4)])
+    k = (F.col("id") % 4 + 1).cast("int")
+    page = F.concat(
+        F.lit("<html><head><title>t</title><style>p{x}</style></head>"
+              "<body><nav><a href=/>Home</a> <a href=/a>About our site"
+              "</a> <a href=/c>Contact</a></nav>"),
+        F.array_join(F.slice(paras, 1, k), ""),
+        F.lit("<div>ad</div><script>var g = '<p>ghost paragraph that "
+              "must never appear in output</p>';</script>"
+              "<footer><a href=/p>Privacy</a> <a href=/t>Terms of use"
+              "</a> <a href=/s>Sitemap</a></footer></body></html>"))
+    pages = (spark.range(n)
+             .select(F.col("id"), page.alias("payload"), k.alias("k"))
+             .localCheckpoint(eager=True))          # pre-materialized input
+    total_mb = pages.agg(F.sum(F.length("payload"))).first()[0] / 1e6
+    reps, agg = [], None
+    for _ in range(2):
+        t0 = time.time()
+        out = html_extract(pages)
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum("n_kept").alias("kept"),
+            F.sum(F.when(F.col("n_kept") != F.col("k"), 1)
+                  .otherwise(0)).alias("wrong_kept"),
+            F.sum(F.when(F.col("content").startswith(
+                prose + "p0 "), 0).otherwise(1)).alias("wrong_content"),
+            F.sum(F.when(F.col("content").contains("ghost"), 1)
+                  .otherwise(0)).alias("ghosts")).first()
+        reps.append(round(time.time() - t0, 2))
+    wall = min(reps)
+    want_kept = sum((i % 4) + 1 for i in range(4)) * (n // 4) \
+        + sum((i % 4) + 1 for i in range(n % 4))
+    print(json.dumps({
+        "metric": "html boilerplate extraction throughput (per-row "
+                  "Catalyst chain, zero shuffle)",
+        "pages": n, "input_mb": round(total_mb, 1),
+        "reps_s": reps, "wall_s": wall,
+        "pages_per_sec": round(n / wall, 1),
+        "mb_per_sec": round(total_mb / wall, 1),
+        "ground_truth_ok": (int(agg["n"]) == n
+                            and int(agg["kept"]) == want_kept
+                            and int(agg["wrong_kept"]) == 0
+                            and int(agg["wrong_content"]) == 0
+                            and int(agg["ghosts"]) == 0),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+def main_ccnet():
+    """CCNet perplexity-bucketing scale evidence (BASELINE.md).
+
+    SPARK_GRAFT_CCNET_DOCS docs (default 10M) in a deliberately SKEWED
+    language mix (en 80% / fr 10% / de 10% — the worst case for the
+    naive Window.partitionBy(lang) plan this operator exists to avoid);
+    20%% of each language is garbage (unique never-repeating words, so
+    its unigram NLL is strictly above every fluent doc's). Ground truth
+    is exact: per language the three buckets are balanced to +-1 and
+    EVERY garbage doc lands in the tail third (garbage fraction 0.2 <
+    1/3). Wall covers fit_unigram + scoring + the two-level rank."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.classifier import (
+        fit_unigram, perplexity_buckets)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-ccnet")
+    n = int(os.environ.get("SPARK_GRAFT_CCNET_DOCS", "10000000"))
+    lang = (F.when(F.col("id") % 10 < 8, "en")
+            .when(F.col("id") % 10 == 8, "fr").otherwise("de"))
+    sid = F.col("id").cast("string")
+    fluent = F.concat(
+        F.lit("the cat sat on the mat and the dog ran by the house "),
+        F.array_join(F.array_repeat(
+            F.element_at(F.array(F.lit("near"), F.lit("with"),
+                                 F.lit("from")),
+                         (F.col("id") % 3 + 1).cast("int")), 3), " "))
+    garbage = F.concat(F.lit("zz"), sid, F.lit("q wx"), sid,
+                       F.lit("j vv"), sid, F.lit("p qq"), sid, F.lit("z"))
+    # (id div 10) % 5: independent of id % 10 (the language), so each
+    # language gets exactly 20% garbage — id % 5 would alias with the
+    # language residues and make ALL of one language garbage
+    is_garbage = (F.col("id") / 10).cast("long") % 5 == 4
+    docs = (spark.range(n)
+            .select(F.col("id").alias("doc_id"), lang.alias("lang"),
+                    F.when(is_garbage, garbage).otherwise(fluent)
+                    .alias("text"))
+            .localCheckpoint(eager=True))
+    t0 = time.time()
+    model = fit_unigram(docs, vocab_size=20)
+    t_fit = round(time.time() - t0, 2)
+    t0 = time.time()
+    out = perplexity_buckets(docs, model)
+    per = (out.groupBy("lang", "bucket")
+           .agg(F.count("*").alias("c"),
+                F.sum(F.when((F.col("doc_id") / 10).cast("long") % 5 == 4,
+                             1).otherwise(0))
+                .alias("garbage")).collect())
+    t_rank = round(time.time() - t0, 2)
+    by_lang: dict = {}
+    for r in per:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = (r["c"],
+                                                          r["garbage"])
+    balanced = all(
+        max(c for c, _ in d.values()) - min(c for c, _ in d.values()) <= 1
+        for d in by_lang.values())
+    garbage_in_tail = all(
+        all(g == 0 for b, (_, g) in d.items() if b != 2)
+        for d in by_lang.values())
+    n_garbage = sum(g for d in by_lang.values() for _, g in d.values())
+    print(json.dumps({
+        "metric": "ccnet perplexity bucketing (fit + score + two-level "
+                  "per-language rank) on an 80/10/10 skewed language mix",
+        "docs": n, "langs": {k: sum(c for c, _ in d.values())
+                             for k, d in sorted(by_lang.items())},
+        "fit_wall_s": t_fit, "rank_wall_s": t_rank,
+        "docs_per_sec": round(n / (t_fit + t_rank), 1),
+        "ground_truth_ok": (balanced and garbage_in_tail
+                            and n_garbage == n // 5),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
+def main_winnow():
+    """Winnowing fingerprint scale evidence (BASELINE.md).
+
+    SPARK_GRAFT_WINNOW_DOCS docs (default 1M): 24 hex chars of
+    md5-derived noise each, plus — for ids 100j and 100j+1 — a shared
+    18-char planted clone core (" clone" + 12 hex chars of md5(j), so
+    cores share no digit-prefix structure across centuries; a
+    zero-padded decimal century number here made df~200 fingerprint
+    groups out of shared digit prefixes and 237k structural pairs).
+    The winnowing theorem makes recall on the planted pairs EXACT
+    (shared substring 18 >= k+w-1 = 11 chars => a shared selected
+    fingerprint), so `planted_missed` must be 0. Remaining extra pairs
+    are genuine 8-gram hash-value collisions (8 chars of [a-z0-9]
+    carry ~41 bits; ~hundreds expected at 1M docs) — reported, not
+    hidden. Times both the Arrow hot path (full corpus) and the
+    Catalyst oracle-parity form (100k cap) plus the pair join."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions import winnow as WN
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-winnow")
+    n = int(os.environ.get("SPARK_GRAFT_WINNOW_DOCS", "1000000"))
+    noise = F.substring(F.md5(F.col("id").cast("string")), 1, 24)
+    century = (F.col("id") / 100).cast("long")
+    core = F.concat(F.lit(" "),
+                    F.substring(F.md5(F.concat(F.lit("c"),
+                                               century.cast("string"))),
+                                1, 12))
+    text = F.when(F.col("id") % 100 < 2, F.concat(noise, core)) \
+            .otherwise(noise)
+    docs = (spark.range(n)
+            .select(F.col("id").alias("doc_id"), text.alias("text"))
+            .localCheckpoint(eager=True))
+    reps = []
+    n_fp = None
+    for _ in range(2):
+        t0 = time.time()
+        n_fp = WN.winnow_fast(docs).count()
+        reps.append(round(time.time() - t0, 2))
+    t_arrow = min(reps)
+    n_cat = min(n, 100_000)
+    t0 = time.time()
+    cat_fp = WN.winnow_fingerprints(docs.limit(n_cat)).count()
+    t_catalyst = round(time.time() - t0, 2)
+    t0 = time.time()
+    pairs = WN.winnow_pairs(docs).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    t_pairs = round(time.time() - t0, 2)
+    planted = n // 100
+    found_planted = pairs.filter(
+        (F.col("id_a") % 100 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).count()
+    print(json.dumps({
+        "metric": "winnowing fingerprints (Schleimer 2003) — Arrow hot "
+                  "path, Catalyst twin cost, pair join with planted "
+                  "exact-recall ground truth",
+        "docs": n, "fingerprints": n_fp,
+        "arrow_reps_s": reps, "arrow_wall_s": t_arrow,
+        "arrow_docs_per_sec": round(n / t_arrow, 1),
+        "catalyst_docs": n_cat, "catalyst_wall_s": t_catalyst,
+        "catalyst_docs_per_sec": round(n_cat / t_catalyst, 1),
+        "pairs_wall_s": t_pairs, "pairs_found": n_pairs,
+        "planted_pairs": planted, "planted_found": found_planted,
+        "planted_missed": planted - found_planted,
+        "collision_extras": n_pairs - found_planted,
+        "ground_truth_ok": found_planted == planted,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
@@ -1707,6 +1920,12 @@ if __name__ == "__main__":
         main_passages()
     elif "--urls" in sys.argv:
         main_urls()
+    elif "--html" in sys.argv:
+        main_html()
+    elif "--ccnet" in sys.argv:
+        main_ccnet()
+    elif "--winnow" in sys.argv:
+        main_winnow()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:
