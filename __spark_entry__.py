@@ -339,6 +339,22 @@ def q_dedup_incremental(spark, sf_dir):
     return pairs
 
 
+def q_contamination_near(spark, sf_dir):
+    """NEAR-dup decontamination (functions/decontaminate.py:
+    contamination_near): corpus docs (doc_id % 7 != 0) whose MinHash
+    bands collide with an eval-suite doc (% 7 == 0) — the paraphrase
+    leakage the exact-shingle contamination entries cannot see. Same
+    _minhash_banded code and banding contract as minhash_lsh_pairs,
+    restricted to CROSS pairs; the eval side broadcasts, the corpus
+    never self-joins and never shuffles. Oracle: the shared full-run
+    MinHash pair CTE with exactly the cross restriction applied."""
+    from geospatialtools_spark.functions.decontaminate import (
+        contamination_near)
+    d = _t(spark, sf_dir, "documents")
+    return contamination_near(d.filter(F.col("doc_id") % 7 != 0),
+                              d.filter(F.col("doc_id") % 7 == 0))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Dedup group resolution: MinHash-LSH pairs -> connected components
     (min-label propagation + pointer doubling over the pair nodes only) ->
@@ -1838,7 +1854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fao_texture twin in the tail.
         "dsir_weights": q_dsir_weights,
         # -- training-data pipeline ----------------------------------------
-        "minhash_lsh": q_minhash_lsh,
+        # contamination_near is new in the round-5 continuation
+        # (fresh-entry rule); minhash_lsh demotes to the tail — its
+        # banding code and oracle CTEs stay exercised in-window by
+        # dedup_incremental, dedup_groups AND contamination_near itself
+        # (all three share _minhash_banded + _SQL_MINHASH_PAIRS), and it
+        # has 4 rounds of green driver history.
+        "contamination_near": q_contamination_near,
         # dedup_incremental is new in round 5 (fresh-entry rule: first
         # round driver-recorded); join_broadcast demotes to the tail — the
         # broadcast-join family stays represented in-window by
@@ -1997,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "polygon_adjacency": q_polygon_adjacency,
         "doc_cell_ids": q_doc_cell_ids,
+        "minhash_lsh": q_minhash_lsh,
         "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -2311,6 +2334,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SQL_MINHASH_PAIRS}
             SELECT id_a, id_b FROM pairs
             WHERE id_a % 5 = 0 OR id_b % 5 = 0""",
+        # cross pairs only: exactly one endpoint in the eval cohort; the
+        # non-eval endpoint is the corpus doc
+        "contamination_near": f"""
+            WITH {_SQL_MINHASH_PAIRS}
+            SELECT CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS doc_id,
+                   CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS eval_id
+            FROM pairs
+            WHERE (id_a % 7 = 0) <> (id_b % 7 = 0)""",
         "dedup_groups": f"""
             WITH RECURSIVE {_SQL_MINHASH_PAIRS},
             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -1881,6 +1881,73 @@ def main_winnow():
     }))
 
 
+def main_neardecon():
+    """Near-dup decontamination scale evidence (BASELINE.md).
+
+    SPARK_GRAFT_NEARDECON_DOCS corpus docs (default 5M) of 12 unique
+    md5-derived words each; an eval suite of SPARK_GRAFT_NEARDECON_EVAL
+    docs (default 10k) of which 1000 are VERBATIM copies of known corpus
+    docs. A verbatim copy has Jaccard 1 => identical MinHash signature
+    => identical band keys in every band, so banding recall on the
+    planted leaks is EXACT by construction: `planted_missed` must be 0.
+    Extras are sub-J=1 band collisions among random docs (reported).
+    The corpus never shuffles — eval bands broadcast into a map-side
+    probe."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.decontaminate import (
+        contamination_near)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-neardecon")
+    n = int(os.environ.get("SPARK_GRAFT_NEARDECON_DOCS", "5000000"))
+    n_eval = int(os.environ.get("SPARK_GRAFT_NEARDECON_EVAL", "10000"))
+    n_leak = min(1000, n_eval)
+    stride = n // n_leak
+
+    def words(seed_col, salt):
+        return F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(12)),
+                        lambda j: F.substring(
+                            F.md5(F.concat(F.lit(salt),
+                                           seed_col.cast("string"),
+                                           F.lit("-"),
+                                           j.cast("string"))), 1, 8)),
+            " ")
+
+    corpus = (spark.range(n)
+              .select(F.col("id").alias("doc_id"),
+                      words(F.col("id"), "c").alias("text"))
+              .localCheckpoint(eager=True))
+    # eval ids live above the corpus id space; the first n_leak are
+    # verbatim copies of corpus docs 0, stride, 2*stride, ...
+    ev_src = F.when(F.col("id") < n_leak, F.col("id") * stride)
+    ev_text = F.when(F.col("id") < n_leak, words(ev_src, "c")) \
+               .otherwise(words(F.col("id"), "e"))
+    ev = (spark.range(n_eval)
+          .select((F.col("id") + n).alias("doc_id"),
+                  ev_text.alias("text"))
+          .localCheckpoint(eager=True))
+    t0 = time.time()
+    pairs = contamination_near(corpus, ev).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    wall = round(time.time() - t0, 2)
+    found = pairs.filter(
+        (F.col("eval_id") - n < n_leak)
+        & (F.col("doc_id") == (F.col("eval_id") - n) * stride)).count()
+    print(json.dumps({
+        "metric": "near-dup decontamination (MinHash cross-pair probe, "
+                  "broadcast eval bands, zero corpus shuffle)",
+        "corpus_docs": n, "eval_docs": n_eval,
+        "wall_s": wall, "docs_per_sec": round(n / wall, 1),
+        "pairs_found": n_pairs,
+        "planted_leaks": n_leak, "planted_found": found,
+        "planted_missed": n_leak - found,
+        "band_extras": n_pairs - found,
+        "ground_truth_ok": found == n_leak,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
@@ -1926,6 +1993,8 @@ if __name__ == "__main__":
         main_ccnet()
     elif "--winnow" in sys.argv:
         main_winnow()
+    elif "--neardecon" in sys.argv:
+        main_neardecon()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

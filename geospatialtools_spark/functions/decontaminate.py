@@ -125,3 +125,49 @@ def contamination_exact(docs: DataFrame, eval_docs: DataFrame,
                        .alias("shingle"))
     return (sh.join(F.broadcast(ev), "shingle")
             .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+
+
+def contamination_near(docs: DataFrame, eval_docs: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       eval_id_col: str | None = None,
+                       k: int = 3, n_hashes: int | None = None,
+                       bands: int | None = None,
+                       broadcast_eval: bool = True) -> DataFrame:
+    """NEAR-duplicate decontamination: corpus documents whose MinHash
+    band signature collides with an eval-suite document — the paraphrase
+    / light-edit leakage the exact-shingle paths above cannot see
+    (the GPT-3 appendix-C / Dolma-style n-gram overlap check catches
+    verbatim inclusion; a benchmark answer reworded past the shingle
+    set needs the same Jaccard-banding net the dedup surface uses).
+
+    Returns distinct ``(id_col, eval_id)`` candidate pairs under EXACTLY
+    ``minhash_lsh_pairs``' contract (same ``_minhash_banded`` code and
+    defaults, same banding recall curve: catches Jaccard >~ 0.5 at the
+    default 4x4 banding) — restricted to CROSS pairs only. The corpus
+    never self-joins: unlike wrapping ``incremental_dup_pairs`` (whose
+    (new,new) leg would be a full corpus self-dedup), the only join here
+    is corpus-bands x eval-bands.
+
+    Scale shape: the eval side is small by nature (a benchmark suite —
+    10^4..10^6 docs x bands rows), so it broadcasts
+    (``broadcast_eval``, default on) and the corpus side stays a
+    map-side hash probe: no corpus shuffle at all. Set
+    ``broadcast_eval=False`` for an abnormally large eval side and
+    Catalyst/AQE picks the strategy. Bucket blowup is bounded by
+    B_corpus x B_eval per bucket with B_eval small; there is no
+    star_threshold here because the eval side caps every bucket.
+    """
+    from .dedup import LSH_BANDS, N_MINHASH, _minhash_banded
+    n_hashes = N_MINHASH if n_hashes is None else n_hashes
+    bands = LSH_BANDS if bands is None else bands
+    eval_id_col = id_col if eval_id_col is None else eval_id_col
+    cb = _minhash_banded(docs, text_col, id_col, k, n_hashes, bands)
+    eb = _minhash_banded(eval_docs, text_col, eval_id_col,
+                         k, n_hashes, bands) \
+        .select(F.col("_id").alias("_eval_id"), "band", "bhash")
+    if broadcast_eval:
+        eb = F.broadcast(eb)
+    return (cb.join(eb, ["band", "bhash"])
+            .select(F.col("_id").alias(id_col),
+                    F.col("_eval_id").alias("eval_id"))
+            .distinct())

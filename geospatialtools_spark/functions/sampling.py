@@ -180,6 +180,45 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
               .select(*df.columns))
 
 
+def temperature_shares(df: DataFrame, domain_col: str,
+                       alpha: float = 0.3,
+                       weight_col: str | None = None) -> dict[str, float]:
+    """Temperature-flattened target shares for ``mixture_sample`` — the
+    multilingual up/down-sampling rule of mT5/XLM-R (Xue et al. 2021
+    §3.1; Conneau et al. 2020 §3): observed domain mass p_d is remapped
+    to ``q_d ∝ p_d^alpha``. alpha=1 keeps the natural mix, alpha=0 is
+    uniform across domains, the common 0.2-0.5 range boosts
+    low-resource domains without letting them dominate.
+
+    One map-side-combined aggregate over #domains groups (rows or, with
+    ``weight_col``, integer weight mass — the same contract as
+    ``mixture_sample``); the power/normalize math runs driver-side on
+    the #domains-sized result. NULL domains keep their mass under the
+    NULL key, mirroring mixture_sample's grouping, but note
+    mixture_sample targets cannot address a NULL domain (dict keys), so
+    NULL-domain rows are dropped by the downstream filter — drop or
+    fill NULL domains first if they must survive.
+
+    Compose: ``mixture_sample(df, key, dom,
+    temperature_shares(df, dom, 0.3))`` — the binding domain under the
+    flattened shares is the SMALLEST one (it is boosted the most), so
+    the rarest domain keeps ~100% and the head is cut toward it.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = (F.sum(F.col(weight_col).cast("long")) if weight_col
+            else F.count(F.lit(1)))
+    rows = df.groupBy(domain_col).agg(mass.alias("_m")).collect()
+    raw = {r[domain_col]: float(r["_m"] or 0) for r in rows
+           if r[domain_col] is not None and (r["_m"] or 0) > 0}
+    if not raw:
+        raise ValueError("no non-NULL domain has positive mass")
+    total = sum(raw.values())
+    powed = {d: (m / total) ** alpha for d, m in raw.items()}
+    z = sum(powed.values())
+    return {d: v / z for d, v in powed.items()}
+
+
 def hash_uniform(key: Column) -> Column:
     """Deterministic uniform double in (0, 1): (h32 + 0.5) / 2^32 where h32
     is the first 32 bits of md5(key). Never exactly 0 or 1, so ln(u) is

@@ -122,3 +122,55 @@ def test_verify_joins_broadcast_without_stats(spark):
         assert got == ref
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# contamination_near (MinHash cross-pair decontamination)
+
+
+def test_contamination_near_equals_full_run_cross_pairs(spark):
+    """Construction contract: the cross pairs of minhash_lsh_pairs over
+    corpus UNION eval — nothing more (no corpus-corpus, no eval-eval)."""
+    from geospatialtools_spark.functions.decontaminate import (
+        contamination_near)
+    from geospatialtools_spark.functions.dedup import minhash_lsh_pairs
+    rows = []
+    for i in range(40):
+        rows.append((i, f"corpus document number {i} about topic "
+                        f"{'alpha beta gamma delta' if i % 4 == 0 else i}"))
+    # two near-identical corpus docs (a corpus-corpus pair that must NOT
+    # appear in the decontamination output)
+    rows.append((90, "identical corpus twin text about many things here"))
+    rows.append((91, "identical corpus twin text about many things here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1000, "corpus document number 7 about topic 7"),   # near doc 7
+         (1001, "eval only question nothing shares this phrasing"),
+         (1002, "eval twin question matching no corpus entry"),
+         (1003, "eval twin question matching no corpus entry")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["eval_id"])
+           for r in contamination_near(docs, ev).collect()}
+    full = minhash_lsh_pairs(
+        docs.unionByName(ev))
+    cross = {(min(a, b), max(a, b))
+             for a, b in ((r["id_a"], r["id_b"]) for r in full.collect())}
+    want = {(a, b) for a, b in cross if a < 1000 <= b}
+    assert {(a, b) for a, b in got} == want
+    assert (7, 1000) in got                       # the planted leak
+    assert not any(e in (90, 91) for _, e in got)  # no corpus-corpus
+    assert not any(c >= 1000 for c, _ in got)      # no eval-eval
+
+
+def test_contamination_near_broadcasts_eval_side(spark):
+    from geospatialtools_spark.functions.decontaminate import (
+        contamination_near)
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(20)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(500, "text number 3 with words")],
+                               "doc_id long, text string")
+    out = contamination_near(docs, ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert (3, 500) in {(r["doc_id"], r["eval_id"]) for r in out.collect()}

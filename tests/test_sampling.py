@@ -494,3 +494,44 @@ def test_curation_normalize_keeps_token_weights_when_rechars_off(spark,
                        normalize_weight_rechars=False).as_dict()
     b = CurationConfig(normalize_form="NFC").as_dict()
     assert a != b
+
+
+def test_temperature_shares_flattens_toward_uniform(spark):
+    from geospatialtools_spark.functions.sampling import (mixture_sample,
+                                                          temperature_shares)
+    rows = [(i, "head" if i < 800 else ("mid" if i < 950 else "tail"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    nat = temperature_shares(df, "dom", alpha=1.0)
+    assert abs(nat["head"] - 0.8) < 1e-12 and abs(nat["tail"] - 0.05) < 1e-12
+    uni = temperature_shares(df, "dom", alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+    t = temperature_shares(df, "dom", alpha=0.3)
+    # flattening: head share shrinks, tail share grows, order preserved
+    assert 1 / 3 < t["head"] < 0.8 and 0.05 < t["tail"] < 1 / 3
+    assert abs(sum(t.values()) - 1.0) < 1e-12
+    # composes with mixture_sample: the flattened mix is achievable and
+    # the TAIL (most-boosted) domain binds, surviving ~whole
+    out = mixture_sample(df, "id", "dom", t)
+    kept = {r["dom"]: 0 for r in out.collect()}
+    for r in out.collect():
+        kept[r["dom"]] += 1
+    assert kept["tail"] >= 45                 # ~50 of 50, hash jitter
+    got_frac = {d: kept[d] / sum(kept.values()) for d in kept}
+    for d in t:
+        assert abs(got_frac[d] - t[d]) < 0.05
+
+
+def test_temperature_shares_weighted_and_guards(spark):
+    import pytest
+    from geospatialtools_spark.functions.sampling import temperature_shares
+    df = spark.createDataFrame(
+        [(0, "a", 900), (1, "b", 100), (2, None, 500)],
+        "id long, dom string, w long")
+    t = temperature_shares(df, "dom", alpha=1.0, weight_col="w")
+    assert abs(t["a"] - 0.9) < 1e-12          # NULL domain excluded
+    with pytest.raises(ValueError):
+        temperature_shares(df, "dom", alpha=-0.1)
+    empty = spark.createDataFrame([], "id long, dom string, w long")
+    with pytest.raises(ValueError):
+        temperature_shares(empty, "dom")
