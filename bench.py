@@ -1859,7 +1859,9 @@ def main_winnow():
     pairs = WN.winnow_pairs(docs).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     t_pairs = round(time.time() - t0, 2)
-    planted = n // 100
+    # a pair exists for every century with BOTH members present: full
+    # centuries plus a trailing partial century iff it has >= 2 docs
+    planted = n // 100 + (1 if n % 100 >= 2 else 0)
     found_planted = pairs.filter(
         (F.col("id_a") % 100 == 0) & (F.col("id_b") == F.col("id_a") + 1)
     ).count()

@@ -174,7 +174,12 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     the cap is a dial). One shuffle on fp; pair emission is per-bucket."""
     fps = (winnow_fast(df, id_col, text_col, k, w) if use_arrow
            else winnow_fingerprints(df, id_col, text_col, k, w))
-    posts = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    # materialized once: posts feeds the df-cap aggregate AND both sides
+    # of the self-join — without the checkpoint each subtree re-runs the
+    # full fingerprint pass over the corpus (the dedup._minhash_banded
+    # rule; measured 2.2x at 60k docs)
+    posts = (fps.select(F.col(id_col).alias("id"), "fp").distinct()
+             .localCheckpoint(eager=True))
     keep = (posts.groupBy("fp").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("fp"))
     p = posts.join(keep, "fp")

@@ -67,6 +67,12 @@ PAGES = [
     (7, "<p>Mixed <b>inline</b> markup with an <a href='#'>inline "
         "link</a> inside a mostly-prose paragraph should survive the "
         "density rule.</p>"),
+    # tag name followed by a NON-ASCII letter: a \b boundary would split
+    # here in Java/RE2 (ASCII \b) but not in python re (unicode \b) —
+    # the explicit follow-set must agree in all three implementations
+    (8, "aaaa bbbb cccc ddd<preäx>eeee ffff gggg hhh"),
+    (9, "start words here<pre ättr>real block boundary with enough "
+        "text to keep going after it</pre>"),
 ]
 
 
