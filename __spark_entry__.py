@@ -762,6 +762,47 @@ def q_html_extract(spark, sf_dir):
                       "n_blocks", "n_kept")
 
 
+def q_script_fracs(spark, sf_dir):
+    """Unicode-script composition (textstats.script_counts/script_fracs/
+    dominant_script): per-document character fractions over BMP script
+    ranges plus the argmax script — the signal multilingual curation
+    uses to drop docs whose script contradicts their language tag.
+    Classes are built from chr() so Catalyst (Java regex), DuckDB (RE2)
+    and the python test reference all receive literal characters; the
+    oracle regenerates the identical classes via sql_script_counts and
+    mirrors the reversed-CASE tie chain."""
+    from geospatialtools_spark.functions.textstats import (dominant_script,
+                                                           script_fracs)
+    d = _t(spark, sf_dir, "documents")
+    fr = script_fracs(F.col("text"))
+    return d.select("doc_id",
+                    dominant_script(F.col("text")).alias("dom"),
+                    *[c.alias(n + "_frac") for n, c in sorted(fr.items())])
+
+
+def _script_gate_oracle_sql() -> str:
+    from geospatialtools_spark.functions.textstats import sql_script_counts
+    cnt = sql_script_counts("text")
+    names = sorted(cnt)
+    counts_sel = ", ".join(f"{sql} AS c_{n}" for n, sql in cnt.items())
+    best = "greatest(" + ", ".join(f"c_{n}" for n in names) + ")"
+    dom = "'und'"
+    for n in sorted(names, reverse=True):   # reversed: first wins ties
+        dom = (f"CASE WHEN c_{n} = {best} AND {best} > 0 "
+               f"THEN '{n}' ELSE {dom} END")
+    fracs = ", ".join(
+        f"CASE WHEN text IS NULL THEN NULL "
+        f"WHEN length(text) = 0 THEN 0.0 "
+        f"ELSE round(CAST(c_{n} AS DOUBLE) / length(text), 6) END "
+        f"AS {n}_frac" for n in names)
+    return f"""
+        WITH c AS (SELECT doc_id, text, {counts_sel} FROM documents)
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE {dom} END AS dom,
+               {fracs}
+        FROM c"""
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
     local fingerprinting algorithm; functions/winnow.py): hash every
@@ -1868,7 +1909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join_broadcast has 4 rounds of green driver history.
         "dedup_incremental": q_dedup_incremental,
         "dedup_groups": q_dedup_groups,
-        "ngram_jaccard": q_ngram_jaccard,
+        # script_fracs is new in the round-5 continuation (fresh-entry
+        # rule); ngram_jaccard demotes to the tail — the dedup family
+        # keeps six in-window representatives and jaccard has 4 rounds
+        # of green driver history plus its exact-verify pytest.
+        "script_fracs": q_script_fracs,
         # line_dedup / clean_lines / weighted_sample / pack_sequences are
         # new in round 5 — per the ADVICE fresh-entry rule they take
         # in-window slots for their first driver-recorded round, displacing
@@ -2020,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_adjacency": q_polygon_adjacency,
         "doc_cell_ids": q_doc_cell_ids,
         "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
         "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -2450,6 +2496,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_twin_sql(),
         "html_extract": _html_gate_oracle_sql(),
         "winnow_fp": _winnow_gate_oracle_sql(),
+        "script_fracs": _script_gate_oracle_sql(),
         "redact_pii": _sql_redact_pii(),
         # contamination_fp: the fingerprint-prefilter path is EXACT (no
         # false negatives; collisions verified away), so its twin is the

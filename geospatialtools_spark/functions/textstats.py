@@ -433,3 +433,82 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
                           F.when(F.col("is_total") == 1, F.lit("TOTAL"))
                           .otherwise(F.coalesce(F.col(source_col),
                                                 F.lit("(null)"))))
+
+
+# --- unicode script composition --------------------------------------------
+# BMP-only code-point ranges (supplementary-plane ranges excluded on
+# purpose: Spark length()/Java regex and DuckDB/RE2 agree on BMP chars
+# unconditionally, while astral handling differs between UTF-16 code
+# units and code points). Classes are BUILT from chr() at runtime so
+# every engine — Catalyst (Java regex), DuckDB (RE2), the python test
+# reference — receives literal characters, never engine-specific escape
+# syntax.
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+              (0xF8, 0x24F)],
+    "greek": [(0x370, 0x3FF)],
+    "cyrillic": [(0x400, 0x4FF)],
+    "hebrew": [(0x590, 0x5FF)],
+    "arabic": [(0x600, 0x6FF), (0x750, 0x77F)],
+    "devanagari": [(0x900, 0x97F)],
+    "cjk": [(0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF)],
+    "hangul": [(0x1100, 0x11FF), (0xAC00, 0xD7A3)],
+}
+
+
+def script_class(name: str) -> str:
+    """The positive character class for a script, as a literal-char
+    regex usable verbatim in Java, RE2 and python re."""
+    return "[" + "".join(chr(a) + "-" + chr(b)
+                         for a, b in SCRIPT_RANGES[name]) + "]"
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (long; NULL text -> NULL counts).
+    One positive-class regexp_replace per script — the oracle-parity
+    form (count = length - length(text with the script stripped);
+    positive classes, not the complement-class shape the module header
+    flags as pathological)."""
+    out = {}
+    for name in sorted(SCRIPT_RANGES):
+        cls = script_class(name)
+        out[name] = (F.length(text)
+                     - F.length(F.regexp_replace(text, cls + "+", ""))
+                     ).cast("long")
+    return out
+
+
+def script_fracs(text: Column) -> dict[str, Column]:
+    """Per-script fractions of the document's characters (round 6; 0.0
+    for empty docs, NULL for NULL docs) — the script-composition signal
+    multilingual curation filters on (e.g. drop docs whose script
+    contradicts their language tag)."""
+    n = F.length(text)
+    return {name: F.when(text.isNull(), F.lit(None).cast("double"))
+            .when(n == 0, F.lit(0.0))
+            .otherwise(F.round(c.cast("double") / n, 6))
+            for name, c in script_counts(text).items()}
+
+
+def dominant_script(text: Column) -> Column:
+    """argmax script by character count — 'und' when no script char
+    occurs (or NULL text); exact ties resolve to the alphabetically
+    FIRST script name, deterministic in every engine (the lang_id
+    tie rule)."""
+    counts = script_counts(text)
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for name in sorted(counts, reverse=True):   # reversed: first wins ties
+        expr = F.when((counts[name] == best) & (best > 0), F.lit(name)) \
+                .otherwise(expr)
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(expr)
+
+
+def sql_script_counts(expr: str) -> dict[str, str]:
+    """DuckDB spellings of script_counts — same chr()-built classes."""
+    out = {}
+    for name in sorted(SCRIPT_RANGES):
+        cls = script_class(name)
+        out[name] = (f"(length({expr}) - length(regexp_replace({expr}, "
+                     f"'{cls}+', '', 'g')))")
+    return out

@@ -830,3 +830,95 @@ def test_corpus_stats_rollup_total_and_null_semantics(spark):
     assert t["langs"] == 3
     # TOTAL avg_chars is the global mean over non-NULL texts
     assert t["avg_chars"] == round((13 + 13 + 9 + 2) / 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# unicode script composition (script_counts / script_fracs / dominant)
+
+
+SCRIPT_DOCS = [
+    (0, "hello world plain english text"),
+    (1, "Привет мир это русский текст"),
+    (2, "这是中文文本 漢字"),
+    (3, "こんにちは世界 カタカナ"),
+    (4, "مرحبا بالعالم نص عربي"),
+    (5, "שלום עולם טקסט עברי"),
+    (6, "नमस्ते दुनिया हिंदी पाठ"),
+    (7, "안녕하세요 세계 한국어"),
+    (8, "γεια σου κοσμος ελληνικα"),
+    (9, "mixed русский and english 漢字 text"),
+    (10, "1234 5678 !!! ???"),        # no script chars at all
+    (11, ""),
+    (12, None),
+    (13, "Μΰ"),                        # greek incl. extended-range chars
+    (14, "ab яю"),                     # exact 2-2 tie -> cyrillic? no: tie
+]
+
+
+def _py_script_counts(t):
+    from geospatialtools_spark.functions.textstats import SCRIPT_RANGES
+    if t is None:
+        return None
+    out = {}
+    for name, ranges in SCRIPT_RANGES.items():
+        out[name] = sum(1 for ch in t
+                        if any(a <= ord(ch) <= b for a, b in ranges))
+    return out
+
+
+def test_script_counts_match_python_reference(spark):
+    from geospatialtools_spark.functions.textstats import (dominant_script,
+                                                           script_counts)
+    df = spark.createDataFrame(SCRIPT_DOCS, "doc_id long, text string")
+    cols = script_counts(F.col("text"))
+    out = df.select("doc_id", dominant_script(F.col("text")).alias("dom"),
+                    *[c.alias(n) for n, c in cols.items()])
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for i, t in SCRIPT_DOCS:
+        ref = _py_script_counts(t)
+        if ref is None:
+            assert got[i]["dom"] is None
+            assert all(got[i][n] is None for n in ref or
+                       ["latin", "cjk"])  # NULL counts
+            continue
+        for name, n in ref.items():
+            assert got[i][name] == n, (i, name)
+    assert got[0]["dom"] == "latin"
+    assert got[1]["dom"] == "cyrillic"
+    assert got[2]["dom"] == "cjk" and got[3]["dom"] == "cjk"
+    assert got[4]["dom"] == "arabic" and got[5]["dom"] == "hebrew"
+    assert got[6]["dom"] == "devanagari" and got[7]["dom"] == "hangul"
+    assert got[8]["dom"] == "greek" and got[13]["dom"] == "greek"
+    assert got[10]["dom"] == "und" and got[11]["dom"] == "und"
+    # doc 14: latin 2 vs cyrillic 2 — exact tie, alphabetically first wins
+    assert got[14]["dom"] == "cyrillic"
+
+
+def test_script_fracs_and_duckdb_twin(spark):
+    import duckdb
+
+    from geospatialtools_spark.functions.textstats import (script_fracs,
+                                                           sql_script_counts)
+    df = spark.createDataFrame(SCRIPT_DOCS, "doc_id long, text string")
+    fr = script_fracs(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in
+           df.select("doc_id",
+                     *[c.alias(n) for n, c in fr.items()]).collect()}
+    assert out[11]["latin"] == 0.0 and out[12]["latin"] is None
+    assert abs(out[0]["latin"]
+               - round(sum(1 for ch in SCRIPT_DOCS[0][1]
+                           if ch.isalpha()) / len(SCRIPT_DOCS[0][1]),
+                       6)) < 1e-12
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", SCRIPT_DOCS)
+    e = sql_script_counts("text")
+    sel = ", ".join(f"{sql} AS {n}" for n, sql in e.items())
+    rows = con.sql(f"SELECT doc_id, {sel} FROM documents").fetchall()
+    names = sorted(e)
+    for row in rows:
+        i = row[0]
+        ref = _py_script_counts(dict(SCRIPT_DOCS)[i])
+        for j, n in enumerate(names):
+            want = None if ref is None else ref[n]
+            assert row[1 + j] == want, (i, n)
