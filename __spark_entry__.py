@@ -762,6 +762,82 @@ def q_html_extract(spark, sf_dir):
                       "n_blocks", "n_kept")
 
 
+def q_robots_rules(spark, sf_dir):
+    """Robots-exclusion parsing + verdicts (functions/robots.py, RFC
+    9309 subset): every document synthesizes a robots.txt (a
+    googlebot-only group that must NOT bind plus a wildcard group with
+    one Disallow and one longer Allow), parse_robots extracts the
+    wildcard rules via the zero-shuffle array-aggregate group walk, and
+    two probe paths exercise the longest-match / allow-beats-disallow
+    verdict per host. The oracle reparses the identical bodies through
+    sql_robots_rules (window-function form — an independent
+    implementation of the group semantics) and recomputes verdicts with
+    arg_max over matching rules."""
+    from geospatialtools_spark.functions.robots import (filter_disallowed,
+                                                        parse_robots)
+    d = _t(spark, sf_dir, "documents")
+    kk = (F.col("doc_id") % 5).cast("string")
+    host = F.concat(F.coalesce(F.col("source"), F.lit("s")), F.lit("-"),
+                    F.col("doc_id").cast("string"))
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /p"), kk,
+        F.lit("/   # comment\nAllow: /p"), kk, F.lit("/ok\n"))
+    robots = d.select(host.alias("host"), body.alias("body"))
+    rules = parse_robots(robots)
+    fp = (rules.groupBy("host")
+          .agg(F.md5(F.concat_ws(";", F.sort_array(F.collect_list(
+              F.concat(F.col("rule_path"), F.lit("|"),
+                       F.col("allow").cast("string")))))).alias("rules_fp")))
+    urls = d.select(host.alias("host"),
+                    F.concat(F.lit("/p"), kk, F.lit("/okx")).alias("p_ok"),
+                    F.concat(F.lit("/p"), kk, F.lit("/zz")).alias("p_no"))
+    v1 = filter_disallowed(urls, rules, path_col="p_ok",
+                           keep_verdict=True) \
+        .select("host", F.col("robots_allowed").alias("allowed_ok"))
+    v2 = filter_disallowed(urls, rules, path_col="p_no",
+                           keep_verdict=True) \
+        .select("host", F.col("robots_allowed").alias("allowed_no"))
+    return fp.join(v1, "host").join(v2, "host")
+
+
+def _robots_gate_oracle_sql() -> str:
+    from geospatialtools_spark.functions.robots import sql_robots_rules
+    rules = sql_robots_rules("host", "body", "robots")
+    return f"""
+        WITH robots AS (
+          SELECT COALESCE(source, 's') || '-' || doc_id AS host,
+                 'User-agent: googlebot' || chr(10) || 'Disallow: /'
+                 || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+                 || 'Disallow: /p' || (doc_id % 5) || '/   # comment'
+                 || chr(10) || 'Allow: /p' || (doc_id % 5) || '/ok'
+                 || chr(10) AS body,
+                 '/p' || (doc_id % 5) || '/okx' AS p_ok,
+                 '/p' || (doc_id % 5) || '/zz' AS p_no
+          FROM documents),
+        rules AS ({rules}),
+        fp AS (
+          SELECT host, md5(string_agg(rule_path || '|' || allow, ';'
+                           ORDER BY rule_path || '|' || allow)) AS rules_fp
+          FROM rules GROUP BY host),
+        v1 AS (
+          SELECT r.host,
+                 COALESCE(arg_max(ru.allow,
+                   length(ru.rule_path) * 2 + CAST(ru.allow AS INT))
+                   FILTER (starts_with(r.p_ok, ru.rule_path)), TRUE)
+                   AS allowed_ok
+          FROM robots r LEFT JOIN rules ru USING (host) GROUP BY r.host),
+        v2 AS (
+          SELECT r.host,
+                 COALESCE(arg_max(ru.allow,
+                   length(ru.rule_path) * 2 + CAST(ru.allow AS INT))
+                   FILTER (starts_with(r.p_no, ru.rule_path)), TRUE)
+                   AS allowed_no
+          FROM robots r LEFT JOIN rules ru USING (host) GROUP BY r.host)
+        SELECT fp.host, fp.rules_fp, v1.allowed_ok, v2.allowed_no
+        FROM fp JOIN v1 USING (host) JOIN v2 USING (host)"""
+
+
 def q_script_fracs(spark, sf_dir):
     """Unicode-script composition (textstats.script_counts/script_fracs/
     dominant_script): per-document character fractions over BMP script
@@ -2002,7 +2078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotes — 4 green driver rounds and the dedup family keeps six
         # in-window representatives.
         "semantic_dedup": q_semantic_dedup,
-        "embedding_dups": q_embedding_dups,
+        # robots_rules is new in the round-5 continuation (fresh-entry
+        # rule); embedding_dups demotes to the tail — 4 green driver
+        # rounds, and the sign-LSH + star-guard machinery stays
+        # exercised in-window by semantic_dedup and ann_ivf_topk.
+        "robots_rules": q_robots_rules,
         "ann_ivf_topk": q_ann_ivf_topk,
         # -- spatial / docs / streaming ------------------------------------
         "point_extract": q_point_extract,
@@ -2066,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cell_ids": q_doc_cell_ids,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
         "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -2497,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_gate_oracle_sql(),
         "winnow_fp": _winnow_gate_oracle_sql(),
         "script_fracs": _script_gate_oracle_sql(),
+        "robots_rules": _robots_gate_oracle_sql(),
         "redact_pii": _sql_redact_pii(),
         # contamination_fp: the fingerprint-prefilter path is EXACT (no
         # false negatives; collisions verified away), so its twin is the
