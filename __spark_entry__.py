@@ -773,8 +773,7 @@ def q_robots_rules(spark, sf_dir):
     sql_robots_rules (window-function form — an independent
     implementation of the group semantics) and recomputes verdicts with
     arg_max over matching rules."""
-    from geospatialtools_spark.functions.robots import (filter_disallowed,
-                                                        parse_robots)
+    from geospatialtools_spark.functions.robots import parse_robots
     d = _t(spark, sf_dir, "documents")
     kk = (F.col("doc_id") % 5).cast("string")
     host = F.concat(F.coalesce(F.col("source"), F.lit("s")), F.lit("-"),
@@ -783,22 +782,25 @@ def q_robots_rules(spark, sf_dir):
         F.lit("User-agent: googlebot\nDisallow: /\n\n"
               "User-agent: *\nDisallow: /p"), kk,
         F.lit("/   # comment\nAllow: /p"), kk, F.lit("/ok\n"))
+    from geospatialtools_spark.functions.robots import robots_verdict
     robots = d.select(host.alias("host"), body.alias("body"))
-    rules = parse_robots(robots)
-    fp = (rules.groupBy("host")
-          .agg(F.md5(F.concat_ws(";", F.sort_array(F.collect_list(
-              F.concat(F.col("rule_path"), F.lit("|"),
-                       F.col("allow").cast("string")))))).alias("rules_fp")))
+    # parse ONCE, materialized: fp and both verdicts consume the same
+    # rule table (a triple-branch lineage re-parsed every body 3x —
+    # code-review finding)
+    rules = parse_robots(robots).localCheckpoint(eager=True)
+    per_host = (rules.groupBy("host").agg(
+        F.md5(F.concat_ws(";", F.sort_array(F.collect_list(
+            F.concat(F.col("rule_path"), F.lit("|"),
+                     F.col("allow").cast("string")))))).alias("rules_fp"),
+        F.collect_list(F.struct("rule_path", "allow")).alias("_arr")))
     urls = d.select(host.alias("host"),
                     F.concat(F.lit("/p"), kk, F.lit("/okx")).alias("p_ok"),
                     F.concat(F.lit("/p"), kk, F.lit("/zz")).alias("p_no"))
-    v1 = filter_disallowed(urls, rules, path_col="p_ok",
-                           keep_verdict=True) \
-        .select("host", F.col("robots_allowed").alias("allowed_ok"))
-    v2 = filter_disallowed(urls, rules, path_col="p_no",
-                           keep_verdict=True) \
-        .select("host", F.col("robots_allowed").alias("allowed_no"))
-    return fp.join(v1, "host").join(v2, "host")
+    j = urls.join(F.broadcast(per_host), "host")
+    return j.select(
+        "host", "rules_fp",
+        robots_verdict(F.col("p_ok"), F.col("_arr")).alias("allowed_ok"),
+        robots_verdict(F.col("p_no"), F.col("_arr")).alias("allowed_no"))
 
 
 def _robots_gate_oracle_sql() -> str:

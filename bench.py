@@ -1950,6 +1950,60 @@ def main_neardecon():
     }))
 
 
+def main_scripts():
+    """Unicode script-composition scale evidence (BASELINE.md) — the
+    bench the textstats performance laws demand for any operator with
+    sibling regex passes: 8 scripts x regexp_extract_all + array-sum at
+    SPARK_GRAFT_SCRIPT_DOCS docs (default 8M, the scale the laws were
+    measured at). Ground truth is CLOSED FORM: each doc is 6 latin
+    chars + a space + one of {6 cyrillic, 4 cjk, 5 latin} by id%3, so
+    per-class totals and every dominant verdict are exact."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.textstats import (dominant_script,
+                                                           script_counts)
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-scripts")
+    n = int(os.environ.get("SPARK_GRAFT_SCRIPT_DOCS", "8000000"))
+    tail = F.when(F.col("id") % 3 == 0, "привет") \
+            .when(F.col("id") % 3 == 1, "你好世界").otherwise("hello")
+    docs = (spark.range(n)
+            .select(F.col("id"),
+                    F.concat(F.lit("abcdef "), tail).alias("text"))
+            .localCheckpoint(eager=True))
+    n0 = n // 3 + (1 if n % 3 >= 1 else 0)
+    n1 = n // 3 + (1 if n % 3 >= 2 else 0)
+    n2 = n - n0 - n1
+    t0 = time.time()
+    counts = script_counts(F.col("text"))
+    agg = docs.select(
+        dominant_script(F.col("text")).alias("dom"),
+        counts["latin"].alias("lat"), counts["cyrillic"].alias("cyr"),
+        counts["cjk"].alias("cjk"), (F.col("id") % 3).alias("cls")) \
+        .groupBy("cls", "dom") \
+        .agg(F.count("*").alias("c"), F.sum("lat").alias("lat"),
+             F.sum("cyr").alias("cyr"), F.sum("cjk").alias("cjk")) \
+        .collect()
+    wall = round(time.time() - t0, 2)
+    by = {(r["cls"], r["dom"]): r for r in agg}
+    ok = (set(by) == {(0, "cyrillic"), (1, "latin"), (2, "latin")}
+          and by[(0, "cyrillic")]["c"] == n0
+          and by[(0, "cyrillic")]["cyr"] == 6 * n0
+          and by[(0, "cyrillic")]["lat"] == 6 * n0
+          and by[(1, "latin")]["cjk"] == 4 * n1
+          and by[(1, "latin")]["lat"] == 6 * n1
+          and by[(2, "latin")]["lat"] == 11 * n2
+          and by[(2, "latin")]["cyr"] == 0)
+    print(json.dumps({
+        "metric": "unicode script composition (8 extract_all passes + "
+                  "dominant argmax) — the sibling-regex law bench",
+        "docs": n, "wall_s": wall,
+        "docs_per_sec": round(n / wall, 1),
+        "ground_truth_ok": ok,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
@@ -1997,6 +2051,8 @@ if __name__ == "__main__":
         main_winnow()
     elif "--neardecon" in sys.argv:
         main_neardecon()
+    elif "--scripts" in sys.argv:
+        main_scripts()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

@@ -101,7 +101,13 @@ def robots_verdict(path: Column, rules: Column) -> Column:
     (array<struct<rule_path,allow>>; NULL/empty array -> allowed).
     Longest matching rule wins; on equal length Allow beats Disallow
     (RFC 9309 §2.3.2). Expressed as one aggregate over the rule array
-    keeping the best (len, allow) pair."""
+    keeping the best (len, allow) pair.
+
+    A NULL path is KEPT (allowed) by contract — the
+    ``urls.filter_blocklisted`` precedent: a row whose URL failed to
+    parse upstream is not silently dropped by a governance filter
+    (startswith(NULL) is NULL, every when() falls through, the init
+    allow=True survives)."""
     def step(acc: Column, r: Column) -> Column:
         m = path.startswith(r["rule_path"])
         ln = F.length(r["rule_path"])
@@ -128,16 +134,20 @@ def filter_disallowed(df: DataFrame, rules: DataFrame,
     probe plus one per-row array aggregate: zero corpus shuffle. Hosts
     with no robots row are fully allowed. ``keep_verdict`` appends the
     boolean instead of filtering (for audits)."""
+    for tmp in ("_robots_rules_arr", "_robots_rhost"):
+        if tmp in df.columns:
+            raise ValueError(f"input column {tmp!r} collides with "
+                             "filter_disallowed's internal name")
     per_host = (rules.groupBy("host")
                 .agg(F.collect_list(F.struct("rule_path", "allow"))
-                     .alias("_rules"))
-                .withColumnRenamed("host", "_rhost"))
+                     .alias("_robots_rules_arr"))
+                .withColumnRenamed("host", "_robots_rhost"))
     ph = F.broadcast(per_host)
-    j = df.join(ph, df[host_col] == ph["_rhost"], "left").drop("_rhost")
-    v = robots_verdict(F.col(path_col), F.col("_rules"))
+    j = df.join(ph, df[host_col] == ph["_robots_rhost"], "left")           .drop("_robots_rhost")
+    v = robots_verdict(F.col(path_col), F.col("_robots_rules_arr"))
     if keep_verdict:
-        return j.withColumn("robots_allowed", v).drop("_rules")
-    return j.filter(v).drop("_rules")
+        return j.withColumn("robots_allowed", v).drop("_robots_rules_arr")
+    return j.filter(v).drop("_robots_rules_arr")
 
 
 # --- DuckDB twin ------------------------------------------------------------
@@ -149,18 +159,25 @@ def sql_robots_rules(host_expr: str, body_expr: str,
     Same group semantics via window functions instead of the array
     aggregate: a line's group binds * iff the latest header RUN at or
     above it contains 'user-agent: *'."""
-    # duckdb has no WITH ORDINALITY — index the line list explicitly
-    arr = f"regexp_split_to_array({body_expr}, '{_LINE_SPLIT}')"
+    # duckdb has no WITH ORDINALITY — index the line list explicitly.
+    # rid: windows partition by (host, rid), not host alone — with
+    # duplicate host rows the per-host windows would interleave lines
+    # from different bodies (nondeterministic ord ties) and header-run
+    # tracking would cross body boundaries, emitting rules parse_robots
+    # (a per-row walk) never produces.
     return f"""
         WITH ln AS (
-          SELECT {host_expr} AS host, u.u.ord AS ord,
+          SELECT t.host, t.rid, u.u.ord AS ord,
                  trim(regexp_replace(u.u.line, '#.*$', '')) AS clean
-          FROM {table},
-               unnest(list_transform(range(1, len({arr}) + 1),
+          FROM (SELECT {host_expr} AS host, {body_expr} AS _b,
+                       row_number() OVER () AS rid FROM {table}) t,
+               unnest(list_transform(range(1, len(t._b) + 1),
                       i -> struct_pack(ord := i,
-                                       line := ({arr})[i]))) AS u(u)),
+                                       line := (regexp_split_to_array(
+                                         t._b, '{_LINE_SPLIT}'))[i])))
+                 AS u(u)),
         d AS (
-          SELECT host, ord,
+          SELECT host, rid, ord,
                  lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS dir,
                  trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS val
           FROM ln),
@@ -171,22 +188,23 @@ def sql_robots_rules(host_expr: str, body_expr: str,
           SELECT *,
                  CASE WHEN dir = 'user-agent'
                       AND COALESCE(lag(dir) OVER
-                        (PARTITION BY host ORDER BY ord), '')
+                        (PARTITION BY host, rid ORDER BY ord), '')
                           <> 'user-agent'
                  THEN 1 ELSE 0 END AS is_start
           FROM d),
         runs AS (
           SELECT *,
-                 sum(is_start) OVER (PARTITION BY host ORDER BY ord
+                 sum(is_start) OVER (PARTITION BY host, rid ORDER BY ord
                                      ROWS UNBOUNDED PRECEDING) AS last_run
           FROM starts),
         star_runs AS (
-          SELECT DISTINCT host, last_run AS run_id FROM runs
+          SELECT DISTINCT host, rid, last_run AS run_id FROM runs
           WHERE dir = 'user-agent' AND val = '*'),
         rules AS (
           SELECT r.host, r.val AS rule_path,
                  r.dir = 'allow' AS allow
           FROM runs r JOIN star_runs s
-            ON s.host = r.host AND s.run_id = r.last_run
+            ON s.host = r.host AND s.rid = r.rid
+            AND s.run_id = r.last_run
           WHERE r.dir IN ('allow', 'disallow') AND r.val <> '')
         SELECT host, rule_path, allow FROM rules"""

@@ -464,17 +464,22 @@ def script_class(name: str) -> str:
 
 
 def script_counts(text: Column) -> dict[str, Column]:
-    """Per-script character counts (long; NULL text -> NULL counts).
-    One positive-class regexp_replace per script — the oracle-parity
-    form (count = length - length(text with the script stripped);
-    positive classes, not the complement-class shape the module header
-    flags as pathological)."""
+    """Per-script character counts (long; NULL text -> NULL counts):
+    sum of run lengths from one regexp_extract_all per script.
+
+    Shape chosen by the module-header laws: eight SIBLING
+    regexp_replace calls in one expression tree is law #1's
+    pattern-cache thrash (54-58 s per sibling pair at 8M docs where
+    each alone is 2-5 s), while regexp_extract_all does not thrash
+    (law #4 — the lang_id precedent). The extract_all runs feed one
+    array aggregate summing lengths — count identical to the
+    strip-and-subtract form, measured scale point in BENCH_SCRIPTS."""
     out = {}
     for name in sorted(SCRIPT_RANGES):
         cls = script_class(name)
-        out[name] = (F.length(text)
-                     - F.length(F.regexp_replace(text, cls + "+", ""))
-                     ).cast("long")
+        runs = F.regexp_extract_all(text, F.lit(cls + "+"), F.lit(0))
+        out[name] = F.aggregate(runs, F.lit(0),
+                                lambda a, x: a + F.length(x)).cast("long")
     return out
 
 
@@ -505,10 +510,15 @@ def dominant_script(text: Column) -> Column:
 
 
 def sql_script_counts(expr: str) -> dict[str, str]:
-    """DuckDB spellings of script_counts — same chr()-built classes."""
+    """DuckDB spellings of script_counts — same chr()-built classes,
+    same extract-runs-and-sum shape (empty list sums to NULL in duckdb,
+    hence the COALESCE; NULL text stays NULL via the CASE)."""
     out = {}
     for name in sorted(SCRIPT_RANGES):
         cls = script_class(name)
-        out[name] = (f"(length({expr}) - length(regexp_replace({expr}, "
-                     f"'{cls}+', '', 'g')))")
+        out[name] = (
+            f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+            f"CAST(COALESCE(list_aggregate(list_transform("
+            f"regexp_extract_all({expr}, '{cls}+'), x -> length(x)), "
+            f"'sum'), 0) AS BIGINT) END")
     return out

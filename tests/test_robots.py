@@ -119,3 +119,40 @@ def test_robots_duckdb_twin_parity(spark):
     con.executemany("INSERT INTO robots VALUES (?, ?)", ROBOTS)
     rows = con.sql(R.sql_robots_rules("host", "body", "robots")).fetchall()
     assert {(h, p, bool(a)) for h, p, a in rows} == got
+
+
+def test_robots_twin_handles_duplicate_host_rows(spark):
+    """Two bodies for ONE host (e.g. two crawl snapshots): the twin's
+    windows partition by (host, body-row), so a googlebot-only body
+    cannot leak its rules into the other body's * group."""
+    rows = [("h.com", "User-agent: *\nDisallow: /a\n"),
+            ("h.com", "User-agent: googlebot\nDisallow: /b\n")]
+    df = spark.createDataFrame(rows, "host string, body string")
+    got = {(r["host"], r["rule_path"], r["allow"])
+           for r in R.parse_robots(df).collect()}
+    assert got == {("h.com", "/a", False)}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE robots(host VARCHAR, body VARCHAR)")
+    con.executemany("INSERT INTO robots VALUES (?, ?)", rows)
+    sql_rows = con.sql(R.sql_robots_rules("host", "body",
+                                          "robots")).fetchall()
+    assert {(h, p, bool(a)) for h, p, a in sql_rows} == got
+
+
+def test_robots_null_path_kept_and_name_collision(spark):
+    import pytest
+    rb = R.parse_robots(spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /\n")],
+        "host string, body string"))
+    urls = spark.createDataFrame([(0, "h.com", None), (1, "h.com", "/x")],
+                                 "id long, host string, path string")
+    kept = {r["id"] for r in R.filter_disallowed(urls, rb).collect()}
+    assert kept == {0}                  # NULL path kept, real path blocked
+    bad = urls.withColumn("_robots_rules_arr", F_lit0())
+    with pytest.raises(ValueError):
+        R.filter_disallowed(bad, rb)
+
+
+def F_lit0():
+    from pyspark.sql import functions as F
+    return F.lit(0)
