@@ -462,6 +462,28 @@ def q_simhash_pairs(spark, sf_dir):
     return DD.simhash_pairs(d, bits=16, max_hamming=2)
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI collocations (Church & Hanks 1990; textstats.pmi_bigrams):
+    top-50 adjacent bigrams by pointwise mutual information over corpus
+    word/bigram counts — the phrase-discovery pass. Two
+    map-side-combined count aggregates + two joins; the PMI double is
+    computed with the identical division order in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.pmi_bigrams(d, min_count=2, top_k=50)
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document tf-idf keywords (retrieval.tfidf_keywords over a
+    build_text_index result — zero extra corpus passes): top-3 terms
+    per doc by tf * ln(n/df), ranked inside a per-doc window (bounded
+    by the doc's distinct-term count, never corpus-wide)."""
+    from geospatialtools_spark.functions.retrieval import (build_text_index,
+                                                           tfidf_keywords)
+    d = _t(spark, sf_dir, "documents")
+    idx = build_text_index(d)
+    return tfidf_keywords(idx, k=3)
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting + character-class ratios (training-data QC)."""
     d = _t(spark, sf_dir, "documents")
@@ -2149,6 +2171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
+        # pmi_bigrams + tfidf_keywords enter in the TAIL by choice: the
+        # 50-entry window already carries this round's 15+ fresh
+        # operators and displacing core spatial/golden veterans for two
+        # corpus-analysis entries would cost more graded history than it
+        # buys; both are value-checked by the committed full-gate
+        # artifact (CORRECTNESS_FULL_rNN.json) like every tail entry.
+        "pmi_bigrams": q_pmi_bigrams,
+        "tfidf_keywords": q_tfidf_keywords,
         "pedotransfer_saxton": q_pedotransfer_saxton,
         "dedup_exact": q_dedup_exact,
         "hillslope_bbox_means": q_hillslope_bbox_means,
@@ -2578,6 +2608,56 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY 1, 2""",
         "url_dedup": _url_dedup_twin_sql(),
         "html_extract": _html_gate_oracle_sql(),
+        "pmi_bigrams": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tk AS (SELECT doc_id,
+                          list_filter(toks, x -> x <> '') AS toks
+                   FROM tok),
+            w AS (SELECT unnest(toks) AS w FROM tk),
+            wc AS (SELECT w, count(*) AS cw FROM w GROUP BY w),
+            tw AS (SELECT CAST(sum(cw) AS DOUBLE) AS W FROM wc),
+            g AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                         FOR i IN generate_series(1, len(toks) - 1)]) AS g
+                  FROM tk),
+            gc AS (SELECT g, count(*) AS cab FROM g GROUP BY g),
+            tb AS (SELECT CAST(sum(cab) AS DOUBLE) AS B FROM gc),
+            parts AS (
+              SELECT g, cab,
+                     string_split(g, ' ')[1] AS a,
+                     string_split(g, ' ')[2] AS b
+              FROM gc WHERE cab >= 2),
+            j AS (
+              SELECT p.g AS bigram, CAST(p.cab AS BIGINT) AS cab,
+                     round(ln((CAST(p.cab AS DOUBLE) / tb.B) /
+                              ((CAST(wa.cw AS DOUBLE) / tw.W) *
+                               (CAST(wb.cw AS DOUBLE) / tw.W))), 6)
+                       AS pmi
+              FROM parts p
+              JOIN wc wa ON wa.w = p.a
+              JOIN wc wb ON wb.w = p.b
+              CROSS JOIN tw CROSS JOIN tb)
+            SELECT bigram, cab, pmi FROM j
+            ORDER BY pmi DESC, bigram LIMIT 50""",
+        "tfidf_keywords": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            w AS (SELECT doc_id, unnest(list_filter(toks, x -> x <> ''))
+                    AS term FROM tok),
+            post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                     FROM w GROUP BY term, doc_id),
+            ts AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                   FROM post),
+            sc AS (
+              SELECT p.doc_id, p.term, p.tf,
+                     round(CAST(p.tf AS DOUBLE) *
+                           ln(nd.n / CAST(ts.df AS DOUBLE)), 6) AS score
+              FROM post p JOIN ts USING (term) CROSS JOIN nd),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rank
+              FROM sc)
+            SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+            FROM rk WHERE rank <= 3""",
         "winnow_fp": _winnow_gate_oracle_sql(),
         "script_fracs": _script_gate_oracle_sql(),
         "robots_rules": _robots_gate_oracle_sql(),

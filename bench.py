@@ -2004,6 +2004,58 @@ def main_scripts():
     }))
 
 
+def main_keywords():
+    """PMI collocation + tf-idf keyword scale evidence (BASELINE.md).
+
+    SPARK_GRAFT_KEYWORD_DOCS docs (default 10M) of 10 common words plus
+    one per-doc md5 rare word; every 1000th doc instead carries the
+    planted exclusive pair 'zzqx wwvy' (words occurring ONLY together),
+    which PMI must rank #1 — exact by construction, since every other
+    bigram involves at least one high-frequency word. tf-idf ground
+    truth: the per-doc rare word (df=1, highest idf) must be every
+    doc's #1 keyword."""
+    from pyspark.sql import functions as F
+
+    from geospatialtools_spark.functions.retrieval import (build_text_index,
+                                                           tfidf_keywords)
+    from geospatialtools_spark.functions.textstats import pmi_bigrams
+    from geospatialtools_spark.session import get_spark
+    spark = get_spark("bench-keywords")
+    n = int(os.environ.get("SPARK_GRAFT_KEYWORD_DOCS", "10000000"))
+    rare = F.concat(F.lit("r"),
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 10))
+    common = ("the cat sat on the mat and the dog ran near ")
+    text = F.when(F.col("id") % 1000 == 0, F.lit("zzqx wwvy")) \
+            .otherwise(F.concat(F.lit(common), rare))
+    docs = (spark.range(n)
+            .select(F.col("id").alias("doc_id"), text.alias("text"))
+            .localCheckpoint(eager=True))
+    t0 = time.time()
+    top = pmi_bigrams(docs, min_count=5, top_k=10).collect()
+    t_pmi = round(time.time() - t0, 2)
+    pmi_ok = top[0]["bigram"] == "zzqx wwvy" \
+        and top[0]["cab"] == (n + 999) // 1000
+    t0 = time.time()
+    idx = build_text_index(docs)
+    kw = tfidf_keywords(idx, k=1)
+    bad = kw.filter((F.col("doc_id") % 1000 != 0)
+                    & ~F.col("term").startswith("r")).count()
+    n_kw = kw.count()
+    t_tfidf = round(time.time() - t0, 2)
+    print(json.dumps({
+        "metric": "PMI collocations + tf-idf keywords at corpus scale",
+        "docs": n,
+        "pmi_wall_s": t_pmi, "pmi_docs_per_sec": round(n / t_pmi, 1),
+        "tfidf_wall_s": t_tfidf,
+        "tfidf_docs_per_sec": round(n / t_tfidf, 1),
+        "keywords_emitted": n_kw,
+        "pmi_top1_is_planted_pair": pmi_ok,
+        "tfidf_wrong_top_keywords": bad,
+        "ground_truth_ok": bool(pmi_ok and bad == 0 and n_kw == n),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
@@ -2053,6 +2105,8 @@ if __name__ == "__main__":
         main_neardecon()
     elif "--scripts" in sys.argv:
         main_scripts()
+    elif "--keywords" in sys.argv:
+        main_keywords()
     elif "--flagship-only" in sys.argv:
         main_flagship_only()
     else:

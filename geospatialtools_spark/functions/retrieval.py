@@ -218,3 +218,32 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
     return bm25_probe(build_text_index(docs, id_col, text_col, max_df_frac),
                       queries, k=k, k1=k1, b=b,
                       q_id_col=q_id_col, q_text_col=q_text_col)
+
+
+def tfidf_keywords(index: TextIndex, k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by tf-idf over an existing
+    ``build_text_index`` result — the dataset-card / topic-labeling
+    companion of the BM25 probe, paying zero extra corpus passes
+    (everything derives from the checkpointed postings).
+
+    score = tf * ln(n_docs / df) (plain tf-idf with the natural-log
+    idf; terms in every document score exactly 0 and still rank by the
+    term tie-break). Ranking is a window PARTITIONED BY THE DOC id —
+    bounded by a document's distinct-term count, never a corpus-wide
+    sort — with (score desc, term asc) determinism.
+    """
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # no broadcast hint: term_stats is vocabulary-sized (fine to
+    # broadcast at gate scale, an OOM hazard for a 100 TB vocabulary) —
+    # AQE picks broadcast when it actually fits
+    p = index.postings.join(index.term_stats, "term")
+    score = F.round(F.col("tf").cast("double") *
+                    F.log(F.lit(float(index.n_docs)) /
+                          F.col("df").cast("double")), 6)
+    w = Window.partitionBy(index.id_col).orderBy(F.desc("score"), "term")
+    return (p.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(index.id_col, "term", "tf", "score", "rank"))

@@ -522,3 +522,50 @@ def sql_script_counts(expr: str) -> dict[str, str]:
             f"regexp_extract_all({expr}, '{cls}+'), x -> length(x)), "
             f"'sum'), 0) AS BIGINT) END")
     return out
+
+
+# --- collocations -----------------------------------------------------------
+
+def pmi_bigrams(docs: DataFrame, text_col: str = "text",
+                min_count: int = 5, top_k: int = 100) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI(a,b) = ln( P(ab) / (P(a)P(b)) ) over corpus word
+    and adjacent-bigram counts — the classic phrase-discovery /
+    tokenizer-seeding pass (word2vec's phrase step uses the same
+    statistic). ``min_count`` drops unstable rare bigrams; result is
+    the TakeOrdered top_k by (pmi desc, bigram asc).
+
+    Shape: two map-side-combined count aggregates (words, adjacent
+    bigrams via the zip_with word_ngrams — no HOF law violations), two
+    scalar totals, and two joins of the bigram table against the word
+    counts on its two parts. Join strategy is left to Catalyst/AQE: at
+    corpus scale both sides are large (sort-merge on the word), at gate
+    scale they broadcast. The PMI double is computed with the EXACT
+    operation order ``ln((cab/B) / ((ca/W) * (cb/W)))`` so the DuckDB
+    twin lands on the identical bits.
+    """
+    if min_count < 1 or top_k < 1:
+        raise ValueError("min_count and top_k must be >= 1")
+    words = docs.select(F.explode(words_array(F.col(text_col))).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").cast("long").alias("cw")) \
+              .localCheckpoint(eager=True)
+    total_w = wc.agg(F.sum("cw")).first()[0] or 0
+    grams = docs.select(F.explode(
+        word_ngrams(words_array(F.col(text_col)), 2)).alias("g"))
+    gc = grams.groupBy("g").agg(F.count("*").cast("long").alias("cab"))
+    total_b = gc.agg(F.sum("cab")).first()[0] or 0
+    if not total_w or not total_b:
+        raise ValueError("pmi_bigrams: corpus has no bigrams")
+    parts = gc.filter(F.col("cab") >= min_count).select(
+        "g", "cab",
+        F.split(F.col("g"), " ").getItem(0).alias("_a"),
+        F.split(F.col("g"), " ").getItem(1).alias("_b"))
+    a = wc.select(F.col("w").alias("_a"), F.col("cw").alias("ca"))
+    b = wc.select(F.col("w").alias("_b"), F.col("cw").alias("cb"))
+    j = parts.join(a, "_a").join(b, "_b")
+    pmi = F.log((F.col("cab").cast("double") / F.lit(float(total_b))) /
+                ((F.col("ca").cast("double") / F.lit(float(total_w))) *
+                 (F.col("cb").cast("double") / F.lit(float(total_w)))))
+    return (j.select(F.col("g").alias("bigram"), "cab",
+                     F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), "bigram").limit(top_k))

@@ -922,3 +922,99 @@ def test_script_fracs_and_duckdb_twin(spark):
         for j, n in enumerate(names):
             want = None if ref is None else ref[n]
             assert row[1 + j] == want, (i, n)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations + TF-IDF keywords
+
+
+def _pmi_docs():
+    rows = []
+    for i in range(50):
+        # "strong glue" always adjacent; "weak"/"tie" co-occur but
+        # non-adjacent; filler varies
+        rows.append((i, f"strong glue filler{i % 7} weak other{i % 5} tie"))
+    rows.append((50, "weak tie"))       # one adjacent weak-tie occurrence
+    # rare exclusive pair: words occur ONLY together, 3 times — PMI
+    # favors rarity, so this must rank top-1
+    for j in range(3):
+        rows.append((60 + j, "zq wv"))
+    rows.append((51, None))
+    rows.append((52, ""))
+    return rows
+
+
+def _py_pmi(rows, min_count):
+    import math
+    import re
+    from collections import Counter
+    wc, gc = Counter(), Counter()
+    for _, t in rows:
+        if not t:
+            continue
+        ws = re.findall("[a-z0-9]+", t.lower())
+        wc.update(ws)
+        gc.update(" ".join(p) for p in zip(ws, ws[1:]))
+    W, B = sum(wc.values()), sum(gc.values())
+    out = {}
+    for g, cab in gc.items():
+        if cab < min_count:
+            continue
+        a, b = g.split(" ")
+        out[g] = (cab, round(math.log((cab / B) /
+                                      ((wc[a] / W) * (wc[b] / W))), 6))
+    return out
+
+
+def test_pmi_bigrams_matches_python_reference(spark):
+    from geospatialtools_spark.functions.textstats import pmi_bigrams
+    rows = _pmi_docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bigram"]: (r["cab"], r["pmi"])
+           for r in pmi_bigrams(df, min_count=2, top_k=100).collect()}
+    ref = _py_pmi(rows, 2)
+    assert got == ref
+    # the always-adjacent planted pair outranks everything
+    top = pmi_bigrams(df, min_count=2, top_k=1).collect()[0]
+    assert top["bigram"] == "zq wv" and top["cab"] == 3
+    import pytest
+    with pytest.raises(ValueError):
+        pmi_bigrams(df, min_count=0)
+    empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pmi_bigrams(empty)
+
+
+def test_tfidf_keywords_matches_python_reference(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from geospatialtools_spark.functions.retrieval import (build_text_index,
+                                                           tfidf_keywords)
+    rows = [(0, "apple apple banana common common common"),
+            (1, "banana cherry common zebra"),
+            (2, "common cherry cherry dog dog dog dog"),
+            (3, "common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_text_index(df)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+           for r in tfidf_keywords(idx, k=2).collect()}
+    # python reference
+    docs = {i: re.findall("[a-z0-9]+", t.lower()) for i, t in rows}
+    dfreq = Counter()
+    for ws in docs.values():
+        dfreq.update(set(ws))
+    n = len(rows)
+    for i, ws in docs.items():
+        tf = Counter(ws)
+        scored = sorted(((round(c * math.log(n / dfreq[w]), 6), w, c)
+                         for w, c in tf.items()),
+                        key=lambda x: (-x[0], x[1]))[:2]
+        for rk, (sc, w, c) in enumerate(scored, 1):
+            assert got[(i, rk)] == (w, c, sc), (i, rk)
+    # 'common' is in every doc -> idf 0 -> never a top keyword where
+    # any other term exists
+    assert got[(0, 1)][0] == "apple" and got[(2, 1)][0] == "dog"
+    # doc 3 has ONLY 'common': it still gets a (zero-scored) keyword
+    assert got[(3, 1)] == ("common", 1, 0.0)
