@@ -2038,8 +2038,10 @@ def main_keywords():
     t0 = time.time()
     idx = build_text_index(docs)
     kw = tfidf_keywords(idx, k=1)
+    # exact planted pattern, not startswith('r') — the filler word
+    # 'ran' would satisfy a prefix check and hide a ranking bug
     bad = kw.filter((F.col("doc_id") % 1000 != 0)
-                    & ~F.col("term").startswith("r")).count()
+                    & ~F.col("term").rlike("^r[0-9a-f]{10}$")).count()
     n_kw = kw.count()
     t_tfidf = round(time.time() - t0, 2)
     print(json.dumps({

@@ -232,7 +232,6 @@ def tfidf_keywords(index: TextIndex, k: int = 5) -> DataFrame:
     bounded by a document's distinct-term count, never a corpus-wide
     sort — with (score desc, term asc) determinism.
     """
-    from pyspark.sql import Window
     if k < 1:
         raise ValueError("k must be >= 1")
     # no broadcast hint: term_stats is vocabulary-sized (fine to

@@ -546,16 +546,30 @@ def pmi_bigrams(docs: DataFrame, text_col: str = "text",
     """
     if min_count < 1 or top_k < 1:
         raise ValueError("min_count and top_k must be >= 1")
-    words = docs.select(F.explode(words_array(F.col(text_col))).alias("w"))
+    # text_tokens, NOT raw whitespace words: the ONE canonical token
+    # definition (the retrieval.py doctrine) — the DuckDB twin and the
+    # python test reference both tokenize the normalized [a-z0-9]+ runs,
+    # and a raw-token Spark side would diverge on any uppercase or
+    # punctuated corpus (code-review finding; the gate corpus being
+    # all-lowercase had masked it)
+    toks = text_tokens(F.col(text_col))
+    words = docs.select(F.explode(toks).alias("w"))
     wc = words.groupBy("w").agg(F.count("*").cast("long").alias("cw")) \
               .localCheckpoint(eager=True)
     total_w = wc.agg(F.sum("cw")).first()[0] or 0
-    grams = docs.select(F.explode(
-        word_ngrams(words_array(F.col(text_col)), 2)).alias("g"))
-    gc = grams.groupBy("g").agg(F.count("*").cast("long").alias("cab"))
+    grams = docs.select(F.explode(word_ngrams(toks, 2)).alias("g"))
+    # checkpointed like wc: total_b is an action and the parts join is
+    # another — unmaterialized, the dominant bigram explode+shuffle
+    # would run twice from the raw corpus
+    gc = grams.groupBy("g").agg(F.count("*").cast("long").alias("cab")) \
+              .localCheckpoint(eager=True)
     total_b = gc.agg(F.sum("cab")).first()[0] or 0
     if not total_w or not total_b:
-        raise ValueError("pmi_bigrams: corpus has no bigrams")
+        # degenerate corpora (no words, or only 1-token docs): an EMPTY
+        # result, exactly what the SQL twin evaluates to — not a raise
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "bigram string, cab long, pmi double")
     parts = gc.filter(F.col("cab") >= min_count).select(
         "g", "cab",
         F.split(F.col("g"), " ").getItem(0).alias("_a"),

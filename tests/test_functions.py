@@ -934,7 +934,8 @@ def _pmi_docs():
         # "strong glue" always adjacent; "weak"/"tie" co-occur but
         # non-adjacent; filler varies
         rows.append((i, f"strong glue filler{i % 7} weak other{i % 5} tie"))
-    rows.append((50, "weak tie"))       # one adjacent weak-tie occurrence
+    rows.append((50, "Weak, tie!"))     # punctuation/case: canonical
+                                        # text_tokens must see 'weak tie'
     # rare exclusive pair: words occur ONLY together, 3 times — PMI
     # favors rarity, so this must rank top-1
     for j in range(3):
@@ -980,9 +981,12 @@ def test_pmi_bigrams_matches_python_reference(spark):
     import pytest
     with pytest.raises(ValueError):
         pmi_bigrams(df, min_count=0)
+    # degenerate corpora: EMPTY result (the SQL twin's behavior), no raise
     empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
-    with pytest.raises(ValueError):
-        pmi_bigrams(empty)
+    assert pmi_bigrams(empty).count() == 0
+    onetok = spark.createDataFrame([(0, "solo"), (1, "words")],
+                                   "doc_id long, text string")
+    assert pmi_bigrams(onetok).count() == 0
 
 
 def test_tfidf_keywords_matches_python_reference(spark):
