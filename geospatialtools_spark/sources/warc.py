@@ -182,13 +182,10 @@ def _inflate_gz_members(blob: bytes, src_file: str = "") -> bytes:
     return b"".join(parts)
 
 
-def read_warc(spark, path: str,
-              types: tuple[str, ...] = ("response",)) -> DataFrame:
-    """Distributed WARC ingest: binaryFile scan (one row per archive file,
-    executors each parse their own files — zero shuffle) -> Arrow-batched
-    ``parse_warc_records`` -> one record row per WARC record of the
-    requested ``types`` (default: response only — the training-data rows;
-    pass ("response", "request", "warcinfo") or () for everything)."""
+def _warc_parser(types: tuple[str, ...]):
+    """The shared Arrow parse closure — batch ``read_warc`` and streaming
+    ``read_warc_stream`` run EXACTLY this function, so the two faces can
+    never parse differently."""
     want = set(types)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,10 +206,45 @@ def read_warc(spark, path: str,
                     [r for r in recs if not want or r["warc_type"] in want],
                     columns=cols)
 
+    return parse
+
+
+def read_warc(spark, path: str,
+              types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """Distributed WARC ingest: binaryFile scan (one row per archive file,
+    executors each parse their own files — zero shuffle) -> Arrow-batched
+    ``parse_warc_records`` -> one record row per WARC record of the
+    requested ``types`` (default: response only — the training-data rows;
+    pass ("response", "request", "warcinfo") or () for everything)."""
     binary = (spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.{warc,warc.gz}").load(path)
               .select("path", "content"))
-    return binary.mapInPandas(parse, WARC_SCHEMA)
+    return binary.mapInPandas(_warc_parser(types), WARC_SCHEMA)
+
+
+# binaryFile's fixed source schema — streaming file sources require it
+# declared explicitly (spark refuses to infer for a stream)
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def read_warc_stream(spark, path: str,
+                     types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """The crawl as a STREAM: new archive files landing in ``path``
+    become record micro-batches — the live-ingest face of ``read_warc``
+    (same ``_warc_parser`` closure, so parse behavior is shared by
+    construction). Everything downstream of the parse is per-row
+    (``warc_to_docs`` is a pure projection), so the whole
+    crawl -> documents chain is streaming-legal with no state store;
+    run with ``streaming.ingest.run_available_now`` for catch-up ingest
+    or a continuous trigger for live tailing. Files are the parallelism
+    AND checkpoint unit: the file-source log records which archives are
+    done, so a restart never re-parses a committed archive."""
+    binary = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter", "*.{warc,warc.gz}").load(path)
+              .select("path", "content"))
+    return binary.mapInPandas(_warc_parser(types), WARC_SCHEMA)
 
 
 # ----------------------------------------------------------------- fixture

@@ -216,3 +216,35 @@ def test_warc_gz_single_stream_torn_salvages(tmp_path, spark):
     whole = len(W.parse_warc_records(W.make_warc_bytes(0, 10)))
     assert whole - 3 <= got < whole               # most records salvaged
     assert got > 0
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    """The crawl-as-a-stream face: read_warc_stream over a directory of
+    archives (availableNow catch-up) produces exactly the batch
+    read_warc rows, and the chain through warc_to_docs stays
+    streaming-legal (pure projection — no state store)."""
+    from geospatialtools_spark.sources import warc as W
+    from geospatialtools_spark.streaming.ingest import run_available_now
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for f in range(3):
+        (d / f"crawl-{f:02d}.warc").write_bytes(W.make_warc_bytes(f, 20))
+    batch = W.read_warc(spark, str(d))
+    want = {tuple(r) for r in batch.collect()}
+    stream = W.read_warc_stream(spark, str(d))
+    assert stream.isStreaming
+    out1 = str(tmp_path / "out1")
+    run_available_now(stream, str(tmp_path / "ck"), out1)
+    got = {tuple(r) for r in spark.read.parquet(out1).collect()}
+    assert got == want and len(got) == 60
+    # the docs bridge composes on the stream (still streaming-legal)
+    docs = W.warc_to_docs(W.read_warc_stream(spark, str(d)),
+                          extractor="blocks")
+    assert docs.isStreaming
+    out2 = str(tmp_path / "out2")
+    run_available_now(docs, str(tmp_path / "ck2"), out2)
+    want_docs = {tuple(r) for r in
+                 W.warc_to_docs(batch, extractor="blocks").collect()}
+    assert {tuple(r) for r in spark.read.parquet(out2).collect()} \
+        == want_docs
+    assert len(want_docs) > 0
