@@ -217,10 +217,14 @@ def read_warc(spark, path: str,
     requested ``types`` (default: response only — the training-data rows;
     pass ("response", "request", "warcinfo") or () for everything)."""
     binary = (spark.read.format("binaryFile")
-              .option("pathGlobFilter", "*.{warc,warc.gz}").load(path)
+              .option("pathGlobFilter", _WARC_GLOB).load(path)
               .select("path", "content"))
     return binary.mapInPandas(_warc_parser(types), WARC_SCHEMA)
 
+
+# ONE glob for both faces — like _warc_parser, so batch and stream can
+# never silently ingest different file sets
+_WARC_GLOB = "*.{warc,warc.gz}"
 
 # binaryFile's fixed source schema — streaming file sources require it
 # declared explicitly (spark refuses to infer for a stream)
@@ -237,12 +241,21 @@ def read_warc_stream(spark, path: str,
     (``warc_to_docs`` is a pure projection), so the whole
     crawl -> documents chain is streaming-legal with no state store;
     run with ``streaming.ingest.run_available_now`` for catch-up ingest
-    or a continuous trigger for live tailing. Files are the parallelism
-    AND checkpoint unit: the file-source log records which archives are
-    done, so a restart never re-parses a committed archive."""
+    or a processing-time trigger for live tailing (file sources do not
+    support continuous triggers — ``trigger(continuous=...)`` crashes
+    the query). Files are the parallelism AND checkpoint unit: the
+    file-source log records which archives are done, so a restart never
+    re-parses a committed archive.
+
+    WRITER CONTRACT (the standard file-source discipline, load-bearing
+    here): archives must appear ATOMICALLY — write to a temp directory
+    and rename into the watched path. A file picked up mid-write is
+    parsed as a torn prefix (the tail drops with a logged offset) and
+    the checkpoint then marks it done FOREVER; the appended remainder
+    would never be re-read."""
     binary = (spark.readStream.format("binaryFile")
               .schema(_BINARY_FILE_SCHEMA)
-              .option("pathGlobFilter", "*.{warc,warc.gz}").load(path)
+              .option("pathGlobFilter", _WARC_GLOB).load(path)
               .select("path", "content"))
     return binary.mapInPandas(_warc_parser(types), WARC_SCHEMA)
 

@@ -225,10 +225,15 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     streaming-legal (pure projection — no state store)."""
     from geospatialtools_spark.sources import warc as W
     from geospatialtools_spark.streaming.ingest import run_available_now
+    import gzip
     d = tmp_path / "crawl"
     d.mkdir()
     for f in range(3):
         (d / f"crawl-{f:02d}.warc").write_bytes(W.make_warc_bytes(f, 20))
+    # one gz archive too: the stream face must take the same gz branch
+    for blob_no, blobs in [(3, W.make_warc_record_blobs(3, 20))]:
+        (d / f"crawl-{blob_no:02d}.warc.gz").write_bytes(
+            b"".join(gzip.compress(b) for b in blobs))
     batch = W.read_warc(spark, str(d))
     want = {tuple(r) for r in batch.collect()}
     stream = W.read_warc_stream(spark, str(d))
@@ -236,15 +241,18 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     out1 = str(tmp_path / "out1")
     run_available_now(stream, str(tmp_path / "ck"), out1)
     got = {tuple(r) for r in spark.read.parquet(out1).collect()}
-    assert got == want and len(got) == 60
+    assert got == want and len(got) == 80
+    # COUNT equality too: a re-parse/duplicate-emission regression would
+    # survive the set comparison (sets dedup)
+    assert spark.read.parquet(out1).count() == batch.count() == 80
     # the docs bridge composes on the stream (still streaming-legal)
     docs = W.warc_to_docs(W.read_warc_stream(spark, str(d)),
                           extractor="blocks")
     assert docs.isStreaming
     out2 = str(tmp_path / "out2")
     run_available_now(docs, str(tmp_path / "ck2"), out2)
-    want_docs = {tuple(r) for r in
-                 W.warc_to_docs(batch, extractor="blocks").collect()}
+    bdocs = W.warc_to_docs(batch, extractor="blocks")
+    want_docs = {tuple(r) for r in bdocs.collect()}
     assert {tuple(r) for r in spark.read.parquet(out2).collect()} \
         == want_docs
-    assert len(want_docs) > 0
+    assert spark.read.parquet(out2).count() == bdocs.count() > 0
